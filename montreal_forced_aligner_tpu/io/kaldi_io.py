@@ -1,0 +1,200 @@
+"""Readers/writers for Kaldi's serialization format.
+
+The reference framework stores acoustic models (``final.mdl``), decision trees
+(``tree``) and occupancy vectors (``final.occs``) in Kaldi's binary/text object
+format inside model archives (behavioral spec: reference ``models.py:360-586``
+loads these via kalpy). This is a clean-room implementation of the container
+format so pretrained MFA model archives can be loaded directly into arrays.
+
+Format summary (public Kaldi on-disk format):
+
+* A binary stream starts with the two bytes ``\\x00B``; otherwise text.
+* *Tokens* are ASCII strings terminated by a single space.
+* *Basic types* (int32/float/double) are written as one size byte followed by
+  the raw little-endian value.
+* *Integer vectors* are a size byte (of the element type), an int32 count,
+  then ``count`` raw int32 values.
+* *Vectors/Matrices* are the token ``FV``/``DV``/``FM``/``DM`` followed by
+  int32 dims and raw data.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, List, Tuple, Union
+
+import numpy as np
+
+
+class KaldiReadError(ValueError):
+    pass
+
+
+class KaldiBinaryReader:
+    """Sequential reader over a Kaldi binary-mode stream (after ``\\x00B``)."""
+
+    def __init__(self, stream: BinaryIO):
+        self.stream = stream
+
+    # -- low level -----------------------------------------------------------
+    def read_bytes(self, n: int) -> bytes:
+        data = self.stream.read(n)
+        if len(data) != n:
+            raise KaldiReadError(f"unexpected EOF: wanted {n} bytes, got {len(data)}")
+        return data
+
+    def peek_byte(self) -> bytes:
+        pos = self.stream.tell()
+        b = self.stream.read(1)
+        self.stream.seek(pos)
+        return b
+
+    def read_token(self) -> str:
+        chars = []
+        while True:
+            c = self.read_bytes(1)
+            if c == b" ":
+                break
+            chars.append(c)
+        return b"".join(chars).decode("utf-8")
+
+    def expect_token(self, token: str) -> None:
+        got = self.read_token()
+        if got != token:
+            raise KaldiReadError(f"expected token {token!r}, got {got!r}")
+
+    def read_basic(self, fmt: str, size: int):
+        # the size prefix byte is signed: +sizeof for signed types,
+        # -sizeof (two's complement) for unsigned types
+        size_byte = self.read_bytes(1)[0]
+        if size_byte >= 128:
+            size_byte = 256 - size_byte
+        if size_byte != size:
+            raise KaldiReadError(f"basic-type size mismatch: {size_byte} != {size}")
+        return struct.unpack("<" + fmt, self.read_bytes(size))[0]
+
+    def read_int32(self) -> int:
+        return self.read_basic("i", 4)
+
+    def read_uint32(self) -> int:
+        return self.read_basic("I", 4)
+
+    def read_float(self) -> float:
+        return self.read_basic("f", 4)
+
+    def read_double(self) -> float:
+        return self.read_basic("d", 8)
+
+    def read_bool(self) -> bool:
+        c = self.read_bytes(1)
+        if c == b"T":
+            return True
+        if c == b"F":
+            return False
+        raise KaldiReadError(f"bad bool byte {c!r}")
+
+    def read_int32_vector(self) -> np.ndarray:
+        size_byte = self.read_bytes(1)[0]
+        if size_byte != 4:
+            raise KaldiReadError(f"integer vector elem size {size_byte} != 4")
+        count = struct.unpack("<i", self.read_bytes(4))[0]
+        return np.frombuffer(self.read_bytes(4 * count), dtype="<i4").copy()
+
+    # -- vectors / matrices --------------------------------------------------
+    def read_vector(self) -> np.ndarray:
+        token = self.read_token()
+        if token == "FV":
+            dtype, itemsize = "<f4", 4
+        elif token == "DV":
+            dtype, itemsize = "<f8", 8
+        else:
+            raise KaldiReadError(f"expected FV/DV, got {token!r}")
+        dim = self.read_int32()
+        return np.frombuffer(self.read_bytes(itemsize * dim), dtype=dtype).astype(
+            np.float64 if dtype == "<f8" else np.float32
+        )
+
+    def read_matrix(self) -> np.ndarray:
+        token = self.read_token()
+        if token == "FM":
+            dtype, itemsize = "<f4", 4
+        elif token == "DM":
+            dtype, itemsize = "<f8", 8
+        else:
+            raise KaldiReadError(f"expected FM/DM, got {token!r}")
+        rows = self.read_int32()
+        cols = self.read_int32()
+        data = np.frombuffer(self.read_bytes(itemsize * rows * cols), dtype=dtype)
+        return data.reshape(rows, cols).astype(
+            np.float64 if dtype == "<f8" else np.float32
+        )
+
+
+class KaldiBinaryWriter:
+    """Sequential writer producing a Kaldi binary-mode stream."""
+
+    def __init__(self, stream: BinaryIO, write_header: bool = True):
+        self.stream = stream
+        if write_header:
+            stream.write(b"\x00B")
+
+    def write_token(self, token: str) -> None:
+        self.stream.write(token.encode("utf-8") + b" ")
+
+    def write_int32(self, value: int) -> None:
+        self.stream.write(b"\x04" + struct.pack("<i", value))
+
+    def write_float(self, value: float) -> None:
+        self.stream.write(b"\x04" + struct.pack("<f", value))
+
+    def write_bool(self, value: bool) -> None:
+        self.stream.write(b"T" if value else b"F")
+
+    def write_int32_vector(self, values) -> None:
+        arr = np.asarray(values, dtype="<i4")
+        self.stream.write(b"\x04" + struct.pack("<i", arr.size))
+        self.stream.write(arr.tobytes())
+
+    def write_vector(self, vec: np.ndarray) -> None:
+        vec = np.asarray(vec, dtype="<f4").reshape(-1)
+        self.write_token("FV")
+        self.write_int32(vec.size)
+        self.stream.write(vec.tobytes())
+
+    def write_matrix(self, mat: np.ndarray) -> None:
+        mat = np.ascontiguousarray(np.asarray(mat, dtype="<f4"))
+        if mat.ndim != 2:
+            raise ValueError("matrix must be 2-D")
+        self.write_token("FM")
+        self.write_int32(mat.shape[0])
+        self.write_int32(mat.shape[1])
+        self.stream.write(mat.tobytes())
+
+
+def open_kaldi_stream(path_or_bytes: Union[str, bytes]) -> Tuple[KaldiBinaryReader, bool]:
+    """Open a Kaldi object file; returns (reader, is_binary)."""
+    import io as _io
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        stream: BinaryIO = _io.BytesIO(path_or_bytes)
+    else:
+        stream = open(path_or_bytes, "rb")
+    head = stream.read(2)
+    if head == b"\x00B":
+        return KaldiBinaryReader(stream), True
+    stream.seek(0)
+    return KaldiBinaryReader(stream), False
+
+
+def read_text_vector(text: str) -> np.ndarray:
+    """Parse a Kaldi text-format vector like ``" [ 1 2 3 ]"`` (final.occs)."""
+    toks = text.replace("[", " ").replace("]", " ").split()
+    return np.array([float(t) for t in toks], dtype=np.float32)
+
+
+def read_kaldi_object(path: str):
+    """Convenience loader returning the first vector/matrix in a file."""
+    reader, binary = open_kaldi_stream(path)
+    if not binary:
+        return read_text_vector(reader.stream.read().decode("utf-8"))
+    return reader.read_vector()

@@ -1,0 +1,116 @@
+"""Minimal dependency-free audio reading.
+
+The reference decodes audio through libsndfile (``corpus/classes.py:26``,
+``db_polars.py:1937-1996``). Baked-in images here have no libsndfile, so WAV
+(PCM 8/16/24/32-bit and IEEE float) is parsed directly with numpy. Samples are
+returned as float32 scaled to the int16 range (matching Kaldi's convention of
+treating waveforms as 16-bit-scaled values, which the MFCC defaults assume).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class WaveData:
+    samples: np.ndarray  # (num_samples,) float32, int16-scaled
+    sample_rate: int
+    num_channels: int
+    duration: float
+
+
+def _parse_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        chunk_size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, num_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 0xFFFE and len(raw) > 0:  # WAVE_FORMAT_EXTENSIBLE
+        # actual format is in the fmt extension; assume PCM/float by bits
+        audio_format = 3 if bits == 32 and block_align == num_channels * 4 else 1
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+        elif bits == 8:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * 256.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            samples = ints.astype(np.float32) / 256.0  # scale to int16 range
+        elif bits == 32:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 65536.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(raw, dtype="<f4").astype(np.float32) * 32768.0
+        elif bits == 64:
+            samples = np.frombuffer(raw, dtype="<f8").astype(np.float32) * 32768.0
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
+    if num_channels > 1:
+        samples = samples.reshape(-1, num_channels)
+    return samples, sample_rate, num_channels
+
+
+def read_wave(
+    path,
+    begin: float = 0.0,
+    end: Optional[float] = None,
+    channel: int = 0,
+) -> WaveData:
+    """Read a (segment of a) WAV file; mixes/selects down to one channel."""
+    with open(path, "rb") as f:
+        data = f.read()
+    samples, sample_rate, num_channels = _parse_wav(data)
+    if num_channels > 1:
+        samples = samples[:, channel]
+    total = len(samples)
+    start = max(0, int(round(begin * sample_rate)))
+    stop = total if end is None else min(total, int(round(end * sample_rate)))
+    seg = np.ascontiguousarray(samples[start:stop], dtype=np.float32)
+    return WaveData(
+        samples=seg,
+        sample_rate=sample_rate,
+        num_channels=num_channels,
+        duration=total / sample_rate,
+    )
+
+
+def write_wave(path, samples: np.ndarray, sample_rate: int) -> None:
+    """Write int16-scaled float samples to a 16-bit PCM mono WAV."""
+    pcm = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)

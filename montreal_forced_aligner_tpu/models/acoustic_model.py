@@ -1,0 +1,200 @@
+"""Acoustic model archive: load/save MFA-compatible model bundles.
+
+The reference packages models as zip archives containing ``final.mdl``,
+optional ``final.alimdl``, ``tree``, optional ``lda.mat``, ``phones.txt`` and
+``meta.json``/``meta.yaml`` (spec: reference ``models.py:360-586``). This
+loader accepts both the reference's archives (so published pretrained models
+work unchanged) and our own.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import zipfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+import yaml
+
+from montreal_forced_aligner_tpu.io.kaldi_io import (
+    KaldiBinaryWriter,
+    open_kaldi_stream,
+    read_text_vector,
+)
+from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
+from montreal_forced_aligner_tpu.models.transition_model import TransitionModel
+from montreal_forced_aligner_tpu.models.tree import ContextDependency
+
+
+def read_am_file(path) -> tuple:
+    """Read a ``final.mdl``-style file: TransitionModel followed by AmDiagGmm."""
+    reader, binary = open_kaldi_stream(str(path))
+    if not binary:
+        raise NotImplementedError("text-format .mdl files are not supported yet")
+    tm = TransitionModel.read(reader)
+    gmm = DiagGmmSet.read(reader)
+    return tm, gmm
+
+
+def write_am_file(path, transition_model: TransitionModel, gmm: DiagGmmSet) -> None:
+    with open(path, "wb") as f:
+        writer = KaldiBinaryWriter(f)
+        transition_model.write(writer)
+        gmm.write(writer)
+
+
+def read_tree_file(path) -> ContextDependency:
+    reader, binary = open_kaldi_stream(str(path))
+    if not binary:
+        raise NotImplementedError("text-format tree files are not supported yet")
+    return ContextDependency.read(reader)
+
+
+def parse_symbol_table(path) -> Dict[str, int]:
+    table: Dict[str, int] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                table[parts[0]] = int(parts[1])
+    return table
+
+
+@dataclass
+class AcousticModel:
+    """A loaded GMM-HMM acoustic model with all device-ready arrays."""
+
+    transition_model: TransitionModel
+    gmm: DiagGmmSet
+    tree: ContextDependency
+    meta: Dict = field(default_factory=dict)
+    # phone symbol table: name -> id (includes <eps> 0 and disambig symbols)
+    phone_table: Dict[str, int] = field(default_factory=dict)
+    lda_mat: Optional[np.ndarray] = None
+    # speaker-independent model for the first pass of SAT alignment
+    alignment_model: Optional[tuple] = None  # (TransitionModel, DiagGmmSet)
+    occs: Optional[np.ndarray] = None
+
+    @property
+    def phone_names(self) -> Dict[int, str]:
+        return {v: k for k, v in self.phone_table.items()}
+
+    @property
+    def frame_shift_ms(self) -> float:
+        return float(self.meta.get("features", {}).get("frame_shift", 10))
+
+    @property
+    def uses_lda(self) -> bool:
+        return bool(self.meta.get("features", {}).get("lda", self.lda_mat is not None))
+
+    @property
+    def uses_deltas(self) -> bool:
+        return bool(self.meta.get("features", {}).get("deltas", self.lda_mat is None))
+
+    @property
+    def uses_fmllr(self) -> bool:
+        return bool(self.meta.get("features", {}).get("fmllr", False))
+
+    @property
+    def position_dependent_phones(self) -> bool:
+        # heuristic matching the reference's phone naming (_B/_E/_I/_S
+        # suffixes, ``dictionary/mixins.py:89``)
+        return any(
+            name.endswith(("_B", "_E", "_I", "_S")) for name in self.phone_table
+        )
+
+    @classmethod
+    def load(cls, path) -> "AcousticModel":
+        """Load from a zip archive or an unpacked directory."""
+        path = Path(path)
+        if path.is_dir():
+            return cls._load_dir(path)
+        with tempfile.TemporaryDirectory() as tmp:
+            with zipfile.ZipFile(path) as zf:
+                zf.extractall(tmp)
+            root = Path(tmp)
+            # archives may nest contents in a single directory
+            entries = list(root.iterdir())
+            if len(entries) == 1 and entries[0].is_dir():
+                root = entries[0]
+            return cls._load_dir(root)
+
+    @classmethod
+    def _load_dir(cls, root: Path) -> "AcousticModel":
+        tm, gmm = read_am_file(root / "final.mdl")
+        tree_path = root / "tree"
+        if tree_path.exists():
+            tree = read_tree_file(tree_path)
+        else:
+            raise FileNotFoundError(f"no tree file in {root}")
+        meta: Dict = {}
+        if (root / "meta.json").exists():
+            with open(root / "meta.json", "r", encoding="utf-8") as f:
+                meta = json.load(f)
+        elif (root / "meta.yaml").exists():
+            with open(root / "meta.yaml", "r", encoding="utf-8") as f:
+                meta = yaml.safe_load(f)
+        phone_table: Dict[str, int] = {}
+        if (root / "phones.txt").exists():
+            phone_table = parse_symbol_table(root / "phones.txt")
+        lda = None
+        if (root / "lda.mat").exists():
+            reader, binary = open_kaldi_stream(str(root / "lda.mat"))
+            if binary:
+                lda = reader.read_matrix()
+            else:
+                raise NotImplementedError("text-format lda.mat not supported")
+        alimdl = None
+        if (root / "final.alimdl").exists():
+            alimdl = read_am_file(root / "final.alimdl")
+        occs = None
+        if (root / "final.occs").exists():
+            with open(root / "final.occs", "rb") as f:
+                head = f.read(2)
+                f.seek(0)
+                if head == b"\x00B":
+                    reader, _ = open_kaldi_stream(str(root / "final.occs"))
+                    occs = reader.read_vector()
+                else:
+                    occs = read_text_vector(f.read().decode("utf-8"))
+        return cls(
+            transition_model=tm,
+            gmm=gmm,
+            tree=tree,
+            meta=meta,
+            phone_table=phone_table,
+            lda_mat=lda,
+            alignment_model=alimdl,
+            occs=occs,
+        )
+
+    def save(self, path, extra_files: Optional[Dict[str, Path]] = None) -> None:
+        """Write an MFA-compatible model archive."""
+        path = Path(path)
+        with tempfile.TemporaryDirectory() as tmp:
+            root = Path(tmp)
+            write_am_file(root / "final.mdl", self.transition_model, self.gmm)
+            with open(root / "tree", "wb") as f:
+                self.tree.write(KaldiBinaryWriter(f))
+            with open(root / "meta.json", "w", encoding="utf-8") as f:
+                json.dump(self.meta, f, indent=2)
+            if self.phone_table:
+                with open(root / "phones.txt", "w", encoding="utf-8") as f:
+                    for name, idx in sorted(self.phone_table.items(), key=lambda kv: kv[1]):
+                        f.write(f"{name} {idx}\n")
+            if self.lda_mat is not None:
+                with open(root / "lda.mat", "wb") as f:
+                    KaldiBinaryWriter(f).write_matrix(self.lda_mat)
+            if self.alignment_model is not None:
+                write_am_file(root / "final.alimdl", *self.alignment_model)
+            if extra_files:
+                for name, src in extra_files.items():
+                    shutil.copy(src, root / name)
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for p in sorted(root.rglob("*")):
+                    zf.write(p, p.relative_to(root))

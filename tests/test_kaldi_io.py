@@ -1,0 +1,87 @@
+"""Tests for Kaldi-format model parsing and round-tripping."""
+
+import io
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.io.kaldi_io import (
+    KaldiBinaryReader,
+    KaldiBinaryWriter,
+)
+from montreal_forced_aligner_tpu.models.acoustic_model import (
+    AcousticModel,
+    read_am_file,
+    write_am_file,
+)
+
+
+def test_primitive_roundtrip(tmp_path):
+    buf = io.BytesIO()
+    w = KaldiBinaryWriter(buf)
+    w.write_token("<Foo>")
+    w.write_int32(-42)
+    w.write_float(3.5)
+    w.write_int32_vector([1, 2, 3])
+    w.write_vector(np.array([1.0, 2.0], dtype=np.float32))
+    w.write_matrix(np.arange(6, dtype=np.float32).reshape(2, 3))
+    buf.seek(2)
+    r = KaldiBinaryReader(buf)
+    r.expect_token("<Foo>")
+    assert r.read_int32() == -42
+    assert r.read_float() == 3.5
+    assert list(r.read_int32_vector()) == [1, 2, 3]
+    assert np.allclose(r.read_vector(), [1.0, 2.0])
+    assert np.allclose(r.read_matrix(), np.arange(6).reshape(2, 3))
+
+
+def test_load_reference_mono_model(mono_model_path):
+    am = AcousticModel.load(mono_model_path)
+    tm = am.transition_model
+    # internal consistency: every source agrees on pdf count
+    assert tm.num_pdfs == am.gmm.num_pdfs == am.tree.num_pdfs == len(am.occs)
+    assert am.gmm.dim == 39  # mfcc 13 + deltas
+    assert tm.num_transition_ids > 0
+    assert len(tm.id2pdf) == tm.num_transition_ids + 1
+    # stored gconsts must match recomputed ones
+    stored = am.gmm.gconsts.copy()
+    am.gmm.compute_gconsts()
+    mask = np.isfinite(stored)
+    assert np.abs(stored[mask] - am.gmm.gconsts[mask]).max() < 1e-3
+    # transition log-probs are negative log domain
+    assert tm.log_probs[1:].max() <= 0.0
+
+
+def test_model_file_roundtrip(mono_model_path, tmp_path):
+    am = AcousticModel.load(mono_model_path)
+    out = tmp_path / "roundtrip.mdl"
+    write_am_file(out, am.transition_model, am.gmm)
+    tm2, gmm2 = read_am_file(out)
+    assert tm2.num_transition_ids == am.transition_model.num_transition_ids
+    assert np.allclose(tm2.log_probs, am.transition_model.log_probs)
+    assert np.array_equal(tm2.phone, am.transition_model.phone)
+    assert np.allclose(gmm2.means_invvars, am.gmm.means_invvars)
+    assert np.allclose(gmm2.inv_vars, am.gmm.inv_vars)
+
+
+def test_archive_roundtrip(mono_model_path, tmp_path):
+    am = AcousticModel.load(mono_model_path)
+    out = tmp_path / "model.zip"
+    am.save(out)
+    am2 = AcousticModel.load(out)
+    assert am2.gmm.num_pdfs == am.gmm.num_pdfs
+    assert am2.tree.num_pdfs == am.tree.num_pdfs
+    assert np.allclose(
+        am2.transition_model.log_probs, am.transition_model.log_probs
+    )
+
+
+def test_tree_lookup(mono_model_path):
+    am = AcousticModel.load(mono_model_path)
+    tm = am.transition_model
+    # every transition-model tuple must agree with the tree
+    for s in range(tm.num_transition_states):
+        phone = int(tm.phone[s])
+        entry = tm.topo.entry_for_phone(phone)
+        pdf_class = entry[int(tm.hmm_state[s])].forward_pdf_class
+        assert am.tree.compute_pdf([phone], pdf_class) == int(tm.forward_pdf[s])
