@@ -1,0 +1,455 @@
+"""Pretrained-model corpus alignment pipeline.
+
+The TPU-native equivalent of the reference's ``PretrainedAligner.align()``
+workflow (``alignment/base.py:491-558`` and ``pretrained.py:549``): corpus
+load → tokenize → graph compile (host) → MFCC + CMVN + deltas (device) →
+batched GMM state likelihoods + dense Viterbi (device) → CTM intervals →
+TextGrid export. Per-speaker CMVN is a segment reduction instead of a
+per-speaker worker loop; utterances are bucketed by frame count so every
+device program has static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus, Utterance
+from montreal_forced_aligner_tpu.data import (
+    CtmInterval,
+    UtteranceAlignment,
+    WordCtmInterval,
+)
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
+from montreal_forced_aligner_tpu.graph.compiler import (
+    AlignmentGraphCompiler,
+    CompiledGraph,
+    batch_graphs,
+)
+from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
+from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+from montreal_forced_aligner_tpu.ops.feats import (
+    accumulate_cmvn_stats,
+    apply_cmvn,
+    compute_deltas,
+    splice_frames,
+    apply_transform,
+)
+from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
+    gather_state_params,
+    gmm_state_loglikes,
+)
+from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, compute_mfcc_batch
+from montreal_forced_aligner_tpu.ops.viterbi import (
+    BatchedGraph,
+    extract_frame_labels,
+    viterbi_align_batch,
+)
+
+POSITIONS = ("_B", "_E", "_I", "_S")
+
+
+@dataclass
+class AlignerConfig:
+    """Alignment parameters (defaults from reference
+    ``alignment/mixins.py:68-95``; beam/retry_beam are subsumed by the exact
+    dense DP and kept only for CLI compatibility)."""
+
+    acoustic_scale: float = 0.1
+    transition_scale: float = 1.0
+    self_loop_scale: float = 0.1
+    boost_silence: float = 1.0
+    beam: int = 10
+    retry_beam: int = 40
+    batch_size: int = 16
+    frame_bucket_multiple: int = 256
+
+
+def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
+    """Rebuild ``phones.txt`` for old model archives that omit it.
+
+    Layout (reference ``dictionary/multispeaker.py:1966`` numbering scheme):
+    <eps>=0, then silence phones (base + positional variants), then each
+    non-silence phone's positional variants in sorted order.
+    """
+    phones = sorted(meta.get("phones", []))
+    total = len(topo.phones)
+    n = len(phones)
+    table = {"<eps>": 0}
+    # how many ids do silence phones consume?
+    sil_count = total - 4 * n
+    position_dependent = sil_count != total - n
+    if not position_dependent and total == n + (total - n):
+        pass
+    if sil_count > 0 and sil_count % 5 == 0 and position_dependent:
+        n_sil_bases = sil_count // 5
+        sil_bases = ["sil", "sp", "spn"][:n_sil_bases]
+        if n_sil_bases == 2:
+            sil_bases = ["sil", "spn"]
+        idx = 1
+        for base in sorted(sil_bases):
+            table[base] = idx
+            idx += 1
+            for pos in POSITIONS:
+                table[base + pos] = idx
+                idx += 1
+        for base in phones:
+            for pos in POSITIONS:
+                table[base + pos] = idx
+                idx += 1
+    else:
+        # position-independent fallback
+        idx = 1
+        for base in ["sil", "spn"][: max(total - n, 0)]:
+            table[base] = idx
+            idx += 1
+        for base in phones:
+            table[base] = idx
+            idx += 1
+    return table
+
+
+class PretrainedAligner:
+    """Aligns a corpus with a pretrained acoustic model + pronunciation
+    dictionary (reference entry point: ``mfa align``,
+    ``command_line/align.py:164``)."""
+
+    def __init__(
+        self,
+        acoustic_model_path,
+        dictionary_path,
+        config: Optional[AlignerConfig] = None,
+    ):
+        self.config = config or AlignerConfig()
+        self.model = AcousticModel.load(acoustic_model_path)
+        if not self.model.phone_table:
+            self.model.phone_table = reconstruct_phone_table(
+                self.model.meta, self.model.transition_model.topo
+            )
+        self.lexicon = Lexicon.load(
+            dictionary_path,
+            phone_table=self.model.phone_table,
+        )
+        self.tokenizer = SimpleTokenizer(word_set=set(self.lexicon.words))
+        self.compiler = AlignmentGraphCompiler(
+            self.model.transition_model,
+            self.model.tree,
+            self.lexicon,
+            transition_scale=self.config.transition_scale,
+            self_loop_scale=self.config.self_loop_scale,
+        )
+        feat_meta = self.model.meta.get("features", {})
+        self.mfcc_config = MfccConfig(
+            frame_shift_ms=float(feat_meta.get("frame_shift", 10)),
+            use_energy=bool(feat_meta.get("use_energy", False)),
+        )
+        self.frame_shift = self.mfcc_config.frame_shift_ms / 1000.0
+        self._device_gmm = self._prepare_gmm()
+
+    def _prepare_gmm(self):
+        gmm = self.model.gmm
+        gconsts = gmm.gconsts.copy()
+        if self.config.boost_silence != 1.0:
+            sil_pdfs = self._silence_pdfs()
+            gconsts[sil_pdfs] += math.log(self.config.boost_silence)
+        return (
+            jnp.asarray(gmm.means_invvars),
+            jnp.asarray(gmm.inv_vars),
+            jnp.asarray(gconsts),
+        )
+
+    def _silence_pdfs(self) -> np.ndarray:
+        """pdf-ids of silence-family phones (for ``gmm-boost-silence``
+        semantics, reference ``alignment/mixins.py:193-203``)."""
+        sil_names = {
+            n
+            for n in self.model.phone_table
+            if n.split("_")[0] in ("sil", "sp", "spn")
+        }
+        pdfs = set()
+        tree = self.model.tree
+        topo = self.model.transition_model.topo
+        for name in sil_names:
+            pid = self.model.phone_table[name]
+            if topo.phone2idx[pid] < 0:
+                continue
+            for cls in range(topo.num_pdf_classes(pid)):
+                for pdf in tree.pdfs_for_phone_pdf_class(pid, cls):
+                    pdfs.add(pdf)
+        return np.array(sorted(pdfs), dtype=np.int32)
+
+    # -- pipeline ------------------------------------------------------------
+    def align_corpus(
+        self, corpus: Corpus, callback=None
+    ) -> Dict[int, UtteranceAlignment]:
+        """Align every utterance; returns {utterance_id: UtteranceAlignment}."""
+        cfg = self.config
+        # 1. tokenize + compile graphs on host
+        graphs: List[CompiledGraph] = []
+        for utt in corpus.utterances:
+            tokens = self.tokenizer.tokenize(utt.text)
+            utt.normalized_tokens = tokens
+            graphs.append(self.compiler.compile(tokens))
+
+        # 2. load audio and compute raw MFCCs (bucketed batches)
+        speaker_index = corpus.speaker_index
+        num_speakers = len(corpus.speakers)
+        waves: List[np.ndarray] = []
+        for utt in corpus.utterances:
+            wav = corpus.load_audio(utt)
+            if wav.sample_rate != self.mfcc_config.sample_rate:
+                wav = _resample(wav, self.mfcc_config.sample_rate)
+            waves.append(wav.samples)
+            utt.num_samples = len(wav.samples)
+
+        order = np.argsort([len(w) for w in waves], kind="stable")
+        batches = [
+            order[i : i + cfg.batch_size]
+            for i in range(0, len(order), cfg.batch_size)
+        ]
+
+        feats_per_utt: Dict[int, np.ndarray] = {}
+        frame_len: Dict[int, int] = {}
+        D = self.mfcc_config.num_coefficients
+        spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
+        spk_sumsq = np.zeros((num_speakers, D), dtype=np.float64)
+        spk_count = np.zeros(num_speakers, dtype=np.float64)
+        for batch in batches:
+            wave_list = [waves[i] for i in batch]
+            L = _round_up(max(len(w) for w in wave_list), 16000)
+            feats, flens = compute_mfcc_batch(
+                wave_list,
+                cfg=self.mfcc_config,
+                padded_len=L,
+                max_frames=self.mfcc_config.num_frames(L),
+            )
+            feats = np.asarray(feats)
+            for row, i in enumerate(batch):
+                T = int(flens[row])
+                feats_per_utt[i] = feats[row, :T]
+                frame_len[i] = T
+                corpus.utterances[i].num_frames = T
+                s = speaker_index[corpus.utterances[i].speaker]
+                spk_sum[s] += feats[row, :T].sum(axis=0)
+                spk_sumsq[s] += (feats[row, :T] ** 2).sum(axis=0)
+                spk_count[s] += T
+
+        spk_mean = spk_sum / np.maximum(spk_count, 1.0)[:, None]
+
+        # 3. align per batch: CMVN -> deltas/LDA -> state loglikes -> Viterbi
+        results: Dict[int, UtteranceAlignment] = {}
+        frame_batches = self._rebatch_by_frames(frame_len, cfg.batch_size)
+        for batch in frame_batches:
+            out = self._align_feature_batch(
+                batch,
+                feats_per_utt,
+                frame_len,
+                graphs,
+                corpus,
+                spk_mean,
+            )
+            results.update(out)
+            if callback:
+                callback(len(batch))
+        return results
+
+    def _rebatch_by_frames(
+        self, frame_len: Dict[int, int], batch_size: int
+    ) -> List[List[int]]:
+        order = sorted(frame_len, key=lambda i: frame_len[i])
+        return [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+
+    def _align_feature_batch(
+        self,
+        batch: Sequence[int],
+        feats_per_utt: Dict[int, np.ndarray],
+        frame_len: Dict[int, int],
+        graphs: List[CompiledGraph],
+        corpus: Corpus,
+        spk_mean: np.ndarray,
+    ) -> Dict[int, UtteranceAlignment]:
+        cfg = self.config
+        B = len(batch)
+        T = _round_up(max(frame_len[i] for i in batch), cfg.frame_bucket_multiple)
+        D = self.mfcc_config.num_coefficients
+        feats = np.zeros((B, T, D), dtype=np.float32)
+        lens = np.zeros(B, dtype=np.int32)
+        for row, i in enumerate(batch):
+            feats[row, : frame_len[i]] = feats_per_utt[i]
+            lens[row] = frame_len[i]
+            # per-speaker mean normalization (host-applied; stats are global)
+            s = corpus.speaker_index[corpus.utterances[i].speaker]
+            feats[row, : frame_len[i]] -= spk_mean[s]
+
+        feats_j = jnp.asarray(feats)
+        lens_j = jnp.asarray(lens)
+        if self.model.uses_lda and self.model.lda_mat is not None:
+            spliced = splice_frames(feats_j, lens_j, 3, 3)
+            final_feats = apply_transform(spliced, jnp.asarray(self.model.lda_mat))
+        else:
+            final_feats = compute_deltas(feats_j, lens_j)
+
+        garrs = batch_graphs([graphs[i] for i in batch])
+        graph = BatchedGraph(
+            in_src=jnp.asarray(garrs["in_src"]),
+            in_weight=jnp.asarray(garrs["in_weight"]),
+            start=jnp.asarray(garrs["start"]),
+            final=jnp.asarray(garrs["final"]),
+            state_pdf=jnp.asarray(garrs["state_pdf"]),
+            state_phone=jnp.asarray(garrs["state_phone"]),
+            state_word=jnp.asarray(garrs["state_word"]),
+            state_hmm_pos=jnp.asarray(garrs["state_hmm_pos"]),
+            state_tstate=jnp.asarray(garrs["state_tstate"]),
+            state_instance=jnp.asarray(garrs["state_instance"]),
+            num_states=jnp.asarray(garrs["num_states"]),
+        )
+        miv, iv, gc = gather_state_params(self._device_gmm, graph.state_pdf)
+        emit = gmm_state_loglikes(final_feats, miv, iv, gc)
+        state_path, scores = viterbi_align_batch(
+            emit, lens_j, graph, acoustic_scale=cfg.acoustic_scale
+        )
+        phone_f, word_f, inst_f, _tstate_f = extract_frame_labels(graph, state_path)
+        phone_f = np.asarray(phone_f)
+        word_f = np.asarray(word_f)
+        inst_f = np.asarray(inst_f)
+        scores = np.asarray(scores)
+
+        phone_names = self.model.phone_names
+        results = {}
+        for row, i in enumerate(batch):
+            utt = corpus.utterances[i]
+            L = frame_len[i]
+            results[i] = self._frames_to_ctm(
+                utt,
+                graphs[i],
+                phone_f[row, :L],
+                word_f[row, :L],
+                inst_f[row, :L],
+                float(scores[row]),
+                phone_names,
+            )
+        return results
+
+    def _frames_to_ctm(
+        self,
+        utt: Utterance,
+        graph: CompiledGraph,
+        phones: np.ndarray,
+        words: np.ndarray,
+        instances: np.ndarray,
+        score: float,
+        phone_names: Dict[int, str],
+    ) -> UtteranceAlignment:
+        """Run-length encode the frame labels into phone/word intervals
+        (replaces the reference's CTM generation + lexicon phones-to-
+        pronunciations pass, ``alignment/multiprocessing.py:1573-1741``)."""
+        L = len(phones)
+        fs = self.frame_shift
+        offset = utt.begin
+        boundaries = np.flatnonzero(np.diff(instances)) + 1
+        seg_starts = np.concatenate([[0], boundaries])
+        seg_ends = np.concatenate([boundaries, [L]])
+        phone_intervals: List[CtmInterval] = []
+        word_map: Dict[int, WordCtmInterval] = {}
+        for s0, s1 in zip(seg_starts, seg_ends):
+            pid = int(phones[s0])
+            widx = int(words[s0])
+            name = phone_names.get(pid, str(pid))
+            base = name
+            for pos in POSITIONS:
+                if base.endswith(pos):
+                    base = base[: -len(pos)]
+                    break
+            iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base)
+            phone_intervals.append(iv)
+            if widx >= 0:
+                if widx not in word_map:
+                    word_map[widx] = WordCtmInterval(
+                        iv.begin, iv.end, graph.words[widx], [iv]
+                    )
+                else:
+                    word_map[widx].end = iv.end
+                    word_map[widx].phones.append(iv)
+        word_intervals = [word_map[k] for k in sorted(word_map)]
+        return UtteranceAlignment(
+            utterance_id=utt.id,
+            words=word_intervals,
+            phones=phone_intervals,
+            log_likelihood=score,
+            per_frame_log_likelihood=score / max(L, 1),
+        )
+
+    # -- export --------------------------------------------------------------
+    def export_textgrids(
+        self,
+        corpus: Corpus,
+        results: Dict[int, UtteranceAlignment],
+        output_directory,
+        include_silence: bool = False,
+    ) -> List[Path]:
+        """Write one TextGrid per corpus file with word/phone tiers per
+        speaker (reference ``textgrid.py:279-560``)."""
+        output_directory = Path(output_directory)
+        output_directory.mkdir(parents=True, exist_ok=True)
+        by_file: Dict[str, List[Utterance]] = {}
+        for utt in corpus.utterances:
+            by_file.setdefault(utt.file_name, []).append(utt)
+        out_paths = []
+        for file_name, utts in by_file.items():
+            tg = TextGrid()
+            wav = corpus.files[file_name]
+            from montreal_forced_aligner_tpu.io.wav import read_wave
+
+            tg.xmax = read_wave(wav).duration
+            speakers = sorted({u.speaker for u in utts})
+            for spk in speakers:
+                words: List[Interval] = []
+                phones: List[Interval] = []
+                for utt in utts:
+                    if utt.speaker != spk or utt.id not in results:
+                        continue
+                    aln = results[utt.id]
+                    for w in aln.words:
+                        words.append(Interval(w.begin, w.end, w.label))
+                    for p in aln.phones:
+                        if not include_silence and p.label in ("sil", "sp"):
+                            continue
+                        phones.append(Interval(p.begin, p.end, p.label))
+                if len(speakers) == 1:
+                    tg.tiers["words"] = words
+                    tg.tiers["phones"] = phones
+                else:
+                    tg.tiers[f"{spk} - words"] = words
+                    tg.tiers[f"{spk} - phones"] = phones
+            out = output_directory / f"{file_name}.TextGrid"
+            tg.write(out)
+            out_paths.append(out)
+        return out_paths
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _resample(wav, target_rate: int):
+    """Linear-interpolation resample (host; rare path — the reference
+    delegates to libsndfile/sox)."""
+    from montreal_forced_aligner_tpu.io.wav import WaveData
+
+    ratio = target_rate / wav.sample_rate
+    n_out = int(round(len(wav.samples) * ratio))
+    x_old = np.arange(len(wav.samples)) / wav.sample_rate
+    x_new = np.arange(n_out) / target_rate
+    return WaveData(
+        samples=np.interp(x_new, x_old, wav.samples).astype(np.float32),
+        sample_rate=target_rate,
+        num_channels=wav.num_channels,
+        duration=wav.duration,
+    )

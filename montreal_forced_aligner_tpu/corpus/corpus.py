@@ -1,0 +1,135 @@
+"""Corpus loading: pair sound files with transcripts.
+
+Behavioral spec: reference ``corpus/classes.py`` (``FileData.parse_file``) and
+``corpus/acoustic_corpus.py:1530`` (threaded directory scan). Layouts:
+
+* prosodylab: ``speaker_dir/utt.wav`` + ``utt.lab``/``utt.txt`` (speaker =
+  parent directory name)
+* TextGrid: ``file.wav`` + ``file.TextGrid`` where each interval tier is a
+  speaker and each non-empty interval an utterance
+
+The reference's Postgres/Polars metadata store is replaced by a plain
+in-memory table of utterances; features/alignments live in arrays keyed by
+utterance index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+from montreal_forced_aligner_tpu.io.wav import read_wave
+
+AUDIO_EXTENSIONS = {".wav"}
+TRANSCRIPT_EXTENSIONS = {".lab", ".txt"}
+
+
+@dataclass
+class Utterance:
+    id: int
+    speaker: str
+    file_path: Path
+    file_name: str
+    begin: float
+    end: Optional[float]  # None = whole file
+    channel: int
+    text: str
+    # filled during processing
+    normalized_tokens: Optional[List[str]] = None
+    num_samples: int = 0
+    num_frames: int = 0
+
+    @property
+    def duration(self) -> float:
+        return (self.end or 0.0) - self.begin
+
+
+@dataclass
+class Corpus:
+    utterances: List[Utterance] = field(default_factory=list)
+    speakers: List[str] = field(default_factory=list)
+    files: Dict[str, Path] = field(default_factory=dict)
+
+    @property
+    def num_utterances(self) -> int:
+        return len(self.utterances)
+
+    @property
+    def speaker_index(self) -> Dict[str, int]:
+        return {s: i for i, s in enumerate(self.speakers)}
+
+    @classmethod
+    def load(cls, directory) -> "Corpus":
+        directory = Path(directory)
+        corpus = cls()
+        speakers = set()
+        wavs = sorted(directory.rglob("*.wav"))
+        if not wavs:
+            raise FileNotFoundError(f"no .wav files under {directory}")
+        uid = 0
+        for wav in wavs:
+            stem = wav.stem
+            tg_path = None
+            lab_path = None
+            for ext in (".TextGrid", ".textgrid"):
+                cand = wav.with_suffix(ext)
+                if cand.exists():
+                    tg_path = cand
+                    break
+            if tg_path is None:
+                for ext in TRANSCRIPT_EXTENSIONS:
+                    cand = wav.with_suffix(ext)
+                    if cand.exists():
+                        lab_path = cand
+                        break
+            corpus.files[stem] = wav
+            if tg_path is not None:
+                tg = TextGrid.read(tg_path)
+                for tier_name, intervals in tg.tiers.items():
+                    speaker = tier_name.strip() or stem
+                    for iv in intervals:
+                        if not iv.label.strip():
+                            continue
+                        speakers.add(speaker)
+                        corpus.utterances.append(
+                            Utterance(
+                                id=uid,
+                                speaker=speaker,
+                                file_path=wav,
+                                file_name=stem,
+                                begin=iv.begin,
+                                end=iv.end,
+                                channel=0,
+                                text=iv.label.strip(),
+                            )
+                        )
+                        uid += 1
+            elif lab_path is not None:
+                speaker = (
+                    wav.parent.name if wav.parent != directory else stem
+                )
+                with open(lab_path, "r", encoding="utf-8") as f:
+                    text = f.read().strip()
+                if not text:
+                    continue
+                speakers.add(speaker)
+                corpus.utterances.append(
+                    Utterance(
+                        id=uid,
+                        speaker=speaker,
+                        file_path=wav,
+                        file_name=stem,
+                        begin=0.0,
+                        end=None,
+                        channel=0,
+                        text=text,
+                    )
+                )
+                uid += 1
+        corpus.speakers = sorted(speakers)
+        return corpus
+
+    def load_audio(self, utt: Utterance):
+        return read_wave(utt.file_path, begin=utt.begin, end=utt.end, channel=utt.channel)

@@ -1,0 +1,375 @@
+"""Utterance alignment-graph compiler.
+
+Replaces the reference's per-utterance FST composition (``compile-train-graphs``
+composing text with L, C and H; call sites ``alignment/multiprocessing.py:537-571``
+and ``online/alignment.py:77-96``) with a direct host-side construction of the
+emission-state lattice: the transcript is expanded into pronunciation variants
+with optional-silence branches (semantics of the lexicon FST built in reference
+``dictionary/multispeaker.py:3105-3225``), each phone into its HMM states
+(topology + tree + transition model), and the result is flattened into dense
+int/float arrays consumed by the batched Viterbi kernel on TPU.
+
+Transition weights follow Kaldi's graph-scaling convention (so boundaries
+match the reference's ``gmm-align-compiled`` with the same scales,
+``alignment/mixins.py:68-95``):
+
+  self-loop arc:      self_loop_scale * log(p_self)
+  other arcs:         transition_scale * log(p / (1 - p_self))
+                      + self_loop_scale * log(1 - p_self)
+
+with probabilities taken from the trained transition model.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon, Pronunciation
+from montreal_forced_aligner_tpu.models.transition_model import KNOPDF, TransitionModel
+from montreal_forced_aligner_tpu.models.tree import ContextDependency
+
+NEG_INF = -1.0e30
+
+
+def _safe_log(p: float) -> float:
+    return math.log(p) if p > 0 else NEG_INF
+
+
+@dataclass
+class CompiledGraph:
+    """Host (numpy) representation of one utterance's alignment graph."""
+
+    state_pdf: np.ndarray  # (S,)
+    state_phone: np.ndarray  # (S,) phone id
+    state_word: np.ndarray  # (S,) transcript word index, -1 for silence
+    state_hmm_pos: np.ndarray  # (S,) hmm-state index within the phone
+    state_tstate: np.ndarray  # (S,) transition-state (1-based)
+    state_instance: np.ndarray  # (S,) phone-instance index within the utterance
+    # arcs in "incoming list" form
+    in_src: np.ndarray  # (S, K)
+    in_weight: np.ndarray  # (S, K) NEG_INF padded
+    start: np.ndarray  # (S,)
+    final: np.ndarray  # (S,)
+    words: List[str] = field(default_factory=list)  # transcript words
+
+    @property
+    def num_states(self) -> int:
+        return len(self.state_pdf)
+
+    @property
+    def max_in_arcs(self) -> int:
+        return self.in_src.shape[1]
+
+
+class _GraphBuilder:
+    """Accumulates states and arcs during expansion."""
+
+    def __init__(self):
+        self.state_pdf: List[int] = []
+        self.state_phone: List[int] = []
+        self.state_word: List[int] = []
+        self.state_hmm_pos: List[int] = []
+        self.state_tstate: List[int] = []
+        self.state_instance: List[int] = []
+        self.num_instances: int = 0
+        self.arcs: List[Tuple[int, int, float]] = []  # (src, dst, weight)
+        self.start: Dict[int, float] = {}
+        self.final: Dict[int, float] = {}
+
+    def add_state(
+        self, pdf: int, phone: int, word: int, hmm_pos: int, tstate: int, instance: int
+    ) -> int:
+        idx = len(self.state_pdf)
+        self.state_pdf.append(pdf)
+        self.state_phone.append(phone)
+        self.state_word.append(word)
+        self.state_hmm_pos.append(hmm_pos)
+        self.state_tstate.append(tstate)
+        self.state_instance.append(instance)
+        return idx
+
+    def new_instance(self) -> int:
+        self.num_instances += 1
+        return self.num_instances - 1
+
+    def add_arc(self, src: int, dst: int, weight: float) -> None:
+        self.arcs.append((src, dst, weight))
+
+    def add_start(self, state: int, weight: float) -> None:
+        prev = self.start.get(state, NEG_INF)
+        self.start[state] = max(prev, weight) if prev > NEG_INF else weight
+
+    def add_final(self, state: int, weight: float) -> None:
+        prev = self.final.get(state, NEG_INF)
+        self.final[state] = max(prev, weight) if prev > NEG_INF else weight
+
+    def finish(self, words: List[str]) -> CompiledGraph:
+        S = len(self.state_pdf)
+        # incoming arc lists
+        incoming: List[List[Tuple[int, float]]] = [[] for _ in range(S)]
+        for src, dst, w in self.arcs:
+            incoming[dst].append((src, w))
+        K = max(1, max(len(lst) for lst in incoming))
+        in_src = np.zeros((S, K), dtype=np.int32)
+        in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
+        for s, lst in enumerate(incoming):
+            for k, (src, w) in enumerate(lst):
+                in_src[s, k] = src
+                in_weight[s, k] = w
+        start = np.full(S, NEG_INF, dtype=np.float32)
+        for s, w in self.start.items():
+            start[s] = w
+        final = np.full(S, NEG_INF, dtype=np.float32)
+        for s, w in self.final.items():
+            final[s] = w
+        return CompiledGraph(
+            state_pdf=np.asarray(self.state_pdf, dtype=np.int32),
+            state_phone=np.asarray(self.state_phone, dtype=np.int32),
+            state_word=np.asarray(self.state_word, dtype=np.int32),
+            state_hmm_pos=np.asarray(self.state_hmm_pos, dtype=np.int32),
+            state_tstate=np.asarray(self.state_tstate, dtype=np.int32),
+            state_instance=np.asarray(self.state_instance, dtype=np.int32),
+            in_src=in_src,
+            in_weight=in_weight,
+            start=start,
+            final=final,
+            words=words,
+        )
+
+
+class AlignmentGraphCompiler:
+    """Compiles token sequences into :class:`CompiledGraph`s."""
+
+    def __init__(
+        self,
+        transition_model: TransitionModel,
+        tree: ContextDependency,
+        lexicon: Lexicon,
+        transition_scale: float = 1.0,
+        self_loop_scale: float = 0.1,
+    ):
+        self.tm = transition_model
+        self.tree = tree
+        self.lexicon = lexicon
+        self.transition_scale = transition_scale
+        self.self_loop_scale = self_loop_scale
+        if tree.N != 1:
+            raise NotImplementedError(
+                "context-dependent graph compilation lands with the triphone "
+                "milestone; this compiler currently handles monophone trees"
+            )
+        self._phone_cache: Dict[int, dict] = {}
+
+    # -- phone expansion -----------------------------------------------------
+    def _phone_plan(self, phone: int) -> dict:
+        """Precompute per-phone HMM structure: pdfs, tstates, internal arc
+        weights, and exit weights, independent of graph position."""
+        cached = self._phone_cache.get(phone)
+        if cached is not None:
+            return cached
+        tm, tree = self.tm, self.tree
+        entry = tm.topo.entry_for_phone(phone)
+        n_emit = sum(1 for s in entry if s.forward_pdf_class != KNOPDF)
+        final_idx = next(
+            (j for j, s in enumerate(entry) if s.forward_pdf_class == KNOPDF), None
+        )
+        pdfs = []
+        tstates = []
+        for j in range(n_emit):
+            fwd_pdf = tree.compute_pdf([phone], entry[j].forward_pdf_class)
+            slf_pdf = tree.compute_pdf([phone], entry[j].self_loop_pdf_class)
+            pdfs.append(fwd_pdf)
+            tstates.append(tm.tuple_to_transition_state(phone, j, fwd_pdf, slf_pdf))
+        # arc weights per emitting state
+        internal: List[Tuple[int, int, float]] = []  # (src_hmm, dst_hmm, weight)
+        exits: List[Tuple[int, float]] = []  # (src_hmm, exit_weight)
+        ts, sls = self.transition_scale, self.self_loop_scale
+        for j in range(n_emit):
+            trans = tm.transitions_of_state(tstates[j])
+            p_self = 0.0
+            for _tid, dst, logp in trans:
+                if dst == j:
+                    p_self = math.exp(logp)
+            log_1m = _safe_log(1.0 - p_self) if p_self < 1.0 else NEG_INF
+            for _tid, dst, logp in trans:
+                if dst == j:
+                    internal.append((j, j, sls * logp))
+                else:
+                    w = ts * (logp - log_1m) + sls * log_1m if p_self > 0 else ts * logp
+                    if dst == final_idx:
+                        exits.append((j, w))
+                    else:
+                        internal.append((j, dst, w))
+        plan = dict(
+            n_emit=n_emit, pdfs=pdfs, tstates=tstates, internal=internal, exits=exits
+        )
+        self._phone_cache[phone] = plan
+        return plan
+
+    def _expand_phone(
+        self, g: _GraphBuilder, phone: int, word_idx: int
+    ) -> Tuple[int, List[Tuple[int, float]]]:
+        """Add one phone instance; returns (entry_state, [(exit_state, w)])."""
+        plan = self._phone_plan(phone)
+        base = len(g.state_pdf)
+        instance = g.new_instance()
+        for j in range(plan["n_emit"]):
+            g.add_state(
+                plan["pdfs"][j], phone, word_idx, j, plan["tstates"][j], instance
+            )
+        for src, dst, w in plan["internal"]:
+            g.add_arc(base + src, base + dst, w)
+        exits = [(base + src, w) for src, w in plan["exits"]]
+        return base, exits
+
+    def _expand_pronunciation(
+        self, g: _GraphBuilder, phone_ids: Sequence[int], word_idx: int
+    ) -> Tuple[int, List[Tuple[int, float]]]:
+        """Chain of phones; returns (entry_state, exits of last phone)."""
+        entry = None
+        prev_exits: List[Tuple[int, float]] = []
+        for phone in phone_ids:
+            p_entry, p_exits = self._expand_phone(g, phone, word_idx)
+            if entry is None:
+                entry = p_entry
+            for src, w in prev_exits:
+                g.add_arc(src, p_entry, w)
+            prev_exits = p_exits
+        return entry, prev_exits
+
+    # -- utterance compilation ----------------------------------------------
+    def compile(self, tokens: Sequence[str]) -> CompiledGraph:
+        """Build the alignment graph for a tokenized transcript.
+
+        Structure (reference lexicon-FST semantics): optional silence before
+        the first word, between words and at the end; per-word pronunciation
+        alternatives weighted by -log(probability); silence branch costs from
+        silence probabilities (defaults 0.5, ``dictionary/mixins.py:91-194``).
+        """
+        lex = self.lexicon
+        g = _GraphBuilder()
+        sil_phone = lex.phone_id(lex.silence_phone, None)
+
+        words: List[str] = []
+        prons_per_word: List[List[Tuple[Pronunciation, List[int]]]] = []
+        for tok in tokens:
+            out_word, prons = lex.lookup(tok)
+            words.append(out_word)
+            expanded = []
+            for pron in prons:
+                if lex.position_dependent:
+                    pids = lex.pronunciation_phone_ids(pron.phones)
+                else:
+                    pids = [lex.phone_id(p, None) for p in pron.phones]
+                expanded.append((pron, pids))
+            prons_per_word.append(expanded)
+
+        # frontier: list of (state, accumulated weight) to connect into the
+        # next segment's entry; None marks the utterance start
+        p_init = lex.initial_silence_probability
+
+        # initial silence
+        frontier: List[Tuple[Optional[int], float]] = []
+        sil_entry, sil_exits = self._expand_phone(g, sil_phone, -1)
+        g.add_start(sil_entry, _safe_log(p_init))
+        frontier_sil = sil_exits  # exits of initial silence
+        start_direct_weight = _safe_log(1.0 - p_init)
+
+        # frontier entering word i: list of (src_state or None-for-start, weight)
+        enter_frontier: List[Tuple[Optional[int], float]] = [
+            (None, start_direct_weight)
+        ] + [(s, w) for s, w in frontier_sil]
+
+        final_candidates: List[Tuple[int, float]] = []
+
+        for w_idx, expanded in enumerate(prons_per_word):
+            word_exits: List[Tuple[int, float, Pronunciation]] = []
+            for pron, pids in expanded:
+                prob = pron.probability if pron.probability is not None else 1.0
+                pron_cost = -_safe_log(max(min(prob, 1.0), 1e-5))
+                entry, exits = self._expand_pronunciation(g, pids, w_idx)
+                for src, w in enter_frontier:
+                    if src is None:
+                        g.add_start(entry, w - pron_cost)
+                    else:
+                        g.add_arc(src, entry, w - pron_cost)
+                for s, w in exits:
+                    word_exits.append((s, w, pron))
+
+            is_last = w_idx == len(prons_per_word) - 1
+            # optional silence after this word
+            next_frontier: List[Tuple[Optional[int], float]] = []
+            sil_entry, sil_exits = self._expand_phone(g, sil_phone, -1)
+            for s, w, pron in word_exits:
+                p_sil = (
+                    pron.silence_after_probability
+                    if pron.silence_after_probability is not None
+                    else lex.silence_probability
+                )
+                g.add_arc(s, sil_entry, w + _safe_log(p_sil))
+                next_frontier.append((s, w + _safe_log(1.0 - p_sil)))
+            if is_last:
+                fsc = lex.final_silence_correction
+                fnsc = lex.final_non_silence_correction
+                sil_corr = _safe_log(fsc) if fsc else 0.0
+                nonsil_corr = _safe_log(fnsc) if fnsc else 0.0
+                for s, w in sil_exits:
+                    g.add_final(s, w + sil_corr)
+                for s, w, pron in word_exits:
+                    p_sil = (
+                        pron.silence_after_probability
+                        if pron.silence_after_probability is not None
+                        else lex.silence_probability
+                    )
+                    g.add_final(s, w + _safe_log(1.0 - p_sil) + nonsil_corr)
+            else:
+                enter_frontier = next_frontier + [(s, w) for s, w in sil_exits]
+
+        if not prons_per_word:
+            # empty transcript: just silence
+            for s, w in frontier_sil:
+                g.add_final(s, w)
+
+        return g.finish(words)
+
+
+def batch_graphs(graphs: List[CompiledGraph]):
+    """Pad a list of host graphs into stacked numpy arrays (S_max, K_max).
+
+    Padding states are unreachable self-loops with NEG_INF weights and pdf 0.
+    Returns a dict of arrays ready to build a
+    :class:`~montreal_forced_aligner_tpu.ops.viterbi.BatchedGraph`.
+    """
+    B = len(graphs)
+    S = max(gr.num_states for gr in graphs)
+    K = max(gr.max_in_arcs for gr in graphs)
+    out = dict(
+        in_src=np.zeros((B, S, K), dtype=np.int32),
+        in_weight=np.full((B, S, K), NEG_INF, dtype=np.float32),
+        start=np.full((B, S), NEG_INF, dtype=np.float32),
+        final=np.full((B, S), NEG_INF, dtype=np.float32),
+        state_pdf=np.zeros((B, S), dtype=np.int32),
+        state_phone=np.zeros((B, S), dtype=np.int32),
+        state_word=np.full((B, S), -1, dtype=np.int32),
+        state_hmm_pos=np.zeros((B, S), dtype=np.int32),
+        state_tstate=np.zeros((B, S), dtype=np.int32),
+        state_instance=np.full((B, S), -1, dtype=np.int32),
+        num_states=np.array([gr.num_states for gr in graphs], dtype=np.int32),
+    )
+    for b, gr in enumerate(graphs):
+        s, k = gr.num_states, gr.max_in_arcs
+        out["in_src"][b, :s, :k] = gr.in_src
+        out["in_weight"][b, :s, :k] = gr.in_weight
+        out["start"][b, :s] = gr.start
+        out["final"][b, :s] = gr.final
+        out["state_pdf"][b, :s] = gr.state_pdf
+        out["state_phone"][b, :s] = gr.state_phone
+        out["state_word"][b, :s] = gr.state_word
+        out["state_hmm_pos"][b, :s] = gr.state_hmm_pos
+        out["state_tstate"][b, :s] = gr.state_tstate
+        out["state_instance"][b, :s] = gr.state_instance
+    return out

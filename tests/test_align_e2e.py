@@ -1,0 +1,103 @@
+"""End-to-end alignment tests.
+
+Fast path: a synthetic tone corpus + synthetic single-gaussian model with
+known ground-truth boundaries (mirrors the reference's integration-test
+style, ``tests/test_commandline_align.py``, without model downloads).
+
+Slow path (MFA_TPU_SLOW_TESTS=1): align the reference's real mini corpus with
+its checked-in Kaldi mono model.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.align.aligner import AlignerConfig, PretrainedAligner
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+from helpers import SEGMENTS, build_synthetic_corpus, build_synthetic_model
+
+
+@pytest.fixture(scope="module")
+def synthetic_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("synth")
+    corpus_dir, wave = build_synthetic_corpus(tmp)
+    model_path, dict_path = build_synthetic_model(tmp, wave=wave)
+    return tmp, corpus_dir, model_path, dict_path
+
+
+def test_synthetic_alignment_boundaries(synthetic_setup):
+    tmp, corpus_dir, model_path, dict_path = synthetic_setup
+    config = AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    aligner = PretrainedAligner(model_path, dict_path, config)
+    corpus = Corpus.load(corpus_dir)
+    assert corpus.num_utterances == 1
+    results = aligner.align_corpus(corpus)
+    aln = results[0]
+    words = {(w.label, round(w.begin, 2), round(w.end, 2)) for w in aln.words}
+    # ground truth from SEGMENTS: sil .40 | aa .50 | bb .45 | aa .35 | sil .40
+    labels = [w.label for w in sorted(aln.words, key=lambda w: w.begin)]
+    assert labels == ["ab", "a"]
+    w_ab, w_a = sorted(aln.words, key=lambda w: w.begin)
+    tol = 0.03  # 3 frames
+    assert abs(w_ab.begin - 0.40) < tol
+    assert abs(w_ab.end - 1.35) < tol
+    assert abs(w_a.begin - 1.35) < tol
+    assert abs(w_a.end - 1.70) < tol
+    # phone-level boundaries
+    ph = [p for p in aln.phones if p.label != "sil"]
+    assert [p.label for p in ph] == ["aa", "bb", "aa"]
+    assert abs(ph[0].end - 0.90) < tol
+    assert abs(ph[1].end - 1.35) < tol
+    # log likelihood must be finite and sane
+    assert np.isfinite(aln.log_likelihood)
+
+    # textgrid export
+    outs = aligner.export_textgrids(corpus, results, tmp / "out")
+    assert len(outs) == 1
+    tg = TextGrid.read(outs[0])
+    assert "words" in tg.tiers and "phones" in tg.tiers
+    exported_words = [iv for iv in tg.tiers["words"] if iv.label]
+    assert [iv.label for iv in exported_words] == ["ab", "a"]
+
+
+def test_oov_alignment(tmp_path):
+    from helpers import build_synthetic_corpus as _build
+
+    corpus_dir, wave = _build(tmp_path, text="ab zzz")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    labels = [w.label for w in sorted(results[0].words, key=lambda w: w.begin)]
+    assert labels == ["ab", "<unk>"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MFA_TPU_SLOW_TESTS"),
+    reason="slow real-model e2e (set MFA_TPU_SLOW_TESTS=1)",
+)
+def test_real_mono_model_alignment(mono_model_path, reference_data_dir, tmp_path):
+    import shutil
+
+    corp = tmp_path / "corpus" / "speaker1"
+    corp.mkdir(parents=True)
+    shutil.copy(reference_data_dir / "wav" / "acoustic_corpus.wav", corp / "a.wav")
+    shutil.copy(reference_data_dir / "lab" / "acoustic_corpus.lab", corp / "a.lab")
+    aligner = PretrainedAligner(
+        mono_model_path, reference_data_dir / "dictionaries" / "test_basic.txt"
+    )
+    corpus = Corpus.load(tmp_path / "corpus")
+    results = aligner.align_corpus(corpus)
+    aln = results[0]
+    assert aln.per_frame_log_likelihood > -12.0
+    words = sorted(aln.words, key=lambda w: w.begin)
+    assert words[0].label == "this"
+    # known-good boundaries from the first aligned run (self-golden)
+    assert abs(words[0].begin - 0.04) < 0.05
+    outs = aligner.export_textgrids(corpus, results, tmp_path / "out")
+    assert outs[0].exists()

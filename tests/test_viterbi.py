@@ -1,0 +1,133 @@
+"""Dense Viterbi kernel tests against a brute-force numpy trellis."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from montreal_forced_aligner_tpu.ops.viterbi import (
+    NEG_INF,
+    BatchedGraph,
+    extract_frame_labels,
+    viterbi_align_batch,
+)
+
+
+def brute_force_viterbi(emit, in_src, in_weight, start, final, acoustic_scale):
+    """O(T*S*K) numpy DP with explicit backtracking."""
+    T, S = emit.shape
+    K = in_src.shape[1]
+    alpha = start + acoustic_scale * emit[0]
+    bps = np.zeros((T, S), dtype=np.int64)
+    for t in range(1, T):
+        cand = alpha[in_src] + in_weight  # (S, K)
+        k = cand.argmax(axis=1)
+        alpha = cand[np.arange(S), k] + acoustic_scale * emit[t]
+        bps[t] = k
+    scores = alpha + final
+    s = int(scores.argmax())
+    best = scores[s]
+    path = [s]
+    for t in range(T - 1, 0, -1):
+        s = in_src[s, bps[t, s]]
+        path.append(s)
+    return best, np.array(path[::-1])
+
+
+def random_graph(rng, S, K):
+    """A random connected left-to-right-ish graph."""
+    in_src = rng.randint(0, S, size=(S, K)).astype(np.int32)
+    # guarantee a self-loop arc so every state is reachable over time
+    in_src[:, 0] = np.arange(S)
+    for s in range(1, S):
+        in_src[s, 1] = s - 1
+    in_weight = (-rng.rand(S, K) * 3).astype(np.float32)
+    mask = rng.rand(S, K) < 0.2
+    mask[:, :2] = False
+    in_weight[mask] = NEG_INF
+    start = np.full(S, NEG_INF, dtype=np.float32)
+    start[0] = 0.0
+    start[1] = -0.5
+    final = np.full(S, NEG_INF, dtype=np.float32)
+    final[S - 1] = 0.0
+    final[S - 2] = -1.0
+    return in_src, in_weight, start, final
+
+
+def make_batched(graphs, S, K, T, emits, lens):
+    B = len(graphs)
+    arrs = dict(
+        in_src=np.zeros((B, S, K), np.int32),
+        in_weight=np.full((B, S, K), NEG_INF, np.float32),
+        start=np.full((B, S), NEG_INF, np.float32),
+        final=np.full((B, S), NEG_INF, np.float32),
+    )
+    emit = np.full((B, T, S), -1.0, np.float32)
+    for b, (src, w, st, fi) in enumerate(graphs):
+        s, k = src.shape
+        arrs["in_src"][b, :s, :k] = src
+        arrs["in_weight"][b, :s, :k] = w
+        arrs["start"][b, :s] = st
+        arrs["final"][b, :s] = fi
+        emit[b, : lens[b], :s] = emits[b]
+    zeros = np.zeros((B, S), np.int32)
+    graph = BatchedGraph(
+        in_src=jnp.asarray(arrs["in_src"]),
+        in_weight=jnp.asarray(arrs["in_weight"]),
+        start=jnp.asarray(arrs["start"]),
+        final=jnp.asarray(arrs["final"]),
+        state_pdf=jnp.asarray(zeros),
+        state_phone=jnp.asarray(zeros),
+        state_word=jnp.asarray(zeros),
+        state_hmm_pos=jnp.asarray(zeros),
+        state_tstate=jnp.asarray(zeros),
+        state_instance=jnp.asarray(zeros),
+        num_states=jnp.asarray(np.array([g[0].shape[0] for g in graphs], np.int32)),
+    )
+    return graph, jnp.asarray(emit)
+
+
+def test_viterbi_matches_brute_force_batched():
+    rng = np.random.RandomState(7)
+    sizes = [(12, 3, 40), (20, 4, 55), (5, 2, 31)]
+    graphs, emits, lens = [], [], []
+    for S, K, T in sizes:
+        graphs.append(random_graph(rng, S, K))
+        emits.append(rng.randn(T, S).astype(np.float32) * 2)
+        lens.append(T)
+    S = max(s for s, _, _ in sizes)
+    K = max(k for _, k, _ in sizes)
+    T = max(t for _, _, t in sizes)
+    graph, emit = make_batched(graphs, S, K, T, emits, lens)
+    paths, scores = viterbi_align_batch(
+        emit, jnp.asarray(np.array(lens, np.int32)), graph, acoustic_scale=0.1
+    )
+    paths = np.asarray(paths)
+    scores = np.asarray(scores)
+    for b, (S_b, K_b, T_b) in enumerate(sizes):
+        src, w, st, fi = graphs[b]
+        ref_score, ref_path = brute_force_viterbi(emits[b], src, w, st, fi, 0.1)
+        assert abs(scores[b] - ref_score) < 1e-3, f"utt {b} score"
+        np.testing.assert_array_equal(paths[b, :T_b], ref_path)
+
+
+def test_viterbi_linear_chain_forced():
+    """A forced linear chain: with emissions strongly favoring a segmentation,
+    the path must follow it exactly."""
+    S, T = 3, 12
+    in_src = np.stack([np.arange(S), np.maximum(np.arange(S) - 1, 0)], axis=1).astype(
+        np.int32
+    )
+    in_weight = np.full((S, 2), np.log(0.5), np.float32)
+    in_weight[0, 1] = NEG_INF  # state 0 has no predecessor
+    start = np.array([0.0, NEG_INF, NEG_INF], np.float32)
+    final = np.array([NEG_INF, NEG_INF, 0.0], np.float32)
+    truth = [0] * 4 + [1] * 5 + [2] * 3
+    emit = np.full((T, S), -50.0, np.float32)
+    for t, s in enumerate(truth):
+        emit[t, s] = 0.0
+    graph, emit_b = make_batched(
+        [(in_src, in_weight, start, final)], S, 2, T, [emit], [T]
+    )
+    paths, scores = viterbi_align_batch(
+        emit_b, jnp.asarray(np.array([T], np.int32)), graph, acoustic_scale=1.0
+    )
+    np.testing.assert_array_equal(np.asarray(paths)[0], truth)
