@@ -300,8 +300,10 @@ class PretrainedAligner:
         graph = BatchedGraph(
             in_src=jnp.asarray(garrs["in_src"]),
             in_weight=jnp.asarray(garrs["in_weight"]),
+            in_tid=jnp.asarray(garrs["in_tid"]),
             start=jnp.asarray(garrs["start"]),
             final=jnp.asarray(garrs["final"]),
+            final_tid=jnp.asarray(garrs["final_tid"]),
             state_pdf=jnp.asarray(garrs["state_pdf"]),
             state_phone=jnp.asarray(garrs["state_phone"]),
             state_word=jnp.asarray(garrs["state_word"]),
@@ -312,7 +314,7 @@ class PretrainedAligner:
         )
         miv, iv, gc = gather_state_params(self._device_gmm, graph.state_pdf)
         emit = gmm_state_loglikes(final_feats, miv, iv, gc)
-        state_path, scores = viterbi_align_batch(
+        state_path, scores, _arc_ks = viterbi_align_batch(
             emit, lens_j, graph, acoustic_scale=cfg.acoustic_scale
         )
         phone_f, word_f, inst_f, _tstate_f = extract_frame_labels(graph, state_path)

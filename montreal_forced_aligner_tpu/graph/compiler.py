@@ -52,8 +52,10 @@ class CompiledGraph:
     # arcs in "incoming list" form
     in_src: np.ndarray  # (S, K)
     in_weight: np.ndarray  # (S, K) NEG_INF padded
+    in_tid: np.ndarray  # (S, K) transition-id of each incoming arc (0 = none)
     start: np.ndarray  # (S,)
     final: np.ndarray  # (S,)
+    final_tid: np.ndarray  # (S,) exit transition-id used when ending here (0 = none)
     words: List[str] = field(default_factory=list)  # transcript words
 
     @property
@@ -76,9 +78,10 @@ class _GraphBuilder:
         self.state_tstate: List[int] = []
         self.state_instance: List[int] = []
         self.num_instances: int = 0
-        self.arcs: List[Tuple[int, int, float]] = []  # (src, dst, weight)
+        self.arcs: List[Tuple[int, int, float, int]] = []  # (src, dst, weight, tid)
         self.start: Dict[int, float] = {}
         self.final: Dict[int, float] = {}
+        self.final_tid: Dict[int, int] = {}
 
     def add_state(
         self, pdf: int, phone: int, word: int, hmm_pos: int, tstate: int, instance: int
@@ -96,36 +99,43 @@ class _GraphBuilder:
         self.num_instances += 1
         return self.num_instances - 1
 
-    def add_arc(self, src: int, dst: int, weight: float) -> None:
-        self.arcs.append((src, dst, weight))
+    def add_arc(self, src: int, dst: int, weight: float, tid: int = 0) -> None:
+        self.arcs.append((src, dst, weight, tid))
 
     def add_start(self, state: int, weight: float) -> None:
         prev = self.start.get(state, NEG_INF)
         self.start[state] = max(prev, weight) if prev > NEG_INF else weight
 
-    def add_final(self, state: int, weight: float) -> None:
+    def add_final(self, state: int, weight: float, tid: int = 0) -> None:
         prev = self.final.get(state, NEG_INF)
-        self.final[state] = max(prev, weight) if prev > NEG_INF else weight
+        if prev > NEG_INF and prev >= weight:
+            return
+        self.final[state] = weight
+        self.final_tid[state] = tid
 
     def finish(self, words: List[str]) -> CompiledGraph:
         S = len(self.state_pdf)
         # incoming arc lists
-        incoming: List[List[Tuple[int, float]]] = [[] for _ in range(S)]
-        for src, dst, w in self.arcs:
-            incoming[dst].append((src, w))
+        incoming: List[List[Tuple[int, float, int]]] = [[] for _ in range(S)]
+        for src, dst, w, tid in self.arcs:
+            incoming[dst].append((src, w, tid))
         K = max(1, max(len(lst) for lst in incoming))
         in_src = np.zeros((S, K), dtype=np.int32)
         in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
+        in_tid = np.zeros((S, K), dtype=np.int32)
         for s, lst in enumerate(incoming):
-            for k, (src, w) in enumerate(lst):
+            for k, (src, w, tid) in enumerate(lst):
                 in_src[s, k] = src
                 in_weight[s, k] = w
+                in_tid[s, k] = tid
         start = np.full(S, NEG_INF, dtype=np.float32)
         for s, w in self.start.items():
             start[s] = w
         final = np.full(S, NEG_INF, dtype=np.float32)
+        final_tid = np.zeros(S, dtype=np.int32)
         for s, w in self.final.items():
             final[s] = w
+            final_tid[s] = self.final_tid.get(s, 0)
         return CompiledGraph(
             state_pdf=np.asarray(self.state_pdf, dtype=np.int32),
             state_phone=np.asarray(self.state_phone, dtype=np.int32),
@@ -135,8 +145,10 @@ class _GraphBuilder:
             state_instance=np.asarray(self.state_instance, dtype=np.int32),
             in_src=in_src,
             in_weight=in_weight,
+            in_tid=in_tid,
             start=start,
             final=final,
+            final_tid=final_tid,
             words=words,
         )
 
@@ -185,8 +197,8 @@ class AlignmentGraphCompiler:
             pdfs.append(fwd_pdf)
             tstates.append(tm.tuple_to_transition_state(phone, j, fwd_pdf, slf_pdf))
         # arc weights per emitting state
-        internal: List[Tuple[int, int, float]] = []  # (src_hmm, dst_hmm, weight)
-        exits: List[Tuple[int, float]] = []  # (src_hmm, exit_weight)
+        internal: List[Tuple[int, int, float, int]] = []  # (src, dst, weight, tid)
+        exits: List[Tuple[int, float, int]] = []  # (src_hmm, exit_weight, tid)
         ts, sls = self.transition_scale, self.self_loop_scale
         for j in range(n_emit):
             trans = tm.transitions_of_state(tstates[j])
@@ -195,15 +207,15 @@ class AlignmentGraphCompiler:
                 if dst == j:
                     p_self = math.exp(logp)
             log_1m = _safe_log(1.0 - p_self) if p_self < 1.0 else NEG_INF
-            for _tid, dst, logp in trans:
+            for tid, dst, logp in trans:
                 if dst == j:
-                    internal.append((j, j, sls * logp))
+                    internal.append((j, j, sls * logp, tid))
                 else:
                     w = ts * (logp - log_1m) + sls * log_1m if p_self > 0 else ts * logp
                     if dst == final_idx:
-                        exits.append((j, w))
+                        exits.append((j, w, tid))
                     else:
-                        internal.append((j, dst, w))
+                        internal.append((j, dst, w, tid))
         plan = dict(
             n_emit=n_emit, pdfs=pdfs, tstates=tstates, internal=internal, exits=exits
         )
@@ -221,9 +233,9 @@ class AlignmentGraphCompiler:
             g.add_state(
                 plan["pdfs"][j], phone, word_idx, j, plan["tstates"][j], instance
             )
-        for src, dst, w in plan["internal"]:
-            g.add_arc(base + src, base + dst, w)
-        exits = [(base + src, w) for src, w in plan["exits"]]
+        for src, dst, w, tid in plan["internal"]:
+            g.add_arc(base + src, base + dst, w, tid)
+        exits = [(base + src, w, tid) for src, w, tid in plan["exits"]]
         return base, exits
 
     def _expand_pronunciation(
@@ -231,13 +243,13 @@ class AlignmentGraphCompiler:
     ) -> Tuple[int, List[Tuple[int, float]]]:
         """Chain of phones; returns (entry_state, exits of last phone)."""
         entry = None
-        prev_exits: List[Tuple[int, float]] = []
+        prev_exits: List[Tuple[int, float, int]] = []
         for phone in phone_ids:
             p_entry, p_exits = self._expand_phone(g, phone, word_idx)
             if entry is None:
                 entry = p_entry
-            for src, w in prev_exits:
-                g.add_arc(src, p_entry, w)
+            for src, w, tid in prev_exits:
+                g.add_arc(src, p_entry, w, tid)
             prev_exits = p_exits
         return entry, prev_exits
 
@@ -279,60 +291,62 @@ class AlignmentGraphCompiler:
         frontier_sil = sil_exits  # exits of initial silence
         start_direct_weight = _safe_log(1.0 - p_init)
 
-        # frontier entering word i: list of (src_state or None-for-start, weight)
-        enter_frontier: List[Tuple[Optional[int], float]] = [
-            (None, start_direct_weight)
-        ] + [(s, w) for s, w in frontier_sil]
+        # frontier entering word i: (src_state or None-for-start, weight, tid)
+        enter_frontier: List[Tuple[Optional[int], float, int]] = [
+            (None, start_direct_weight, 0)
+        ] + [(s, w, tid) for s, w, tid in frontier_sil]
 
         final_candidates: List[Tuple[int, float]] = []
 
         for w_idx, expanded in enumerate(prons_per_word):
-            word_exits: List[Tuple[int, float, Pronunciation]] = []
+            word_exits: List[Tuple[int, float, int, Pronunciation]] = []
             for pron, pids in expanded:
                 prob = pron.probability if pron.probability is not None else 1.0
                 pron_cost = -_safe_log(max(min(prob, 1.0), 1e-5))
                 entry, exits = self._expand_pronunciation(g, pids, w_idx)
-                for src, w in enter_frontier:
+                for src, w, tid in enter_frontier:
                     if src is None:
                         g.add_start(entry, w - pron_cost)
                     else:
-                        g.add_arc(src, entry, w - pron_cost)
-                for s, w in exits:
-                    word_exits.append((s, w, pron))
+                        g.add_arc(src, entry, w - pron_cost, tid)
+                for s, w, tid in exits:
+                    word_exits.append((s, w, tid, pron))
 
             is_last = w_idx == len(prons_per_word) - 1
             # optional silence after this word
-            next_frontier: List[Tuple[Optional[int], float]] = []
+            next_frontier: List[Tuple[Optional[int], float, int]] = []
             sil_entry, sil_exits = self._expand_phone(g, sil_phone, -1)
-            for s, w, pron in word_exits:
+            for s, w, tid, pron in word_exits:
                 p_sil = (
                     pron.silence_after_probability
                     if pron.silence_after_probability is not None
                     else lex.silence_probability
                 )
-                g.add_arc(s, sil_entry, w + _safe_log(p_sil))
-                next_frontier.append((s, w + _safe_log(1.0 - p_sil)))
+                g.add_arc(s, sil_entry, w + _safe_log(p_sil), tid)
+                next_frontier.append((s, w + _safe_log(1.0 - p_sil), tid))
             if is_last:
                 fsc = lex.final_silence_correction
                 fnsc = lex.final_non_silence_correction
                 sil_corr = _safe_log(fsc) if fsc else 0.0
                 nonsil_corr = _safe_log(fnsc) if fnsc else 0.0
-                for s, w in sil_exits:
-                    g.add_final(s, w + sil_corr)
-                for s, w, pron in word_exits:
+                for s, w, tid in sil_exits:
+                    g.add_final(s, w + sil_corr, tid)
+                for s, w, tid, pron in word_exits:
                     p_sil = (
                         pron.silence_after_probability
                         if pron.silence_after_probability is not None
                         else lex.silence_probability
                     )
-                    g.add_final(s, w + _safe_log(1.0 - p_sil) + nonsil_corr)
+                    g.add_final(s, w + _safe_log(1.0 - p_sil) + nonsil_corr, tid)
             else:
-                enter_frontier = next_frontier + [(s, w) for s, w in sil_exits]
+                enter_frontier = next_frontier + [
+                    (s, w, tid) for s, w, tid in sil_exits
+                ]
 
         if not prons_per_word:
             # empty transcript: just silence
-            for s, w in frontier_sil:
-                g.add_final(s, w)
+            for s, w, tid in frontier_sil:
+                g.add_final(s, w, tid)
 
         return g.finish(words)
 
@@ -350,8 +364,10 @@ def batch_graphs(graphs: List[CompiledGraph]):
     out = dict(
         in_src=np.zeros((B, S, K), dtype=np.int32),
         in_weight=np.full((B, S, K), NEG_INF, dtype=np.float32),
+        in_tid=np.zeros((B, S, K), dtype=np.int32),
         start=np.full((B, S), NEG_INF, dtype=np.float32),
         final=np.full((B, S), NEG_INF, dtype=np.float32),
+        final_tid=np.zeros((B, S), dtype=np.int32),
         state_pdf=np.zeros((B, S), dtype=np.int32),
         state_phone=np.zeros((B, S), dtype=np.int32),
         state_word=np.full((B, S), -1, dtype=np.int32),
@@ -364,8 +380,10 @@ def batch_graphs(graphs: List[CompiledGraph]):
         s, k = gr.num_states, gr.max_in_arcs
         out["in_src"][b, :s, :k] = gr.in_src
         out["in_weight"][b, :s, :k] = gr.in_weight
+        out["in_tid"][b, :s, :k] = gr.in_tid
         out["start"][b, :s] = gr.start
         out["final"][b, :s] = gr.final
+        out["final_tid"][b, :s] = gr.final_tid
         out["state_pdf"][b, :s] = gr.state_pdf
         out["state_phone"][b, :s] = gr.state_phone
         out["state_word"][b, :s] = gr.state_word

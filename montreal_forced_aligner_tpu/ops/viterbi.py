@@ -42,8 +42,10 @@ class BatchedGraph(NamedTuple):
 
     in_src: jnp.ndarray  # (B, S, K) int32: source state of k-th incoming arc
     in_weight: jnp.ndarray  # (B, S, K) float32: arc weight (NEG_INF padding)
+    in_tid: jnp.ndarray  # (B, S, K) int32: transition-id per incoming arc
     start: jnp.ndarray  # (B, S) float32: initial scores (NEG_INF if not start)
     final: jnp.ndarray  # (B, S) float32: final weights (NEG_INF if not final)
+    final_tid: jnp.ndarray  # (B, S) int32: exit transition-id per final state
     state_pdf: jnp.ndarray  # (B, S) int32: pdf-id emitted by each state
     state_phone: jnp.ndarray  # (B, S) int32: phone id of each state
     state_word: jnp.ndarray  # (B, S) int32: transcript word index (-1 = silence)
@@ -113,9 +115,10 @@ def viterbi_align_batch(
         # frames at/after the end keep the final state
         active = t < frame_lengths
         prev_out = jnp.where(active, prev_state, state)
-        return prev_out, state
+        k_out = jnp.where(active, k, -1)
+        return prev_out, (state, k_out)
 
-    state_0, states_rev = jax.lax.scan(
+    state_0, (states_rev, ks_rev) = jax.lax.scan(
         back_step,
         best_state_T,
         (backptrs[::-1], t_iota[1:][::-1]),
@@ -124,7 +127,11 @@ def viterbi_align_batch(
     states = jnp.concatenate(
         [state_0[:, None], jnp.moveaxis(states_rev[::-1], 0, 1)], axis=1
     )  # (B, T)
-    return states, best_score
+    # ks[t] = incoming-arc index used to reach states[t] (t >= 1); -1 padding
+    ks = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), jnp.moveaxis(ks_rev[::-1], 0, 1)], axis=1
+    )
+    return states, best_score, ks
 
 
 def extract_frame_labels(graph: BatchedGraph, state_path: jnp.ndarray):

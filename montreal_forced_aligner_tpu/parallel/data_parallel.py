@@ -1,0 +1,109 @@
+"""Data-parallel alignment + statistic accumulation over a device mesh.
+
+One step = (features, graphs) sharded over the "data" (utterance) axis →
+emission loglikes + dense Viterbi per shard → GMM/transition statistics
+reduced across the mesh with ``jax.lax.psum``. This is the TPU-native
+replacement for the reference's per-job ``AccStatsFunction`` workers plus
+parent-process accumulator summation (``alignment/multiprocessing.py:576-666``,
+``utils.py:1505-1641``): the queue/DB control plane becomes a single SPMD
+program whose reductions ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.experimental.shard_map import shard_map
+
+from montreal_forced_aligner_tpu.ops.viterbi import BatchedGraph, NEG_INF
+
+
+def _align_and_accumulate(
+    feats,  # (b, T, D) local shard
+    frame_lengths,  # (b,)
+    graph: BatchedGraph,  # leading axis = local shard
+    miv,  # (P, G, D) replicated
+    iv,
+    gconst,
+    acoustic_scale: float,
+    axis_name: str,
+):
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_state_loglikes
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        extract_frame_labels,
+        viterbi_align_batch,
+    )
+
+    num_pdfs = miv.shape[0]
+    s_miv, s_iv, s_gc = miv[graph.state_pdf], iv[graph.state_pdf], gconst[graph.state_pdf]
+    emit = gmm_state_loglikes(feats, s_miv, s_iv, s_gc)
+    state_path, scores, arc_ks = viterbi_align_batch(
+        emit, frame_lengths, graph, acoustic_scale=acoustic_scale
+    )
+    frame_pdf = jnp.take_along_axis(graph.state_pdf, state_path, axis=1)
+
+    # GMM stats (inline: posteriors over the aligned pdf's gaussians)
+    B, T, D = feats.shape
+    P, G, _ = miv.shape
+    mask = (jnp.arange(T)[None, :] < frame_lengths[:, None]).reshape(-1)
+    pdf_flat = jnp.where(mask, frame_pdf.reshape(-1), 0)
+    x = feats.reshape(-1, D)
+    quad = (
+        jnp.einsum("ngd,nd->ng", miv[pdf_flat], x, precision=jax.lax.Precision.HIGHEST)
+        - 0.5
+        * jnp.einsum(
+            "ngd,nd->ng", iv[pdf_flat], x * x, precision=jax.lax.Precision.HIGHEST
+        )
+        + gconst[pdf_flat]
+    )
+    loglike = jax.scipy.special.logsumexp(quad, axis=-1)
+    post = jnp.where(mask[:, None], jnp.exp(quad - loglike[:, None]), 0.0)
+    occ = jax.ops.segment_sum(post, pdf_flat, P)
+    mean_acc = jax.ops.segment_sum(post[:, :, None] * x[:, None, :], pdf_flat, P)
+    var_acc = jax.ops.segment_sum(post[:, :, None] * (x * x)[:, None, :], pdf_flat, P)
+    total_ll = jnp.sum(jnp.where(mask, loglike, 0.0))
+    total_frames = jnp.sum(frame_lengths).astype(jnp.float32)
+
+    # cross-mesh reduction: the reference's parent-process accumulator sums
+    occ = jax.lax.psum(occ, axis_name)
+    mean_acc = jax.lax.psum(mean_acc, axis_name)
+    var_acc = jax.lax.psum(var_acc, axis_name)
+    total_ll = jax.lax.psum(total_ll, axis_name)
+    total_frames = jax.lax.psum(total_frames, axis_name)
+    return state_path, scores, occ, mean_acc, var_acc, total_ll, total_frames
+
+
+def make_sharded_accumulate_step(
+    mesh: Mesh, acoustic_scale: float = 0.1, axis_name: str = "data"
+):
+    """Build a jitted SPMD step: batch sharded over utterances, model
+    replicated, stats psum-reduced (replicated output)."""
+    data = PartitionSpec(axis_name)
+    rep = PartitionSpec()
+    graph_specs = BatchedGraph(
+        in_src=data,
+        in_weight=data,
+        in_tid=data,
+        start=data,
+        final=data,
+        final_tid=data,
+        state_pdf=data,
+        state_phone=data,
+        state_word=data,
+        state_hmm_pos=data,
+        state_tstate=data,
+        state_instance=data,
+        num_states=data,
+    )
+    fn = shard_map(
+        partial(_align_and_accumulate, acoustic_scale=acoustic_scale, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(data, data, graph_specs, rep, rep, rep),
+        out_specs=(data, data, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+    return jax.jit(fn)

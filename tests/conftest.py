@@ -8,12 +8,18 @@ go further and simulate an 8-device mesh).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the environment's TPU plugin prepends itself to jax_platforms even when
+# JAX_PLATFORMS=cpu is exported; force the CPU backend for tests explicitly
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 

@@ -69,11 +69,14 @@ def make_batched(graphs, S, K, T, emits, lens):
         arrs["final"][b, :s] = fi
         emit[b, : lens[b], :s] = emits[b]
     zeros = np.zeros((B, S), np.int32)
+    
     graph = BatchedGraph(
         in_src=jnp.asarray(arrs["in_src"]),
         in_weight=jnp.asarray(arrs["in_weight"]),
+        in_tid=jnp.asarray(np.zeros_like(arrs["in_src"])),
         start=jnp.asarray(arrs["start"]),
         final=jnp.asarray(arrs["final"]),
+        final_tid=jnp.asarray(zeros),
         state_pdf=jnp.asarray(zeros),
         state_phone=jnp.asarray(zeros),
         state_word=jnp.asarray(zeros),
@@ -97,7 +100,7 @@ def test_viterbi_matches_brute_force_batched():
     K = max(k for _, k, _ in sizes)
     T = max(t for _, _, t in sizes)
     graph, emit = make_batched(graphs, S, K, T, emits, lens)
-    paths, scores = viterbi_align_batch(
+    paths, scores, _ks = viterbi_align_batch(
         emit, jnp.asarray(np.array(lens, np.int32)), graph, acoustic_scale=0.1
     )
     paths = np.asarray(paths)
@@ -127,7 +130,7 @@ def test_viterbi_linear_chain_forced():
     graph, emit_b = make_batched(
         [(in_src, in_weight, start, final)], S, 2, T, [emit], [T]
     )
-    paths, scores = viterbi_align_batch(
+    paths, scores, _ks = viterbi_align_batch(
         emit_b, jnp.asarray(np.array([T], np.int32)), graph, acoustic_scale=1.0
     )
     np.testing.assert_array_equal(np.asarray(paths)[0], truth)
