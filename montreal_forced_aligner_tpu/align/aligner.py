@@ -36,24 +36,61 @@ from montreal_forced_aligner_tpu.graph.compiler import (
 from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
 from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
 from montreal_forced_aligner_tpu.ops.feats import (
-    accumulate_cmvn_stats,
-    apply_cmvn,
     compute_deltas,
     splice_frames,
     apply_transform,
+    frame_mask,
 )
-from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
-    gather_state_params,
-    gmm_state_loglikes,
+from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+from montreal_forced_aligner_tpu.ops.mfcc import (
+    MfccConfig,
+    _mfcc_device,
+    pad_waves_for_mfcc,
 )
-from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, compute_mfcc_batch
 from montreal_forced_aligner_tpu.ops.viterbi import (
     BatchedGraph,
-    extract_frame_labels,
+    extract_frame_labels_host,
     viterbi_align_batch,
 )
 
 POSITIONS = ("_B", "_E", "_I", "_S")
+
+
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_frames"))
+def _mfcc_and_sums(padded_waves, frame_lengths, cfg, max_frames):
+    """Phase A: MFCC + masked per-utterance feature sums (for CMVN)."""
+    feats = _mfcc_device(padded_waves, cfg, max_frames)
+    mask = frame_mask(frame_lengths, feats.shape[1])[..., None]
+    sums = jnp.where(mask, feats, 0.0).sum(axis=1)
+    return feats, sums
+
+
+@partial(jax.jit, static_argnames=("acoustic_scale",))
+def _finish_align(feats, frame_lengths, mean_rows, graph, W, gconsts, lda, acoustic_scale):
+    """Phase B: CMVN-subtract -> deltas or splice+LDA -> all-pdf GMM
+    loglikes -> exact one-hot selection of graph-state emissions -> dense
+    Viterbi. One device program; only the state paths leave the device."""
+    x = feats - mean_rows[:, None, :]
+    if lda is None:
+        ff = compute_deltas(x, frame_lengths)
+    else:
+        ff = apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
+    ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
+    P = gconsts.shape[0]
+    onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)  # (B, S, P)
+    emit = jnp.einsum(
+        "btp,bsp->bts",
+        ll,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
 
 
 @dataclass
@@ -159,11 +196,8 @@ class PretrainedAligner:
         if self.config.boost_silence != 1.0:
             sil_pdfs = self._silence_pdfs()
             gconsts[sil_pdfs] += math.log(self.config.boost_silence)
-        return (
-            jnp.asarray(gmm.means_invvars),
-            jnp.asarray(gmm.inv_vars),
-            jnp.asarray(gconsts),
-        )
+        W, _ = gmm.flatten_for_device()
+        return (jnp.asarray(W), jnp.asarray(gconsts))
 
     def _silence_pdfs(self) -> np.ndarray:
         """pdf-ids of silence-family phones (for ``gmm-boost-silence``
@@ -189,7 +223,13 @@ class PretrainedAligner:
     def align_corpus(
         self, corpus: Corpus, callback=None
     ) -> Dict[int, UtteranceAlignment]:
-        """Align every utterance; returns {utterance_id: UtteranceAlignment}."""
+        """Align every utterance; returns {utterance_id: UtteranceAlignment}.
+
+        Two device phases per batch, with features resident on device in
+        between (host round-trips are only waves in and state paths out):
+        (A) MFCC + per-utterance CMVN sums; (B) mean-normalize -> deltas/LDA
+        -> all-pdf likelihoods -> one-hot state selection -> dense Viterbi.
+        """
         cfg = self.config
         # 1. tokenize + compile graphs on host
         graphs: List[CompiledGraph] = []
@@ -198,7 +238,7 @@ class PretrainedAligner:
             utt.normalized_tokens = tokens
             graphs.append(self.compiler.compile(tokens))
 
-        # 2. load audio and compute raw MFCCs (bucketed batches)
+        # 2. load audio
         speaker_index = corpus.speaker_index
         num_speakers = len(corpus.speakers)
         waves: List[np.ndarray] = []
@@ -211,132 +251,93 @@ class PretrainedAligner:
 
         order = np.argsort([len(w) for w in waves], kind="stable")
         batches = [
-            order[i : i + cfg.batch_size]
+            list(order[i : i + cfg.batch_size])
             for i in range(0, len(order), cfg.batch_size)
         ]
 
-        feats_per_utt: Dict[int, np.ndarray] = {}
-        frame_len: Dict[int, int] = {}
+        # phase A: MFCC + per-utterance sums (features stay on device).
+        # All batches are dispatched before any result is fetched so host
+        # padding, tunnel transfers and device compute overlap.
         D = self.mfcc_config.num_coefficients
         spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
-        spk_sumsq = np.zeros((num_speakers, D), dtype=np.float64)
         spk_count = np.zeros(num_speakers, dtype=np.float64)
+        stashes = []
         for batch in batches:
             wave_list = [waves[i] for i in batch]
             L = _round_up(max(len(w) for w in wave_list), 16000)
-            feats, flens = compute_mfcc_batch(
-                wave_list,
-                cfg=self.mfcc_config,
-                padded_len=L,
-                max_frames=self.mfcc_config.num_frames(L),
+            padded, lens = pad_waves_for_mfcc(wave_list, self.mfcc_config, L)
+            flens = np.array(
+                [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
             )
-            feats = np.asarray(feats)
+            max_frames = self.mfcc_config.num_frames(L)
+            feats_dev, sums = _mfcc_and_sums(
+                jnp.asarray(padded), jnp.asarray(flens), self.mfcc_config, max_frames
+            )
+            stashes.append((batch, feats_dev, flens, sums))
+
+        stashes = [
+            (batch, feats_dev, flens, np.asarray(sums))
+            for batch, feats_dev, flens, sums in stashes
+        ]
+        for batch, _feats, flens, sums in stashes:
             for row, i in enumerate(batch):
-                T = int(flens[row])
-                feats_per_utt[i] = feats[row, :T]
-                frame_len[i] = T
-                corpus.utterances[i].num_frames = T
-                s = speaker_index[corpus.utterances[i].speaker]
-                spk_sum[s] += feats[row, :T].sum(axis=0)
-                spk_sumsq[s] += (feats[row, :T] ** 2).sum(axis=0)
-                spk_count[s] += T
+                corpus.utterances[i].num_frames = int(flens[row])
+                sidx = speaker_index[corpus.utterances[i].speaker]
+                spk_sum[sidx] += sums[row]
+                spk_count[sidx] += flens[row]
 
-        spk_mean = spk_sum / np.maximum(spk_count, 1.0)[:, None]
+        spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
 
-        # 3. align per batch: CMVN -> deltas/LDA -> state loglikes -> Viterbi
+        # phase B: normalize -> final feats -> emission -> Viterbi -> CTM
         results: Dict[int, UtteranceAlignment] = {}
-        frame_batches = self._rebatch_by_frames(frame_len, cfg.batch_size)
-        for batch in frame_batches:
-            out = self._align_feature_batch(
-                batch,
-                feats_per_utt,
-                frame_len,
-                graphs,
-                corpus,
-                spk_mean,
+        phone_names = self.model.phone_names
+        lda = (
+            jnp.asarray(self.model.lda_mat)
+            if (self.model.uses_lda and self.model.lda_mat is not None)
+            else None
+        )
+        pending = []
+        for batch, feats_dev, flens, _sums in stashes:
+            garrs = batch_graphs([graphs[i] for i in batch])
+            graph = BatchedGraph(**{k: jnp.asarray(v) for k, v in garrs.items()})
+            mean_rows = np.stack(
+                [
+                    spk_mean[speaker_index[corpus.utterances[i].speaker]]
+                    for i in batch
+                ]
             )
-            results.update(out)
+            state_path, scores = _finish_align(
+                feats_dev,
+                jnp.asarray(flens),
+                jnp.asarray(mean_rows),
+                graph,
+                self._device_gmm[0],
+                self._device_gmm[1],
+                lda,
+                cfg.acoustic_scale,
+            )
+            pending.append((batch, flens, garrs, state_path, scores))
+
+        for batch, flens, garrs, state_path, scores in pending:
+            state_path = np.asarray(state_path)
+            scores = np.asarray(scores)
+            phone_f, word_f, inst_f, _tstate_f = extract_frame_labels_host(
+                garrs, state_path
+            )
+            for row, i in enumerate(batch):
+                utt = corpus.utterances[i]
+                Lf = int(flens[row])
+                results[i] = self._frames_to_ctm(
+                    utt,
+                    graphs[i],
+                    phone_f[row, :Lf],
+                    word_f[row, :Lf],
+                    inst_f[row, :Lf],
+                    float(scores[row]),
+                    phone_names,
+                )
             if callback:
                 callback(len(batch))
-        return results
-
-    def _rebatch_by_frames(
-        self, frame_len: Dict[int, int], batch_size: int
-    ) -> List[List[int]]:
-        order = sorted(frame_len, key=lambda i: frame_len[i])
-        return [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
-
-    def _align_feature_batch(
-        self,
-        batch: Sequence[int],
-        feats_per_utt: Dict[int, np.ndarray],
-        frame_len: Dict[int, int],
-        graphs: List[CompiledGraph],
-        corpus: Corpus,
-        spk_mean: np.ndarray,
-    ) -> Dict[int, UtteranceAlignment]:
-        cfg = self.config
-        B = len(batch)
-        T = _round_up(max(frame_len[i] for i in batch), cfg.frame_bucket_multiple)
-        D = self.mfcc_config.num_coefficients
-        feats = np.zeros((B, T, D), dtype=np.float32)
-        lens = np.zeros(B, dtype=np.int32)
-        for row, i in enumerate(batch):
-            feats[row, : frame_len[i]] = feats_per_utt[i]
-            lens[row] = frame_len[i]
-            # per-speaker mean normalization (host-applied; stats are global)
-            s = corpus.speaker_index[corpus.utterances[i].speaker]
-            feats[row, : frame_len[i]] -= spk_mean[s]
-
-        feats_j = jnp.asarray(feats)
-        lens_j = jnp.asarray(lens)
-        if self.model.uses_lda and self.model.lda_mat is not None:
-            spliced = splice_frames(feats_j, lens_j, 3, 3)
-            final_feats = apply_transform(spliced, jnp.asarray(self.model.lda_mat))
-        else:
-            final_feats = compute_deltas(feats_j, lens_j)
-
-        garrs = batch_graphs([graphs[i] for i in batch])
-        graph = BatchedGraph(
-            in_src=jnp.asarray(garrs["in_src"]),
-            in_weight=jnp.asarray(garrs["in_weight"]),
-            in_tid=jnp.asarray(garrs["in_tid"]),
-            start=jnp.asarray(garrs["start"]),
-            final=jnp.asarray(garrs["final"]),
-            final_tid=jnp.asarray(garrs["final_tid"]),
-            state_pdf=jnp.asarray(garrs["state_pdf"]),
-            state_phone=jnp.asarray(garrs["state_phone"]),
-            state_word=jnp.asarray(garrs["state_word"]),
-            state_hmm_pos=jnp.asarray(garrs["state_hmm_pos"]),
-            state_tstate=jnp.asarray(garrs["state_tstate"]),
-            state_instance=jnp.asarray(garrs["state_instance"]),
-            num_states=jnp.asarray(garrs["num_states"]),
-        )
-        miv, iv, gc = gather_state_params(self._device_gmm, graph.state_pdf)
-        emit = gmm_state_loglikes(final_feats, miv, iv, gc)
-        state_path, scores, _arc_ks = viterbi_align_batch(
-            emit, lens_j, graph, acoustic_scale=cfg.acoustic_scale
-        )
-        phone_f, word_f, inst_f, _tstate_f = extract_frame_labels(graph, state_path)
-        phone_f = np.asarray(phone_f)
-        word_f = np.asarray(word_f)
-        inst_f = np.asarray(inst_f)
-        scores = np.asarray(scores)
-
-        phone_names = self.model.phone_names
-        results = {}
-        for row, i in enumerate(batch):
-            utt = corpus.utterances[i]
-            L = frame_len[i]
-            results[i] = self._frames_to_ctm(
-                utt,
-                graphs[i],
-                phone_f[row, :L],
-                word_f[row, :L],
-                inst_f[row, :L],
-                float(scores[row]),
-                phone_names,
-            )
         return results
 
     def _frames_to_ctm(

@@ -29,6 +29,30 @@ def delta_window_scales(order: int = 2, window: int = 2) -> np.ndarray:
     return [s.astype(np.float32) for s in scales]
 
 
+@jax.jit
+def edge_fill(feats: jnp.ndarray, frame_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Replace frames past each utterance's true length with its last valid
+    frame, so subsequent *static* shifted views implement Kaldi's
+    clamp-to-[0, T_true-1] edge handling without per-utterance gathers."""
+    B, T, D = feats.shape
+    last = jnp.take_along_axis(
+        feats, jnp.maximum(frame_lengths - 1, 0)[:, None, None], axis=1
+    )  # (B, 1, D)
+    mask = (jnp.arange(T)[None, :] < frame_lengths[:, None])[..., None]
+    return jnp.where(mask, feats, last)
+
+
+def _shift_edge(x: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Static shift along axis 1 with edge replication."""
+    if j == 0:
+        return x
+    if j > 0:
+        tail = jnp.repeat(x[:, -1:], j, axis=1)
+        return jnp.concatenate([x[:, j:], tail], axis=1)
+    head = jnp.repeat(x[:, :1], -j, axis=1)
+    return jnp.concatenate([head, x[:, :j]], axis=1)
+
+
 @partial(jax.jit, static_argnames=("order", "window"))
 def compute_deltas(
     feats: jnp.ndarray,  # (B, T, D)
@@ -41,8 +65,7 @@ def compute_deltas(
     Output (B, T, D*(order+1)).
     """
     scales = delta_window_scales(order, window)
-    B, T, D = feats.shape
-    t_idx = jnp.arange(T)
+    filled = edge_fill(feats, frame_lengths)
     outs = [feats]
     for o in range(1, order + 1):
         s = scales[o]
@@ -52,9 +75,7 @@ def compute_deltas(
             w = float(s[j + half])
             if w == 0.0:
                 continue
-            src = jnp.clip(t_idx + j, 0, frame_lengths[:, None] - 1)  # (B, T)
-            gathered = jnp.take_along_axis(feats, src[:, :, None], axis=1)
-            acc = acc + w * gathered
+            acc = acc + w * _shift_edge(filled, j)
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
 
@@ -68,12 +89,8 @@ def splice_frames(
 ) -> jnp.ndarray:
     """Splice +-context frames (Kaldi ``splice-feats``: clamped at edges).
     Output (B, T, D*(left+1+right))."""
-    B, T, D = feats.shape
-    t_idx = jnp.arange(T)
-    pieces = []
-    for j in range(-left, right + 1):
-        src = jnp.clip(t_idx + j, 0, frame_lengths[:, None] - 1)
-        pieces.append(jnp.take_along_axis(feats, src[:, :, None], axis=1))
+    filled = edge_fill(feats, frame_lengths)
+    pieces = [_shift_edge(filled, j) for j in range(-left, right + 1)]
     return jnp.concatenate(pieces, axis=-1)
 
 

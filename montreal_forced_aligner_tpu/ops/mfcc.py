@@ -146,12 +146,13 @@ class MfccConfig:
         )
 
 
-PAD_LEFT = 512  # host-side reflection padding before the signal
+PAD_LEFT = 480  # host-side reflection padding before the signal (3 chunks)
+PAD_RIGHT = 640  # right padding incl. reflection room (4 chunks)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_frames"))
 def _mfcc_device(
-    waves: jnp.ndarray,  # (B, PAD_LEFT + L) float32, reflection-padded on host
+    waves: jnp.ndarray,  # (B, PAD_LEFT + L + PAD_RIGHT), reflection-padded
     cfg: MfccConfig,
     max_frames: int,
 ) -> jnp.ndarray:
@@ -161,16 +162,21 @@ def _mfcc_device(
     dct = jnp.asarray(consts["dct"])  # (n_mel, n_ceps)
     lifter = jnp.asarray(consts["lifter"])
 
-    B, L = waves.shape
+    B, Lp = waves.shape
     shift, length = cfg.frame_shift, cfg.frame_length
 
-    # static framing: boundary reflection was applied on the host, so every
-    # utterance shares one constant (T, W) index grid
-    starts = jnp.arange(max_frames) * shift + PAD_LEFT
-    if not cfg.snip_edges:
-        starts = starts + shift // 2 - length // 2
-    idx = (starts[:, None] + jnp.arange(length)[None, :]).reshape(-1)  # (T*W,)
-    frames = waves[:, idx].reshape(B, max_frames, length)
+    # Static framing via reshape + slicing (NO gather: XLA/TPU gathers are
+    # slow). Boundary reflection was applied on the host, so frame t reads
+    # flat[t*shift + off : +length] with a constant offset; reshaping the
+    # wave into shift-sized chunks turns framing into n_span static slices.
+    off = PAD_LEFT + (shift // 2 - length // 2 if not cfg.snip_edges else 0)
+    assert off >= 0 and Lp % shift == 0, (off, Lp, shift)
+    c0, r = off // shift, off % shift
+    n_span = -(-(r + length) // shift)
+    X = waves.reshape(B, Lp // shift, shift)
+    T = max_frames
+    Z = jnp.concatenate([X[:, c0 + i : c0 + i + T] for i in range(n_span)], axis=2)
+    frames = Z[..., r : r + length]
 
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
@@ -224,8 +230,9 @@ def pad_waves_for_mfcc(
     """
     lengths = np.array([len(w) for w in waves], dtype=np.int32)
     L = int(lengths.max()) if padded_len is None else padded_len
-    # room for right-edge reflection of the longest overhang
-    right = cfg.frame_length + cfg.frame_shift
+    shift = cfg.frame_shift
+    L = ((L + shift - 1) // shift) * shift  # chunk-align for reshape framing
+    right = PAD_RIGHT
     out = np.zeros((len(waves), PAD_LEFT + L + right), dtype=np.float32)
     for b, w in enumerate(waves):
         n = len(w)

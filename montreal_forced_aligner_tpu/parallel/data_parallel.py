@@ -33,15 +33,12 @@ def _align_and_accumulate(
     axis_name: str,
 ):
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_state_loglikes
-    from montreal_forced_aligner_tpu.ops.viterbi import (
-        extract_frame_labels,
-        viterbi_align_batch,
-    )
+    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch
 
     num_pdfs = miv.shape[0]
     s_miv, s_iv, s_gc = miv[graph.state_pdf], iv[graph.state_pdf], gconst[graph.state_pdf]
     emit = gmm_state_loglikes(feats, s_miv, s_iv, s_gc)
-    state_path, scores, arc_ks = viterbi_align_batch(
+    state_path, scores = viterbi_align_batch(
         emit, frame_lengths, graph, acoustic_scale=acoustic_scale
     )
     frame_pdf = jnp.take_along_axis(graph.state_pdf, state_path, axis=1)

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 from montreal_forced_aligner_tpu.ops.viterbi import (
     NEG_INF,
     BatchedGraph,
-    extract_frame_labels,
     viterbi_align_batch,
 )
 
@@ -100,7 +99,7 @@ def test_viterbi_matches_brute_force_batched():
     K = max(k for _, k, _ in sizes)
     T = max(t for _, _, t in sizes)
     graph, emit = make_batched(graphs, S, K, T, emits, lens)
-    paths, scores, _ks = viterbi_align_batch(
+    paths, scores = viterbi_align_batch(
         emit, jnp.asarray(np.array(lens, np.int32)), graph, acoustic_scale=0.1
     )
     paths = np.asarray(paths)
@@ -130,7 +129,7 @@ def test_viterbi_linear_chain_forced():
     graph, emit_b = make_batched(
         [(in_src, in_weight, start, final)], S, 2, T, [emit], [T]
     )
-    paths, scores, _ks = viterbi_align_batch(
+    paths, scores = viterbi_align_batch(
         emit_b, jnp.asarray(np.array([T], np.int32)), graph, acoustic_scale=1.0
     )
     np.testing.assert_array_equal(np.asarray(paths)[0], truth)
