@@ -1,0 +1,312 @@
+"""Shared training infrastructure.
+
+:class:`TrainingPipeline` prepares a corpus once — tokenization, audio,
+MFCC + per-speaker CMVN — and keeps the final features resident on device in
+frame-bucketed batches; trainers iterate over those batches. This replaces
+the reference's filesystem data plane (per-job feats/cmvn ark files,
+``db_polars.py:2810-2915``) and its per-iteration worker spawning
+(``acoustic_modeling/base.py:820``): between Viterbi realignments only small
+(B, T) pdf-id arrays and the accumulator tensors move anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.align.aligner import (
+    _mfcc_and_sums,
+    _resample,
+    _round_up,
+)
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
+from montreal_forced_aligner_tpu.graph.compiler import (
+    AlignmentGraphCompiler,
+    CompiledGraph,
+    batch_graphs,
+)
+from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
+from montreal_forced_aligner_tpu.ops.feats import compute_deltas, splice_frames, apply_transform
+from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, pad_waves_for_mfcc
+from montreal_forced_aligner_tpu.ops.viterbi import (
+    BatchedGraph,
+    extract_frame_labels_host,
+    frame_tids_host,
+    viterbi_align_batch,
+)
+
+
+@dataclass
+class TrainerConfig:
+    """Defaults per reference ``acoustic_modeling/base.py:645`` and
+    ``monophone.py:163-217``."""
+
+    num_iterations: int = 40
+    max_gaussians: int = 1000
+    power: float = 0.25
+    boost_silence: float = 1.25
+    acoustic_scale: float = 0.1
+    transition_scale: float = 1.0
+    self_loop_scale: float = 0.1
+    min_gaussian_occupancy: float = 10.0
+    batch_size: int = 16
+    subset: int = 0  # 0 = use all utterances
+
+
+@dataclass
+class FeatureBatch:
+    utt_indices: List[int]
+    feats: jnp.ndarray  # (B, T, D_final) final features, device resident
+    frame_lengths: np.ndarray  # (B,)
+    # filled when graphs are attached
+    garrs: Optional[dict] = None
+    graph: Optional[BatchedGraph] = None
+    # cached alignment (updated on realignment iterations)
+    frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
+    frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host
+
+
+class TrainingPipeline:
+    """Corpus -> device-resident final feature batches + alignment graphs."""
+
+    def __init__(
+        self,
+        corpus: Corpus,
+        lexicon: Lexicon,
+        mfcc_config: Optional[MfccConfig] = None,
+        batch_size: int = 16,
+        uses_deltas: bool = True,
+        lda_mat: Optional[np.ndarray] = None,
+    ):
+        self.corpus = corpus
+        self.lexicon = lexicon
+        self.mfcc_config = mfcc_config or MfccConfig()
+        self.batch_size = batch_size
+        self.uses_deltas = uses_deltas
+        self.lda_mat = lda_mat
+        self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
+        self.batches: List[FeatureBatch] = []
+        self.graphs: List[CompiledGraph] = []
+        self._spk_mean: Optional[np.ndarray] = None
+        self._raw_feats: List[Tuple[List[int], jnp.ndarray, np.ndarray]] = []
+
+    @property
+    def feature_dim(self) -> int:
+        base = self.mfcc_config.num_coefficients
+        if self.lda_mat is not None:
+            return self.lda_mat.shape[0]
+        return base * 3 if self.uses_deltas else base
+
+    def prepare_features(self) -> None:
+        corpus = self.corpus
+        speaker_index = corpus.speaker_index
+        num_speakers = len(corpus.speakers)
+        waves: List[np.ndarray] = []
+        for utt in corpus.utterances:
+            wav = corpus.load_audio(utt)
+            if wav.sample_rate != self.mfcc_config.sample_rate:
+                wav = _resample(wav, self.mfcc_config.sample_rate)
+            waves.append(wav.samples)
+        order = np.argsort([len(w) for w in waves], kind="stable")
+        batch_lists = [
+            list(order[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
+        ]
+        D = self.mfcc_config.num_coefficients
+        spk_sum = np.zeros((num_speakers, D))
+        spk_count = np.zeros(num_speakers)
+        stash = []
+        for batch in batch_lists:
+            wave_list = [waves[i] for i in batch]
+            L = _round_up(max(len(w) for w in wave_list), 16000)
+            padded, lens = pad_waves_for_mfcc(wave_list, self.mfcc_config, L)
+            flens = np.array(
+                [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
+            )
+            feats_dev, sums = _mfcc_and_sums(
+                jnp.asarray(padded),
+                jnp.asarray(flens),
+                self.mfcc_config,
+                self.mfcc_config.num_frames(L),
+            )
+            stash.append((batch, feats_dev, flens, sums))
+        for batch, _f, flens, sums in stash:
+            sums = np.asarray(sums)
+            for row, i in enumerate(batch):
+                corpus.utterances[i].num_frames = int(flens[row])
+                s = speaker_index[corpus.utterances[i].speaker]
+                spk_sum[s] += sums[row]
+                spk_count[s] += flens[row]
+        self._spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(
+            np.float32
+        )
+        # finalize features on device
+        for batch, feats_dev, flens, _sums in stash:
+            mean_rows = np.stack(
+                [
+                    self._spk_mean[speaker_index[corpus.utterances[i].speaker]]
+                    for i in batch
+                ]
+            )
+            final = _finalize_features(
+                feats_dev,
+                jnp.asarray(flens),
+                jnp.asarray(mean_rows),
+                None if self.lda_mat is None else jnp.asarray(self.lda_mat),
+                self.uses_deltas,
+            )
+            self.batches.append(
+                FeatureBatch(utt_indices=batch, feats=final, frame_lengths=flens)
+            )
+
+    def compile_graphs(self, compiler: AlignmentGraphCompiler) -> None:
+        corpus = self.corpus
+        self.graphs = [None] * corpus.num_utterances
+        for fb in self.batches:
+            graphs = []
+            for i in fb.utt_indices:
+                utt = corpus.utterances[i]
+                if utt.normalized_tokens is None:
+                    utt.normalized_tokens = self.tokenizer.tokenize(utt.text)
+                g = compiler.compile(utt.normalized_tokens)
+                self.graphs[i] = g
+                graphs.append(g)
+            fb.garrs = batch_graphs(graphs)
+            fb.graph = BatchedGraph(
+                **{k: jnp.asarray(v) for k, v in fb.garrs.items()}
+            )
+
+    # -- global stats for flat starts ---------------------------------------
+    def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+        """Global feature mean/var over (a prefix of) the corpus (spec:
+        flat-start ``gmm_init_mono`` from ~10 feature matrices,
+        ``monophone.py:298-339``)."""
+        tot = np.zeros(self.feature_dim)
+        totsq = np.zeros(self.feature_dim)
+        n = 0.0
+        for fb in self.batches[:max_batches]:
+            f = np.asarray(fb.feats)
+            for row in range(f.shape[0]):
+                L = int(fb.frame_lengths[row])
+                tot += f[row, :L].sum(axis=0)
+                totsq += (f[row, :L] ** 2).sum(axis=0)
+                n += L
+        mean = tot / max(n, 1.0)
+        var = np.maximum(totsq / max(n, 1.0) - mean**2, 1e-3)
+        return mean, var
+
+
+@partial(jax.jit, static_argnames=("uses_deltas",))
+def _finalize_features(feats, frame_lengths, mean_rows, lda, uses_deltas):
+    x = feats - mean_rows[:, None, :]
+    if lda is not None:
+        return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
+    if uses_deltas:
+        return compute_deltas(x, frame_lengths)
+    return x
+
+
+@partial(jax.jit, static_argnames=("acoustic_scale",))
+def _align_batch(feats, frame_lengths, graph, W, gconsts, acoustic_scale):
+    """Viterbi-align one batch with the current GMM (one-hot emission
+    selection; see aligner._finish_align)."""
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+
+    ll = gmm_loglikes(feats, W, gconsts)
+    P = gconsts.shape[0]
+    onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)
+    emit = jnp.einsum(
+        "btp,bsp->bts",
+        ll,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def _equal_align_batch(feats, frame_lengths, graph, alpha: float = 10.0):
+    """First-pass equal alignment (reference ``MonoAlignEqualFunction``,
+    ``monophone.py:37``; Kaldi ``align-equal-compiled``): instead of random
+    arc choices, Viterbi against a diagonal position prior
+    ``emit[t, s] = -alpha * (t/L - s/S)^2`` which spreads frames evenly over
+    the graph states while honoring graph structure."""
+    B, T, _ = feats.shape
+    S = graph.state_pdf.shape[1]
+    t_pos = (jnp.arange(T)[None, :, None] + 0.5) / jnp.maximum(
+        frame_lengths[:, None, None], 1
+    )
+    s_pos = (jnp.arange(S)[None, None, :] + 0.5) / jnp.maximum(
+        graph.num_states[:, None, None], 1
+    )
+    emit = -alpha * (t_pos - s_pos) ** 2
+    return viterbi_align_batch(
+        emit.astype(jnp.float32), frame_lengths, graph, acoustic_scale=1.0
+    )
+
+
+@partial(jax.jit, static_argnames=("num_pdfs",))
+def _accumulate_batch(
+    feats,  # (B, T, D)
+    frame_lengths,  # (B,)
+    frame_pdf,  # (B, T) int32
+    W,  # (2D, P*G)
+    gconsts,  # (P, G)
+    num_pdfs: int,
+):
+    """GMM stats for one batch via one-hot matmuls (TPU scatters are slow):
+
+    occ      = onehot(pdf)^T @ post                      (P, G)
+    mean_acc = onehot(pdf)^T @ (post x)   reshaped       (P, G, D)
+    var_acc  = onehot(pdf)^T @ (post x^2) reshaped       (P, G, D)
+    """
+    B, T, D = feats.shape
+    P, G = gconsts.shape
+    N = B * T
+    mask = (jnp.arange(T)[None, :] < frame_lengths[:, None]).reshape(-1)
+    pdf_flat = jnp.where(mask, frame_pdf.reshape(-1), 0)
+    x = feats.reshape(N, D)
+    xx = jnp.concatenate([x, x * x], axis=-1)
+    onehot = jax.nn.one_hot(pdf_flat, P, dtype=jnp.float32)  # (N, P)
+    # select each frame's pdf parameters by one-hot matmul (exact), then a
+    # small per-frame quadratic form — avoids both TPU gathers and an
+    # (N, P, G) intermediate
+    W_sel = jnp.einsum(
+        "np,dpg->ndg",
+        onehot,
+        W.reshape(W.shape[0], P, G),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, 2D, G)
+    # clamp the -inf padding to a finite floor: 0 * -inf would poison the
+    # one-hot selection matmul with NaNs
+    gconsts_safe = jnp.maximum(gconsts, -1.0e30)
+    gc_sel = jnp.einsum(
+        "np,pg->ng", onehot, gconsts_safe, precision=jax.lax.Precision.HIGHEST
+    )
+    quad = (
+        jnp.einsum("nd,ndg->ng", xx, W_sel, precision=jax.lax.Precision.HIGHEST)
+        + gc_sel
+    )
+    loglike = jax.scipy.special.logsumexp(quad, axis=-1)
+    post = jnp.where(mask[:, None], jnp.exp(quad - loglike[:, None]), 0.0)  # (N, G)
+    occ = jnp.einsum("np,ng->pg", onehot, post,
+                     precision=jax.lax.Precision.HIGHEST)
+    y = post[:, :, None] * x[:, None, :]  # (N, G, D)
+    mean_acc = jnp.einsum(
+        "np,ngd->pgd", onehot, y, precision=jax.lax.Precision.HIGHEST
+    )
+    y2 = post[:, :, None] * (x * x)[:, None, :]
+    var_acc = jnp.einsum(
+        "np,ngd->pgd", onehot, y2, precision=jax.lax.Precision.HIGHEST
+    )
+    total_ll = jnp.sum(jnp.where(mask, loglike, 0.0))
+    return occ, mean_acc, var_acc, total_ll

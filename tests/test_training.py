@@ -1,0 +1,140 @@
+"""Monophone training end-to-end: flat start -> Viterbi EM on a synthetic
+tone corpus, then alignment accuracy with the trained model."""
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.io.wav import write_wave
+from montreal_forced_aligner_tpu.training.base import TrainerConfig, TrainingPipeline
+from montreal_forced_aligner_tpu.training.monophone import MonophoneTrainer
+
+SR = 16000
+TONES = {"aa": 330.0, "bb": 1800.0}
+WORD_PHONES = {"ab": ["aa", "bb"], "ba": ["bb", "aa"], "a": ["aa"], "b": ["bb"]}
+
+
+def make_training_corpus(tmp_path, n_utts=6, seed=3):
+    rng = np.random.RandomState(seed)
+    corpus_dir = tmp_path / "train_corpus"
+    truths = {}
+    for u in range(n_utts):
+        spk = f"spk{u % 2}"
+        d = corpus_dir / spk
+        d.mkdir(parents=True, exist_ok=True)
+        words = [
+            ["ab", "ba", "a", "b"][rng.randint(4)] for _ in range(rng.randint(2, 4))
+        ]
+        pieces = []
+        segs = []
+        t = 0.0
+
+        def add(phone, dur):
+            nonlocal t
+            n = int(dur * SR)
+            tt = np.arange(n) / SR
+            if phone == "sil":
+                x = rng.randn(n) * 10.0
+            else:
+                x = 6000 * np.sin(2 * np.pi * TONES[phone] * tt) + rng.randn(n) * 10.0
+            pieces.append(x.astype(np.float32))
+            segs.append((phone, t, t + dur))
+            t += dur
+
+        add("sil", 0.3 + 0.2 * rng.rand())
+        for w in words:
+            for ph in WORD_PHONES[w]:
+                add(ph, 0.25 + 0.3 * rng.rand())
+        add("sil", 0.3 + 0.2 * rng.rand())
+        wave = np.concatenate(pieces)
+        write_wave(d / f"utt{u}.wav", wave, SR)
+        (d / f"utt{u}.lab").write_text(" ".join(words))
+        truths[f"utt{u}"] = segs
+    return corpus_dir, truths
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mono_train")
+    corpus_dir, truths = make_training_corpus(tmp)
+    dict_path = tmp / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    lexicon = Lexicon.load(dict_path, position_dependent=False)
+    corpus = Corpus.load(corpus_dir)
+    pipeline = TrainingPipeline(corpus, lexicon, batch_size=4)
+    pipeline.prepare_features()
+    trainer = MonophoneTrainer(
+        lexicon,
+        TrainerConfig(num_iterations=10, max_gaussians=40, boost_silence=1.0),
+    )
+    model = trainer.train(pipeline)
+    return tmp, corpus_dir, dict_path, model, trainer, truths
+
+
+def test_training_improves_loglike(trained_model):
+    _tmp, _corpus_dir, _dict_path, model, trainer, _truths = trained_model
+    lls = [e["loglike_per_frame"] for e in trainer.iteration_log]
+    assert len(lls) == 10
+    assert all(np.isfinite(ll) for ll in lls)
+    # training log-likelihood must improve substantially over EM
+    assert lls[-1] > lls[0] + 1.0
+    # gaussians mixed up toward the target
+    assert trainer.iteration_log[-1]["num_gaussians"] > trainer.iteration_log[0][
+        "num_gaussians"
+    ]
+
+
+def test_trained_model_aligns_accurately(trained_model, tmp_path):
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    tmp, corpus_dir, dict_path, model, _trainer, truths = trained_model
+    model_path = tmp / "trained_mono.zip"
+    model.save(model_path)
+
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    assert len(results) == corpus.num_utterances
+
+    errors = []
+    for utt in corpus.utterances:
+        truth = [
+            (ph, b, e) for ph, b, e in truths[utt.file_name] if ph != "sil"
+        ]
+        got = [p for p in results[utt.id].phones if p.label not in ("sil", "spn")]
+        assert [p.label for p in got] == [ph for ph, _b, _e in truth], utt.file_name
+        full = truths[utt.file_name]
+        nonsil_idx = [i for i, (ph, _b, _e) in enumerate(full) if ph != "sil"]
+        for j, ((ph, b, e), p) in enumerate(zip(truth, got)):
+            i = nonsil_idx[j]
+            # boundaries between identical adjacent tones are acoustically
+            # undetermined; exclude them from the accuracy metric
+            if i == 0 or full[i - 1][0] != ph:
+                errors.append(abs(p.begin - b))
+            if i == len(full) - 1 or full[i + 1][0] != ph:
+                errors.append(abs(p.end - e))
+    # boundaries from a model trained from scratch should be within ~30 ms
+    assert np.median(errors) < 0.03
+    assert np.mean(errors) < 0.05
+
+
+def test_model_roundtrip_kaldi_format(trained_model, tmp_path):
+    from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+
+    tmp, _corpus_dir, _dict_path, model, _trainer, _truths = trained_model
+    p = tmp_path / "rt.zip"
+    model.save(p)
+    m2 = AcousticModel.load(p)
+    assert m2.gmm.num_pdfs == model.gmm.num_pdfs
+    assert m2.transition_model.num_transition_ids == model.transition_model.num_transition_ids
+    np.testing.assert_allclose(
+        m2.transition_model.log_probs, model.transition_model.log_probs, atol=1e-6
+    )
