@@ -154,7 +154,18 @@ class _GraphBuilder:
 
 
 class AlignmentGraphCompiler:
-    """Compiles token sequences into :class:`CompiledGraph`s."""
+    """Compiles token sequences into :class:`CompiledGraph`s.
+
+    Handles monophone (N=1) and triphone (N=3) trees. For context-dependent
+    trees, cross-word context is resolved during expansion: word-initial and
+    word-final phones (and optional-silence instances) are duplicated per
+    distinct left/right context whose tree lookups actually differ, so every
+    path through the graph carries exactly the pdfs the reference's
+    C-transducer composition would produce (``compile-train-graphs``,
+    ``alignment/multiprocessing.py:537-571``). Context groups with identical
+    pdf tuples share one instance (collapses e.g. context-independent
+    silence back to a single copy).
+    """
 
     def __init__(
         self,
@@ -169,21 +180,24 @@ class AlignmentGraphCompiler:
         self.lexicon = lexicon
         self.transition_scale = transition_scale
         self.self_loop_scale = self_loop_scale
-        if tree.N != 1:
-            raise NotImplementedError(
-                "context-dependent graph compilation lands with the triphone "
-                "milestone; this compiler currently handles monophone trees"
-            )
-        self._phone_cache: Dict[int, dict] = {}
+        if tree.N not in (1, 3):
+            raise NotImplementedError(f"context width {tree.N} not supported")
+        self._phone_cache: Dict[Tuple[int, ...], dict] = {}
+
+    def _window(self, left: int, center: int, right: int) -> Tuple[int, ...]:
+        if self.tree.N == 1:
+            return (center,)
+        return (left, center, right)
 
     # -- phone expansion -----------------------------------------------------
-    def _phone_plan(self, phone: int) -> dict:
-        """Precompute per-phone HMM structure: pdfs, tstates, internal arc
-        weights, and exit weights, independent of graph position."""
-        cached = self._phone_cache.get(phone)
+    def _phone_plan(self, window: Tuple[int, ...]) -> dict:
+        """Per-(phone-in-context) HMM structure: pdfs, tstates, internal arc
+        weights, and exit weights."""
+        cached = self._phone_cache.get(window)
         if cached is not None:
             return cached
         tm, tree = self.tm, self.tree
+        phone = window[tree.P]
         entry = tm.topo.entry_for_phone(phone)
         n_emit = sum(1 for s in entry if s.forward_pdf_class != KNOPDF)
         final_idx = next(
@@ -192,11 +206,10 @@ class AlignmentGraphCompiler:
         pdfs = []
         tstates = []
         for j in range(n_emit):
-            fwd_pdf = tree.compute_pdf([phone], entry[j].forward_pdf_class)
-            slf_pdf = tree.compute_pdf([phone], entry[j].self_loop_pdf_class)
+            fwd_pdf = tree.compute_pdf(list(window), entry[j].forward_pdf_class)
+            slf_pdf = tree.compute_pdf(list(window), entry[j].self_loop_pdf_class)
             pdfs.append(fwd_pdf)
             tstates.append(tm.tuple_to_transition_state(phone, j, fwd_pdf, slf_pdf))
-        # arc weights per emitting state
         internal: List[Tuple[int, int, float, int]] = []  # (src, dst, weight, tid)
         exits: List[Tuple[int, float, int]] = []  # (src_hmm, exit_weight, tid)
         ts, sls = self.transition_scale, self.self_loop_scale
@@ -217,16 +230,21 @@ class AlignmentGraphCompiler:
                     else:
                         internal.append((j, dst, w, tid))
         plan = dict(
-            n_emit=n_emit, pdfs=pdfs, tstates=tstates, internal=internal, exits=exits
+            n_emit=n_emit,
+            pdfs=pdfs,
+            tstates=tstates,
+            internal=internal,
+            exits=exits,
+            key=tuple(zip(pdfs, tstates)),
         )
-        self._phone_cache[phone] = plan
+        self._phone_cache[window] = plan
         return plan
 
-    def _expand_phone(
-        self, g: _GraphBuilder, phone: int, word_idx: int
-    ) -> Tuple[int, List[Tuple[int, float]]]:
-        """Add one phone instance; returns (entry_state, [(exit_state, w)])."""
-        plan = self._phone_plan(phone)
+    def _expand_plan(
+        self, g: _GraphBuilder, plan: dict, phone: int, word_idx: int
+    ) -> Tuple[int, List[Tuple[int, float, int]]]:
+        """Materialize one phone instance from a plan; returns
+        (entry_state, [(exit_state, weight, tid)])."""
         base = len(g.state_pdf)
         instance = g.new_instance()
         for j in range(plan["n_emit"]):
@@ -238,20 +256,90 @@ class AlignmentGraphCompiler:
         exits = [(base + src, w, tid) for src, w, tid in plan["exits"]]
         return base, exits
 
-    def _expand_pronunciation(
-        self, g: _GraphBuilder, phone_ids: Sequence[int], word_idx: int
-    ) -> Tuple[int, List[Tuple[int, float]]]:
-        """Chain of phones; returns (entry_state, exits of last phone)."""
-        entry = None
-        prev_exits: List[Tuple[int, float, int]] = []
-        for phone in phone_ids:
-            p_entry, p_exits = self._expand_phone(g, phone, word_idx)
-            if entry is None:
-                entry = p_entry
-            for src, w, tid in prev_exits:
-                g.add_arc(src, p_entry, w, tid)
-            prev_exits = p_exits
-        return entry, prev_exits
+    def _group_rights(
+        self, left: int, phone: int, rights: Sequence[int]
+    ) -> List[Tuple[frozenset, dict]]:
+        """Group right contexts whose plans are identical (fixed left)."""
+        groups: Dict[tuple, List[int]] = {}
+        plans: Dict[tuple, dict] = {}
+        for r in rights:
+            plan = self._phone_plan(self._window(left, phone, r))
+            groups.setdefault(plan["key"], []).append(r)
+            plans[plan["key"]] = plan
+        return [(frozenset(rs), plans[k]) for k, rs in groups.items()]
+
+    def _expand_single(
+        self, g: _GraphBuilder, phone: int, word_idx: int, left: int,
+        rights: Sequence[int],
+    ) -> List[Tuple[frozenset, int, List[Tuple[int, float, int]]]]:
+        """One phone with fixed left context, instances per right-context
+        group: [(right_set, entry, exits)]."""
+        out = []
+        for rs, plan in self._group_rights(left, phone, rights):
+            entry, exits = self._expand_plan(g, plan, phone, word_idx)
+            out.append((rs, entry, exits))
+        return out
+
+    def _expand_variant(
+        self,
+        g: _GraphBuilder,
+        pids: Sequence[int],
+        word_idx: int,
+        left_ctxs: Sequence[int],
+        rights: Sequence[int],
+    ) -> List[dict]:
+        """Expand a pronunciation variant for every needed cross-word
+        context. Returns branches: dicts with keys
+        ``lset`` (left contexts served), ``entry``, ``rset`` (right contexts
+        served), ``exits``.
+        """
+        n = len(pids)
+        branches: List[dict] = []
+        if n == 1:
+            for l in left_ctxs:
+                for rs, entry, exits in self._expand_single(
+                    g, pids[0], word_idx, l, rights
+                ):
+                    branches.append(
+                        dict(lset=frozenset([l]), entry=entry, rset=rs, exits=exits)
+                    )
+            return branches
+        # group left contexts by the initial phone's plan
+        lgroups: Dict[tuple, List[int]] = {}
+        lplans: Dict[tuple, dict] = {}
+        for l in left_ctxs:
+            plan = self._phone_plan(self._window(l, pids[0], pids[1]))
+            lgroups.setdefault(plan["key"], []).append(l)
+            lplans[plan["key"]] = plan
+        entries = []  # (lset, entry_state, initial_exits)
+        for k, ls in lgroups.items():
+            entry, exits = self._expand_plan(g, lplans[k], pids[0], word_idx)
+            entries.append((frozenset(ls), entry, exits))
+        # shared interior chain
+        prev_exits_groups = [e[2] for e in entries]
+
+        def connect_all(exit_lists, entry_state):
+            for exits in exit_lists:
+                for s, w, tid in exits:
+                    g.add_arc(s, entry_state, w, tid)
+
+        cur_exit_lists = prev_exits_groups
+        for k in range(1, n - 1):
+            window = self._window(pids[k - 1], pids[k], pids[k + 1])
+            plan = self._phone_plan(window)
+            entry, exits = self._expand_plan(g, plan, pids[k], word_idx)
+            connect_all(cur_exit_lists, entry)
+            cur_exit_lists = [exits]
+        # final phone: instances per right-context group
+        finals = []
+        for rs, plan in self._group_rights(pids[n - 2], pids[n - 1], rights):
+            entry, exits = self._expand_plan(g, plan, pids[n - 1], word_idx)
+            connect_all(cur_exit_lists, entry)
+            finals.append((rs, exits))
+        for lset, entry, _ex in entries:
+            for rs, exits in finals:
+                branches.append(dict(lset=lset, entry=entry, rset=rs, exits=exits))
+        return branches
 
     # -- utterance compilation ----------------------------------------------
     def compile(self, tokens: Sequence[str]) -> CompiledGraph:
@@ -264,7 +352,8 @@ class AlignmentGraphCompiler:
         """
         lex = self.lexicon
         g = _GraphBuilder()
-        sil_phone = lex.phone_id(lex.silence_phone, None)
+        sil = lex.phone_id(lex.silence_phone, None)
+        EPS = 0
 
         words: List[str] = []
         prons_per_word: List[List[Tuple[Pronunciation, List[int]]]] = []
@@ -280,73 +369,104 @@ class AlignmentGraphCompiler:
                 expanded.append((pron, pids))
             prons_per_word.append(expanded)
 
-        # frontier: list of (state, accumulated weight) to connect into the
-        # next segment's entry; None marks the utterance start
+        W = len(prons_per_word)
+        starts = [
+            sorted({pids[0] for _pron, pids in expanded})
+            for expanded in prons_per_word
+        ]
+
         p_init = lex.initial_silence_probability
+        fsc = lex.final_silence_correction
+        fnsc = lex.final_non_silence_correction
+        sil_corr = _safe_log(fsc) if fsc else 0.0
+        nonsil_corr = _safe_log(fnsc) if fnsc else 0.0
 
-        # initial silence
-        frontier: List[Tuple[Optional[int], float]] = []
-        sil_entry, sil_exits = self._expand_phone(g, sil_phone, -1)
-        g.add_start(sil_entry, _safe_log(p_init))
-        frontier_sil = sil_exits  # exits of initial silence
-        start_direct_weight = _safe_log(1.0 - p_init)
+        # frontier entries: (src_state or None, weight, tid, left_ctx,
+        #                    allowed_next_first_phones or None)
+        frontier: List[Tuple[Optional[int], float, int, int, Optional[frozenset]]] = []
 
-        # frontier entering word i: (src_state or None-for-start, weight, tid)
-        enter_frontier: List[Tuple[Optional[int], float, int]] = [
-            (None, start_direct_weight, 0)
-        ] + [(s, w, tid) for s, w, tid in frontier_sil]
+        if W == 0:
+            # empty transcript: just one silence
+            for rs, entry, exits in self._expand_single(g, sil, -1, EPS, [EPS]):
+                g.add_start(entry, 0.0)
+                for s, w, tid in exits:
+                    g.add_final(s, w, tid)
+            return g.finish(words)
 
-        final_candidates: List[Tuple[int, float]] = []
+        frontier.append((None, _safe_log(1.0 - p_init), 0, EPS, None))
+        for rs, entry, exits in self._expand_single(g, sil, -1, EPS, starts[0]):
+            g.add_start(entry, _safe_log(p_init))
+            for s, w, tid in exits:
+                frontier.append((s, w, tid, sil, rs))
 
         for w_idx, expanded in enumerate(prons_per_word):
-            word_exits: List[Tuple[int, float, int, Pronunciation]] = []
+            is_last = w_idx == W - 1
+            next_starts = [EPS] if is_last else starts[w_idx + 1]
+            rights = sorted(set([sil] + next_starts))
+            left_ctxs = sorted({f[3] for f in frontier})
+            new_frontier: List[
+                Tuple[Optional[int], float, int, int, Optional[frozenset]]
+            ] = []
+            # collected inputs to the optional silence after this word,
+            # keyed by the emitting variant's final phone (silence left ctx)
+            sil_inputs: Dict[int, List[Tuple[int, float, int]]] = {}
+
             for pron, pids in expanded:
                 prob = pron.probability if pron.probability is not None else 1.0
                 pron_cost = -_safe_log(max(min(prob, 1.0), 1e-5))
-                entry, exits = self._expand_pronunciation(g, pids, w_idx)
-                for src, w, tid in enter_frontier:
-                    if src is None:
-                        g.add_start(entry, w - pron_cost)
-                    else:
-                        g.add_arc(src, entry, w - pron_cost, tid)
-                for s, w, tid in exits:
-                    word_exits.append((s, w, tid, pron))
-
-            is_last = w_idx == len(prons_per_word) - 1
-            # optional silence after this word
-            next_frontier: List[Tuple[Optional[int], float, int]] = []
-            sil_entry, sil_exits = self._expand_phone(g, sil_phone, -1)
-            for s, w, tid, pron in word_exits:
                 p_sil = (
                     pron.silence_after_probability
                     if pron.silence_after_probability is not None
                     else lex.silence_probability
                 )
-                g.add_arc(s, sil_entry, w + _safe_log(p_sil), tid)
-                next_frontier.append((s, w + _safe_log(1.0 - p_sil), tid))
-            if is_last:
-                fsc = lex.final_silence_correction
-                fnsc = lex.final_non_silence_correction
-                sil_corr = _safe_log(fsc) if fsc else 0.0
-                nonsil_corr = _safe_log(fnsc) if fnsc else 0.0
-                for s, w, tid in sil_exits:
-                    g.add_final(s, w + sil_corr, tid)
-                for s, w, tid, pron in word_exits:
-                    p_sil = (
-                        pron.silence_after_probability
-                        if pron.silence_after_probability is not None
-                        else lex.silence_probability
-                    )
-                    g.add_final(s, w + _safe_log(1.0 - p_sil) + nonsil_corr, tid)
-            else:
-                enter_frontier = next_frontier + [
-                    (s, w, tid) for s, w, tid in sil_exits
-                ]
+                branches = self._expand_variant(g, pids, w_idx, left_ctxs, rights)
+                for br in branches:
+                    for src, w, tid, l, allowed in frontier:
+                        if l not in br["lset"]:
+                            continue
+                        if allowed is not None and pids[0] not in allowed:
+                            continue
+                        if src is None:
+                            g.add_start(br["entry"], w - pron_cost)
+                        else:
+                            g.add_arc(src, br["entry"], w - pron_cost, tid)
+                    serves_sil = sil in br["rset"]
+                    non_sil = br["rset"] - {sil}
+                    for s, w, tid in br["exits"]:
+                        if serves_sil:
+                            sil_inputs.setdefault(pids[-1], []).append(
+                                (s, w + _safe_log(p_sil), tid)
+                            )
+                        if non_sil:
+                            if is_last:
+                                g.add_final(
+                                    s, w + _safe_log(1.0 - p_sil) + nonsil_corr, tid
+                                )
+                            else:
+                                new_frontier.append(
+                                    (
+                                        s,
+                                        w + _safe_log(1.0 - p_sil),
+                                        tid,
+                                        pids[-1],
+                                        non_sil,
+                                    )
+                                )
 
-        if not prons_per_word:
-            # empty transcript: just silence
-            for s, w, tid in frontier_sil:
-                g.add_final(s, w, tid)
+            # optional silence after this word, per distinct left context
+            for last_phone, inputs in sil_inputs.items():
+                for rs, sentry, sexits in self._expand_single(
+                    g, sil, -1, last_phone, next_starts
+                ):
+                    for s, w, tid in inputs:
+                        g.add_arc(s, sentry, w, tid)
+                    for ss, sw, stid in sexits:
+                        if is_last:
+                            g.add_final(ss, sw + sil_corr, stid)
+                        else:
+                            new_frontier.append((ss, sw, stid, sil, rs))
+
+            frontier = new_frontier
 
         return g.finish(words)
 

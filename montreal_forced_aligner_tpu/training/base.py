@@ -72,6 +72,7 @@ class FeatureBatch:
     # cached alignment (updated on realignment iterations)
     frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
     frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host
+    state_path: Optional[np.ndarray] = None  # (B, T) int32 host
 
 
 class TrainingPipeline:
@@ -310,3 +311,26 @@ def _accumulate_batch(
     )
     total_ll = jnp.sum(jnp.where(mask, loglike, 0.0))
     return occ, mean_acc, var_acc, total_ll
+
+
+@partial(jax.jit, static_argnames=("num_events",))
+def _accumulate_events(
+    feats,  # (B, T, D)
+    frame_lengths,  # (B,)
+    frame_event,  # (B, T) int32 event id per frame
+    num_events: int,
+):
+    """Per-event (count, sum, sumsq) via one-hot matmuls (tree stats)."""
+    B, T, D = feats.shape
+    N = B * T
+    mask = (jnp.arange(T)[None, :] < frame_lengths[:, None]).reshape(-1)
+    ev = jnp.where(mask, frame_event.reshape(-1), 0)
+    x = feats.reshape(N, D)
+    onehot = jax.nn.one_hot(ev, num_events, dtype=jnp.float32)
+    onehot = jnp.where(mask[:, None], onehot, 0.0)
+    counts = jnp.sum(onehot, axis=0)
+    sums = jnp.einsum("ne,nd->ed", onehot, x, precision=jax.lax.Precision.HIGHEST)
+    sumsqs = jnp.einsum(
+        "ne,nd->ed", onehot, x * x, precision=jax.lax.Precision.HIGHEST
+    )
+    return counts, sums, sumsqs

@@ -1,0 +1,240 @@
+"""Generic Viterbi-EM training loop shared by all GMM trainer stages.
+
+The loop structure mirrors the reference's ``AcousticModelTrainingMixin``
+contract (``acoustic_modeling/base.py:745-835``): initialize → per iteration
+[realign on schedule → accumulate stats → MLE update → Gaussian increment] →
+finalize. Each stage (mono/tri/LDA/SAT) customizes initialization and feature
+handling; the loop itself is stage-independent.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.graph.compiler import AlignmentGraphCompiler
+from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
+from montreal_forced_aligner_tpu.models.transition_model import TransitionModel
+from montreal_forced_aligner_tpu.models.tree import ContextDependency
+from montreal_forced_aligner_tpu.ops.stats import (
+    GmmAccumulators,
+    mle_update,
+    split_gaussians,
+)
+from montreal_forced_aligner_tpu.ops.viterbi import frame_tids_host
+from montreal_forced_aligner_tpu.training.base import (
+    TrainerConfig,
+    TrainingPipeline,
+    _accumulate_batch,
+    _align_batch,
+    _equal_align_batch,
+)
+
+logger = logging.getLogger("mfa_tpu")
+
+
+class ViterbiEmTrainer:
+    """Shared Viterbi-EM machinery; stages subclass and implement
+    :meth:`initialize`."""
+
+    def __init__(self, lexicon: Lexicon, config: Optional[TrainerConfig] = None):
+        self.lexicon = lexicon
+        self.config = config or TrainerConfig()
+        self.tm: Optional[TransitionModel] = None
+        self.gmm: Optional[DiagGmmSet] = None
+        self.tree: Optional[ContextDependency] = None
+        self.iteration_log: List[dict] = []
+
+    # -- stage hooks ---------------------------------------------------------
+    train_type = "base"
+
+    def initialize(self, pipeline: TrainingPipeline) -> None:
+        """Set up tm/gmm/tree, compile graphs into the pipeline, and leave a
+        first alignment cached on every batch."""
+        raise NotImplementedError
+
+    def finalize(self, pipeline: TrainingPipeline) -> None:
+        pass
+
+    # -- schedule ------------------------------------------------------------
+    @property
+    def realignment_iterations(self) -> List[int]:
+        """Default: realign every 10th iteration (reference
+        ``triphone.py:318-325``); monophone overrides."""
+        return list(range(10, self.config.num_iterations, 10))
+
+    # -- helpers -------------------------------------------------------------
+    def _silence_phone_ids(self) -> List[int]:
+        lex = self.lexicon
+        out = set()
+        for base in (lex.silence_phone, lex.oov_phone, "sp"):
+            for name, pid in lex.phone_table.items():
+                if name == base or (
+                    name.startswith(base + "_") and len(name) == len(base) + 2
+                ):
+                    out.add(pid)
+        return sorted(out)
+
+    def _silence_pdfs(self) -> List[int]:
+        pdfs = set()
+        for pid in self._silence_phone_ids():
+            try:
+                self.tm.topo.entry_for_phone(pid)
+            except (KeyError, IndexError):
+                continue
+            for cls in range(self.tm.topo.num_pdf_classes(pid)):
+                pdfs.update(self.tree.pdfs_for_phone_pdf_class(pid, cls))
+        return sorted(pdfs)
+
+    def _device_gmm(self, boosted: bool = True):
+        gconsts = self.gmm.gconsts.copy()
+        if boosted and self.config.boost_silence != 1.0:
+            gconsts[self._silence_pdfs()] += math.log(self.config.boost_silence)
+        W, _ = self.gmm.flatten_for_device()
+        return jnp.asarray(W), jnp.asarray(gconsts)
+
+    def make_compiler(self) -> AlignmentGraphCompiler:
+        return AlignmentGraphCompiler(
+            self.tm,
+            self.tree,
+            self.lexicon,
+            transition_scale=self.config.transition_scale,
+            self_loop_scale=self.config.self_loop_scale,
+        )
+
+    # -- core steps ----------------------------------------------------------
+    def _realign(self, pipeline: TrainingPipeline, equal: bool = False) -> None:
+        if not equal:
+            W, gconsts = self._device_gmm()
+        pending = []
+        for fb in pipeline.batches:
+            flens_j = jnp.asarray(fb.frame_lengths)
+            if equal:
+                out = _equal_align_batch(fb.feats, flens_j, fb.graph)
+            else:
+                out = _align_batch(
+                    fb.feats, flens_j, fb.graph, W, gconsts,
+                    self.config.acoustic_scale,
+                )
+            pending.append((fb, out))
+        for fb, (state_path, _scores) in pending:
+            sp = np.asarray(state_path)
+            b = np.arange(sp.shape[0])[:, None]
+            fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            fb.frame_tid = frame_tids_host(fb.garrs, sp, fb.frame_lengths)
+            fb.state_path = sp
+
+    def _accumulate(self, pipeline: TrainingPipeline) -> GmmAccumulators:
+        W, _ = self.gmm.flatten_for_device()
+        W = jnp.asarray(W)
+        gconsts = jnp.asarray(self.gmm.gconsts)
+        acc = GmmAccumulators.zeros(
+            self.gmm.num_pdfs, self.gmm.max_gauss, self.gmm.dim,
+            self.tm.num_transition_ids,
+        )
+        pending = []
+        for fb in pipeline.batches:
+            out = _accumulate_batch(
+                fb.feats,
+                jnp.asarray(fb.frame_lengths),
+                fb.frame_pdf,
+                W,
+                gconsts,
+                self.gmm.num_pdfs,
+            )
+            pending.append((fb, out))
+        for fb, (occ, mean_acc, var_acc, ll) in pending:
+            tcounts = np.bincount(
+                fb.frame_tid[fb.frame_tid > 0],
+                minlength=self.tm.num_transition_ids + 1,
+            )
+            acc.add(
+                occ, mean_acc, var_acc, tcounts, float(ll),
+                float(fb.frame_lengths.sum()),
+            )
+        return acc
+
+    def _update(self, acc: GmmAccumulators, mixup_target: Optional[int]) -> None:
+        self.gmm, _info = mle_update(
+            self.gmm, acc, min_gaussian_occupancy=self.config.min_gaussian_occupancy
+        )
+        self.tm.mle_update(acc.transition_counts.astype(np.float64))
+        if mixup_target is not None and mixup_target > self.gmm.total_gauss:
+            self.gmm = split_gaussians(
+                self.gmm, acc.occ, mixup_target, power=self.config.power
+            )
+
+    # -- main loop -----------------------------------------------------------
+    def train(self, pipeline: TrainingPipeline) -> AcousticModel:
+        cfg = self.config
+        self.initialize(pipeline)
+
+        initial_gaussians = self.gmm.total_gauss
+        final_gauss_iter = max(cfg.num_iterations - 10, 1)
+        increment = max(
+            int((cfg.max_gaussians - initial_gaussians) / final_gauss_iter), 0
+        )
+        current_target = initial_gaussians
+        realign_iters = set(self.realignment_iterations)
+
+        for it in range(1, cfg.num_iterations + 1):
+            if it in realign_iters:
+                self._realign(pipeline)
+            acc = self._accumulate(pipeline)
+            if it <= final_gauss_iter:
+                current_target = min(current_target + increment, cfg.max_gaussians)
+            self._update(acc, mixup_target=current_target)
+            ll_frame = acc.total_loglike / max(acc.total_frames, 1.0)
+            self.iteration_log.append(
+                {
+                    "iteration": it,
+                    "loglike_per_frame": ll_frame,
+                    "num_gaussians": int(self.gmm.total_gauss),
+                }
+            )
+            logger.info(
+                "%s iter %d: loglike/frame %.4f, %d gaussians",
+                self.train_type, it, ll_frame, self.gmm.total_gauss,
+            )
+        self.finalize(pipeline)
+        return self.export_model()
+
+    def export_model(self) -> AcousticModel:
+        lex = self.lexicon
+        base_phones = sorted(
+            {
+                k.rsplit("_", 1)[0] if k.endswith(("_B", "_E", "_I", "_S")) else k
+                for k, v in lex.phone_table.items()
+                if v > 0
+            }
+            - {lex.silence_phone, lex.oov_phone, "sp", "<eps>"}
+        )
+        meta = {
+            "architecture": "gmm-hmm",
+            "version": "0.1.0-tpu",
+            "train_type": self.train_type,
+            "phones": base_phones,
+            "features": self.feature_meta(),
+        }
+        return AcousticModel(
+            transition_model=self.tm,
+            gmm=self.gmm,
+            tree=self.tree,
+            meta=meta,
+            phone_table=dict(lex.phone_table),
+        )
+
+    def feature_meta(self) -> dict:
+        return {
+            "type": "mfcc",
+            "deltas": True,
+            "lda": False,
+            "fmllr": False,
+            "frame_shift": 10,
+        }

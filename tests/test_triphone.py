@@ -1,0 +1,87 @@
+"""Triphone training on the synthetic tone corpus: tree building, alignment
+conversion, EM, and alignment accuracy with the trained triphone model."""
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.training.base import TrainerConfig, TrainingPipeline
+from montreal_forced_aligner_tpu.training.monophone import MonophoneTrainer
+from montreal_forced_aligner_tpu.training.triphone import TriphoneTrainer
+
+from test_training import WORD_PHONES, make_training_corpus
+
+
+@pytest.fixture(scope="module")
+def tri_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tri_train")
+    corpus_dir, truths = make_training_corpus(tmp, n_utts=6)
+    dict_path = tmp / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    lexicon = Lexicon.load(dict_path, position_dependent=False)
+    corpus = Corpus.load(corpus_dir)
+    pipeline = TrainingPipeline(corpus, lexicon, batch_size=4)
+    pipeline.prepare_features()
+    mono = MonophoneTrainer(
+        lexicon, TrainerConfig(num_iterations=8, max_gaussians=40, boost_silence=1.0)
+    )
+    mono_model = mono.train(pipeline)
+    tri = TriphoneTrainer(
+        lexicon,
+        mono.tm.topo,
+        TrainerConfig(num_iterations=6, max_gaussians=64, boost_silence=1.0),
+        num_leaves=48,
+    )
+    tri_model = tri.train(pipeline)
+    return tmp, corpus_dir, dict_path, tri_model, tri, truths
+
+
+def test_tree_is_context_dependent(tri_setup):
+    _tmp, _cd, _dp, model, tri, _truths = tri_setup
+    assert model.tree.N == 3 and model.tree.P == 1
+    # more leaves than the monophone inventory (real splitting happened)
+    assert model.tree.num_pdfs > 10
+    assert model.gmm.num_pdfs == model.tree.num_pdfs
+    # transition model consistent with tree
+    tm = model.transition_model
+    assert tm.num_pdfs >= model.tree.num_pdfs
+
+
+def test_triphone_loglike_improves(tri_setup):
+    _tmp, _cd, _dp, _model, tri, _truths = tri_setup
+    lls = [e["loglike_per_frame"] for e in tri.iteration_log]
+    assert all(np.isfinite(v) for v in lls)
+    assert lls[-1] >= lls[0] - 0.1  # no divergence
+
+
+def test_triphone_model_aligns(tri_setup, tmp_path):
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    tmp, corpus_dir, dict_path, model, _tri, truths = tri_setup
+    model_path = tmp / "tri.zip"
+    model.save(model_path)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    errors = []
+    for utt in corpus.utterances:
+        full = truths[utt.file_name]
+        truth = [(ph, b, e) for ph, b, e in full if ph != "sil"]
+        got = [p for p in results[utt.id].phones if p.label not in ("sil", "spn")]
+        assert [p.label for p in got] == [ph for ph, _b, _e in truth]
+        nonsil_idx = [i for i, (ph, _b, _e) in enumerate(full) if ph != "sil"]
+        for j, ((ph, b, e), p) in enumerate(zip(truth, got)):
+            i = nonsil_idx[j]
+            if i == 0 or full[i - 1][0] != ph:
+                errors.append(abs(p.begin - b))
+            if i == len(full) - 1 or full[i + 1][0] != ph:
+                errors.append(abs(p.end - e))
+    assert np.median(errors) < 0.03
