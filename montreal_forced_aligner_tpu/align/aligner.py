@@ -70,16 +70,20 @@ def _mfcc_and_sums(padded_waves, frame_lengths, cfg, max_frames):
     return feats, sums
 
 
-@partial(jax.jit, static_argnames=("acoustic_scale",))
-def _finish_align(feats, frame_lengths, mean_rows, graph, W, gconsts, lda, acoustic_scale):
-    """Phase B: CMVN-subtract -> deltas or splice+LDA -> all-pdf GMM
-    loglikes -> exact one-hot selection of graph-state emissions -> dense
-    Viterbi. One device program; only the state paths leave the device."""
+@jax.jit
+def _final_feats(feats, frame_lengths, mean_rows, lda):
+    """CMVN-subtract then deltas or splice+LDA."""
     x = feats - mean_rows[:, None, :]
     if lda is None:
-        ff = compute_deltas(x, frame_lengths)
-    else:
-        ff = apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
+        return compute_deltas(x, frame_lengths)
+    return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
+
+
+@partial(jax.jit, static_argnames=("acoustic_scale",))
+def _emit_and_align(ff, frame_lengths, graph, W, gconsts, acoustic_scale):
+    """All-pdf GMM loglikes -> exact one-hot selection of graph-state
+    emissions -> dense Viterbi. One device program; only the state paths
+    leave the device."""
     ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
     P = gconsts.shape[0]
     onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)  # (B, S, P)
@@ -107,6 +111,7 @@ class AlignerConfig:
     retry_beam: int = 40
     batch_size: int = 16
     frame_bucket_multiple: int = 256
+    fmllr_min_count: float = 100.0
 
 
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
@@ -219,6 +224,83 @@ class PretrainedAligner:
                     pdfs.add(pdf)
         return np.array(sorted(pdfs), dtype=np.int32)
 
+    def _fmllr_second_pass_feats(
+        self, prepared, corpus, speaker_index, num_speakers
+    ):
+        """First-pass alignment with the speaker-independent model, then
+        per-speaker fMLLR estimation and feature adaptation (reference
+        two-pass align, ``alignment/base.py:491-558``; estimation spec
+        ``corpus/features.py:422-548`` with silence_weight=0)."""
+        from montreal_forced_aligner_tpu.ops.feats import (
+            apply_per_speaker_transform,
+        )
+        from montreal_forced_aligner_tpu.ops.transforms import (
+            accumulate_fmllr_stats,
+            estimate_speaker_fmllr,
+        )
+
+        ali_tm, ali_gmm = self.model.alignment_model
+        W1, _ = ali_gmm.flatten_for_device()
+        W1 = jnp.asarray(W1)
+        gc1 = jnp.asarray(ali_gmm.gconsts)
+        gmm = self.model.gmm
+        means = jnp.asarray(gmm.get_means())
+        iv = jnp.asarray(gmm.inv_vars)
+        gc = jnp.asarray(gmm.gconsts)
+        miv = jnp.asarray(gmm.means_invvars)
+        sil_pdfs = self._silence_pdfs()
+
+        D = gmm.dim
+        K = np.zeros((num_speakers, D, D + 1))
+        G = np.zeros((num_speakers, D, D + 1, D + 1))
+        beta = np.zeros(num_speakers)
+        firstpass = []
+        for batch, flens, garrs, graph, ff in prepared:
+            state_path, _sc = _emit_and_align(
+                ff, jnp.asarray(flens), graph, W1, gc1, self.config.acoustic_scale
+            )
+            sp = np.asarray(state_path)
+            b = np.arange(sp.shape[0])[:, None]
+            frame_pdf = garrs["state_pdf"][b, sp]
+            weight = (~np.isin(frame_pdf, sil_pdfs)).astype(np.float32)
+            spk_idx = np.array(
+                [
+                    speaker_index[corpus.utterances[i].speaker]
+                    for i in batch
+                ],
+                np.int32,
+            )
+            out = accumulate_fmllr_stats(
+                ff,
+                jnp.asarray(flens),
+                jnp.asarray(frame_pdf),
+                jnp.asarray(spk_idx),
+                jnp.asarray(weight),
+                means,
+                iv,
+                gc,
+                miv,
+                num_speakers,
+            )
+            firstpass.append((spk_idx, out))
+        for _spk, (k, g, bta) in firstpass:
+            K += np.asarray(k)
+            G += np.asarray(g)
+            beta += np.asarray(bta)
+        transforms = estimate_speaker_fmllr(
+            K, G, beta, min_count=self.config.fmllr_min_count
+        )
+        trans_j = jnp.asarray(transforms)
+        out_prepared = []
+        for (batch, flens, garrs, graph, ff), (spk_idx, _o) in zip(
+            prepared, firstpass
+        ):
+            adapted = apply_per_speaker_transform(
+                ff, jnp.asarray(spk_idx), trans_j
+            )
+            out_prepared.append((batch, flens, garrs, graph, adapted))
+        return out_prepared
+
     # -- pipeline ------------------------------------------------------------
     def align_corpus(
         self, corpus: Corpus, callback=None
@@ -288,7 +370,10 @@ class PretrainedAligner:
 
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
 
-        # phase B: normalize -> final feats -> emission -> Viterbi -> CTM
+        # phase B: normalize -> final feats -> emission -> Viterbi -> CTM.
+        # SAT models run two passes: first with the speaker-independent
+        # alignment model, then per-speaker fMLLR estimation, then the final
+        # pass on adapted features (reference ``alignment/base.py:491-558``).
         results: Dict[int, UtteranceAlignment] = {}
         phone_names = self.model.phone_names
         lda = (
@@ -296,24 +381,37 @@ class PretrainedAligner:
             if (self.model.uses_lda and self.model.lda_mat is not None)
             else None
         )
-        pending = []
+        prepared = []
         for batch, feats_dev, flens, _sums in stashes:
             garrs = batch_graphs([graphs[i] for i in batch])
             graph = BatchedGraph(**{k: jnp.asarray(v) for k, v in garrs.items()})
-            mean_rows = np.stack(
-                [
-                    spk_mean[speaker_index[corpus.utterances[i].speaker]]
-                    for i in batch
-                ]
-            )
-            state_path, scores = _finish_align(
+            mean_rows = spk_mean[
+                np.array(
+                    [speaker_index[corpus.utterances[i].speaker] for i in batch]
+                )
+            ]
+            ff = _final_feats(
                 feats_dev,
                 jnp.asarray(flens),
-                jnp.asarray(mean_rows),
+                jnp.asarray(mean_rows.astype(np.float32)),
+                lda,
+            )
+            prepared.append((batch, flens, garrs, graph, ff))
+
+        two_pass = self.model.uses_fmllr and self.model.alignment_model is not None
+        if two_pass:
+            prepared = self._fmllr_second_pass_feats(
+                prepared, corpus, speaker_index, num_speakers
+            )
+
+        pending = []
+        for batch, flens, garrs, graph, ff in prepared:
+            state_path, scores = _emit_and_align(
+                ff,
+                jnp.asarray(flens),
                 graph,
                 self._device_gmm[0],
                 self._device_gmm[1],
-                lda,
                 cfg.acoustic_scale,
             )
             pending.append((batch, flens, garrs, state_path, scores))

@@ -64,8 +64,10 @@ class TrainerConfig:
 @dataclass
 class FeatureBatch:
     utt_indices: List[int]
-    feats: jnp.ndarray  # (B, T, D_final) final features, device resident
+    raw: jnp.ndarray  # (B, T, n_mfcc) CMVN-normalized MFCCs, device resident
+    feats: jnp.ndarray  # (B, T, D_final) stage features, device resident
     frame_lengths: np.ndarray  # (B,)
+    speaker_idx: np.ndarray = None  # (B,) dense speaker index per row
     # filled when graphs are attached
     garrs: Optional[dict] = None
     graph: Optional[BatchedGraph] = None
@@ -149,24 +151,60 @@ class TrainingPipeline:
         self._spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(
             np.float32
         )
-        # finalize features on device
+        # normalize and finalize features on device (raw = CMVN'd MFCCs kept
+        # for later stages that change the feature transform)
         for batch, feats_dev, flens, _sums in stash:
-            mean_rows = np.stack(
-                [
-                    self._spk_mean[speaker_index[corpus.utterances[i].speaker]]
-                    for i in batch
-                ]
+            spk_idx = np.array(
+                [speaker_index[corpus.utterances[i].speaker] for i in batch],
+                np.int32,
             )
+            mean_rows = self._spk_mean[spk_idx]
+            raw = _normalize_raw(feats_dev, jnp.asarray(mean_rows))
             final = _finalize_features(
-                feats_dev,
+                raw,
                 jnp.asarray(flens),
-                jnp.asarray(mean_rows),
                 None if self.lda_mat is None else jnp.asarray(self.lda_mat),
                 self.uses_deltas,
             )
             self.batches.append(
-                FeatureBatch(utt_indices=batch, feats=final, frame_lengths=flens)
+                FeatureBatch(
+                    utt_indices=batch,
+                    raw=raw,
+                    feats=final,
+                    frame_lengths=flens,
+                    speaker_idx=spk_idx,
+                )
             )
+
+    def set_feature_transform(
+        self,
+        uses_deltas: bool = True,
+        lda_mat: Optional[np.ndarray] = None,
+        speaker_transforms: Optional[np.ndarray] = None,
+    ) -> None:
+        """Recompute every batch's stage features from the raw MFCCs:
+        deltas (mono/tri), splice+LDA (LDA/SAT), optionally followed by
+        per-speaker fMLLR transforms (SAT)."""
+        self.uses_deltas = uses_deltas
+        self.lda_mat = lda_mat
+        lda_j = None if lda_mat is None else jnp.asarray(lda_mat)
+        for fb in self.batches:
+            final = _finalize_features(
+                fb.raw, jnp.asarray(fb.frame_lengths), lda_j, uses_deltas
+            )
+            if speaker_transforms is not None:
+                from montreal_forced_aligner_tpu.ops.feats import (
+                    apply_per_speaker_transform,
+                )
+
+                final = apply_per_speaker_transform(
+                    final,
+                    jnp.asarray(fb.speaker_idx),
+                    jnp.asarray(speaker_transforms),
+                )
+            fb.feats = final
+            fb.frame_pdf = None
+            fb.frame_tid = None
 
     def compile_graphs(self, compiler: AlignmentGraphCompiler) -> None:
         corpus = self.corpus
@@ -205,9 +243,13 @@ class TrainingPipeline:
         return mean, var
 
 
+@jax.jit
+def _normalize_raw(feats, mean_rows):
+    return feats - mean_rows[:, None, :]
+
+
 @partial(jax.jit, static_argnames=("uses_deltas",))
-def _finalize_features(feats, frame_lengths, mean_rows, lda, uses_deltas):
-    x = feats - mean_rows[:, None, :]
+def _finalize_features(x, frame_lengths, lda, uses_deltas):
     if lda is not None:
         return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
     if uses_deltas:

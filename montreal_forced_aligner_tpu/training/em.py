@@ -62,6 +62,10 @@ class ViterbiEmTrainer:
     def finalize(self, pipeline: TrainingPipeline) -> None:
         pass
 
+    def post_iteration(self, iteration: int, pipeline: TrainingPipeline) -> None:
+        """Stage hook after the MLE update of each iteration (MLLT/fMLLR
+        estimation for the LDA/SAT stages)."""
+
     # -- schedule ------------------------------------------------------------
     @property
     def realignment_iterations(self) -> List[int]:
@@ -190,6 +194,7 @@ class ViterbiEmTrainer:
             if it <= final_gauss_iter:
                 current_target = min(current_target + increment, cfg.max_gaussians)
             self._update(acc, mixup_target=current_target)
+            self.post_iteration(it, pipeline)
             ll_frame = acc.total_loglike / max(acc.total_frames, 1.0)
             self.iteration_log.append(
                 {

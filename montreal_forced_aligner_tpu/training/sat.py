@@ -1,0 +1,203 @@
+"""Speaker-adapted training (SAT) with fMLLR.
+
+Behavioral spec: reference ``acoustic_modeling/sat.py`` — triphone-style
+training on speaker-adapted features with per-speaker fMLLR transforms
+re-estimated at iterations [2, 6, 12] (``:208-220,279``), silence frames
+weighted out of the estimation (``corpus/features.py:608``
+``silence_weight=0.0``), and a speaker-independent ``final.alimdl`` created
+at the end from two-feature stats (``:258-307``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.models.transition_model import HmmTopology
+from montreal_forced_aligner_tpu.ops.transforms import (
+    accumulate_fmllr_stats,
+    estimate_speaker_fmllr,
+)
+from montreal_forced_aligner_tpu.training.base import (
+    TrainerConfig,
+    TrainingPipeline,
+    _accumulate_batch,
+)
+from montreal_forced_aligner_tpu.training.triphone import TriphoneTrainer
+from montreal_forced_aligner_tpu.ops.stats import GmmAccumulators, mle_update
+
+logger = logging.getLogger("mfa_tpu")
+
+
+def compose_fmllr(new: np.ndarray, old: np.ndarray) -> np.ndarray:
+    """Compose x -> A_new (A_old x + b_old) + b_new: (D, D+1) each."""
+    D = new.shape[0]
+    A_new, b_new = new[:, :D], new[:, D]
+    A_old, b_old = old[:, :D], old[:, D]
+    A = A_new @ A_old
+    b = A_new @ b_old + b_new
+    return np.hstack([A, b[:, None]]).astype(np.float32)
+
+
+class SatTrainer(TriphoneTrainer):
+    train_type = "sat"
+
+    def __init__(
+        self,
+        lexicon,
+        topo: HmmTopology,
+        config: Optional[TrainerConfig] = None,
+        num_leaves: int = 2500,
+        fmllr_iterations: Optional[List[int]] = None,
+        fmllr_min_count: float = 500.0,
+        lda_mat: Optional[np.ndarray] = None,
+        **kwargs,
+    ):
+        super().__init__(lexicon, topo, config, num_leaves=num_leaves, **kwargs)
+        self.fmllr_iterations = (
+            fmllr_iterations if fmllr_iterations is not None else [2, 6, 12]
+        )
+        self.fmllr_min_count = fmllr_min_count
+        self.lda_mat = lda_mat
+        self.speaker_transforms: Optional[np.ndarray] = None
+        self.alignment_gmm = None  # speaker-independent model for pass 1
+
+    def _base_feature_kwargs(self) -> dict:
+        if self.lda_mat is not None:
+            return dict(uses_deltas=False, lda_mat=self.lda_mat)
+        return dict(uses_deltas=True, lda_mat=None)
+
+    def _silence_weight_mask(self, fb) -> np.ndarray:
+        """0.0 on silence-phone frames, else 1.0 (silence_weight=0.0)."""
+        sil_pdfs = np.array(self._silence_pdfs(), dtype=np.int64)
+        fp = np.asarray(fb.frame_pdf)
+        return (~np.isin(fp, sil_pdfs)).astype(np.float32)
+
+    def _estimate_fmllr(self, pipeline: TrainingPipeline) -> None:
+        S = len(pipeline.corpus.speakers)
+        D = pipeline.feature_dim
+        K = np.zeros((S, D, D + 1))
+        G = np.zeros((S, D, D + 1, D + 1))
+        beta = np.zeros(S)
+        means = jnp.asarray(self.gmm.get_means())
+        iv = jnp.asarray(self.gmm.inv_vars)
+        gc = jnp.asarray(self.gmm.gconsts)
+        miv = jnp.asarray(self.gmm.means_invvars)
+        pending = []
+        for fb in pipeline.batches:
+            weight = self._silence_weight_mask(fb)
+            out = accumulate_fmllr_stats(
+                fb.feats,
+                jnp.asarray(fb.frame_lengths),
+                fb.frame_pdf,
+                jnp.asarray(fb.speaker_idx),
+                jnp.asarray(weight),
+                means,
+                iv,
+                gc,
+                miv,
+                S,
+            )
+            pending.append(out)
+        for k, g, b in pending:
+            K += np.asarray(k)
+            G += np.asarray(g)
+            beta += np.asarray(b)
+        inc = estimate_speaker_fmllr(K, G, beta, min_count=self.fmllr_min_count)
+        if self.speaker_transforms is None:
+            self.speaker_transforms = inc
+        else:
+            self.speaker_transforms = np.stack(
+                [
+                    compose_fmllr(inc[s], self.speaker_transforms[s])
+                    for s in range(S)
+                ]
+            )
+        pipeline.set_feature_transform(
+            **self._base_feature_kwargs(),
+            speaker_transforms=self.speaker_transforms,
+        )
+        self._realign(pipeline)
+        logger.info(
+            "estimated fMLLR for %d/%d speakers (beta median %.0f)",
+            int((beta >= self.fmllr_min_count).sum()), S, float(np.median(beta)),
+        )
+
+    def post_iteration(self, iteration: int, pipeline: TrainingPipeline) -> None:
+        if iteration in self.fmllr_iterations:
+            self._estimate_fmllr(pipeline)
+
+    def finalize(self, pipeline: TrainingPipeline) -> None:
+        """Create the speaker-independent alignment model from SI-feature
+        stats under the adapted alignment (two-feats stats,
+        reference ``sat.py:258-307``)."""
+        if self.speaker_transforms is None:
+            return
+        # SI features, adapted alignments
+        pipeline.set_feature_transform(**self._base_feature_kwargs())
+        # restore alignments (set_feature_transform clears them)
+        W, _ = self.gmm.flatten_for_device()
+        acc = GmmAccumulators.zeros(
+            self.gmm.num_pdfs, self.gmm.max_gauss, self.gmm.dim,
+            self.tm.num_transition_ids,
+        )
+        gconsts = jnp.asarray(self.gmm.gconsts)
+        Wj = jnp.asarray(W)
+        pending = []
+        for fb in pipeline.batches:
+            # recover the alignment labels from the cached state paths
+            sp = fb.state_path
+            b = np.arange(sp.shape[0])[:, None]
+            frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            fb.frame_pdf = frame_pdf
+            out = _accumulate_batch(
+                fb.feats,  # SI features
+                jnp.asarray(fb.frame_lengths),
+                frame_pdf,
+                Wj,
+                gconsts,
+                self.gmm.num_pdfs,
+            )
+            pending.append((fb, out))
+        for fb, (occ, mean_acc, var_acc, ll) in pending:
+            tcounts = np.bincount(
+                fb.frame_tid[fb.frame_tid > 0],
+                minlength=self.tm.num_transition_ids + 1,
+            ) if fb.frame_tid is not None else np.zeros(self.tm.num_transition_ids + 1)
+            acc.add(occ, mean_acc, var_acc, tcounts, float(ll),
+                    float(fb.frame_lengths.sum()))
+        self.alignment_gmm, _ = mle_update(
+            self.gmm, acc, min_gaussian_occupancy=self.config.min_gaussian_occupancy
+        )
+        # put the adapted features back for any subsequent stage
+        pipeline.set_feature_transform(
+            **self._base_feature_kwargs(),
+            speaker_transforms=self.speaker_transforms,
+        )
+        for fb in pipeline.batches:
+            sp = fb.state_path
+            b = np.arange(sp.shape[0])[:, None]
+            fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+
+    def feature_meta(self) -> dict:
+        return {
+            "type": "mfcc",
+            "deltas": self.lda_mat is None,
+            "lda": self.lda_mat is not None,
+            "fmllr": True,
+            "frame_shift": 10,
+            "splice_left_context": 3 if self.lda_mat is not None else None,
+            "splice_right_context": 3 if self.lda_mat is not None else None,
+        }
+
+    def export_model(self):
+        model = super().export_model()
+        model.lda_mat = self.lda_mat
+        if self.alignment_gmm is not None:
+            model.alignment_model = (self.tm, self.alignment_gmm)
+        return model
+
+

@@ -1,0 +1,92 @@
+"""Full staged training recipe (mono -> tri -> LDA+MLLT -> SAT) on the
+synthetic tone corpus, then alignment with the final SAT model."""
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.training.base import TrainerConfig
+from montreal_forced_aligner_tpu.training.trainer import StageConfig, TrainableAligner
+
+from test_training import WORD_PHONES, make_training_corpus
+
+TINY_RECIPE = [
+    StageConfig("monophone", "mono", 6, 40),
+    StageConfig("triphone", "tri", 4, 64, num_leaves=48),
+    StageConfig("lda", "lda", 5, 64, num_leaves=48),
+    StageConfig("sat", "sat", 5, 64, num_leaves=48),
+]
+
+
+@pytest.fixture(scope="module")
+def full_train(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("full_train")
+    corpus_dir, truths = make_training_corpus(tmp, n_utts=8)
+    dict_path = tmp / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    ta = TrainableAligner(
+        corpus_dir,
+        dict_path,
+        recipe=TINY_RECIPE,
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4,
+    )
+    final = ta.train()
+    return tmp, corpus_dir, dict_path, ta, final, truths
+
+
+def test_all_stages_ran(full_train):
+    _tmp, _cd, _dp, ta, final, _truths = full_train
+    assert set(ta.models) == {"monophone", "triphone", "lda", "sat"}
+    # final model carries LDA + fMLLR + alignment model
+    assert final.meta["features"]["lda"] is True
+    assert final.meta["features"]["fmllr"] is True
+    assert final.lda_mat is not None and final.lda_mat.shape[0] == 40
+    assert final.alignment_model is not None
+    sat_trainer = ta.trainers["sat"]
+    assert sat_trainer.speaker_transforms is not None
+    # transforms differ from identity for speakers with enough data
+    ident = np.hstack([np.eye(40), np.zeros((40, 1))])
+    deviations = [
+        np.abs(t - ident).max() for t in sat_trainer.speaker_transforms
+    ]
+    assert max(deviations) > 1e-3
+
+
+def test_stage_loglikes_reasonable(full_train):
+    _tmp, _cd, _dp, ta, _final, _truths = full_train
+    for name, tr in ta.trainers.items():
+        lls = [e["loglike_per_frame"] for e in tr.iteration_log]
+        assert all(np.isfinite(v) for v in lls), name
+
+
+def test_final_model_aligns(full_train, tmp_path):
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    tmp, corpus_dir, dict_path, _ta, final, truths = full_train
+    model_path = tmp / "sat.zip"
+    final.save(model_path)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    errors = []
+    for utt in corpus.utterances:
+        full = truths[utt.file_name]
+        truth = [(ph, b, e) for ph, b, e in full if ph != "sil"]
+        got = [p for p in results[utt.id].phones if p.label not in ("sil", "spn")]
+        assert [p.label for p in got] == [ph for ph, _b, _e in truth]
+        nonsil_idx = [i for i, (ph, _b, _e) in enumerate(full) if ph != "sil"]
+        for j, ((ph, b, e), p) in enumerate(zip(truth, got)):
+            i = nonsil_idx[j]
+            if i == 0 or full[i - 1][0] != ph:
+                errors.append(abs(p.begin - b))
+            if i == len(full) - 1 or full[i + 1][0] != ph:
+                errors.append(abs(p.end - e))
+    assert np.median(errors) < 0.03
