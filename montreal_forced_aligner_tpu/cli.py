@@ -141,5 +141,187 @@ def version_cli():
     click.echo(__version__)
 
 
+@cli.command("train")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--output_directory", type=click.Path(), default=None,
+              help="Optional directory for final-model TextGrid export")
+@click.option("--batch_size", default=16, show_default=True)
+@click.option("--num_iterations_scale", default=1.0, show_default=True,
+              help="Scale factor on per-stage iteration counts (quick runs)")
+def train_cli(corpus_directory, dictionary_path, output_model_path,
+              output_directory, batch_size, num_iterations_scale):
+    """Train an acoustic model mono->tri->LDA->SAT (reference:
+    ``mfa train``, ``command_line/train_acoustic_model.py``)."""
+    import time
+
+    from montreal_forced_aligner_tpu.training.trainer import (
+        DEFAULT_RECIPE,
+        TrainableAligner,
+    )
+    from dataclasses import replace as _replace
+
+    t0 = time.time()
+    recipe = [
+        _replace(st, num_iterations=max(2, int(st.num_iterations * num_iterations_scale)))
+        for st in DEFAULT_RECIPE
+    ]
+    ta = TrainableAligner(
+        corpus_directory, dictionary_path, recipe=recipe, batch_size=batch_size
+    )
+    final = ta.train()
+    ta.export_model(output_model_path)
+    click.echo(f"Saved model to {output_model_path}")
+    click.echo(f"Done! Everything took {time.time() - t0:.1f} seconds")
+
+
+@cli.command("adapt")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("acoustic_model_path", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--mapping_tau", default=20.0, show_default=True)
+def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
+              output_model_path, mapping_tau):
+    """MAP-adapt an acoustic model to a corpus (reference: ``mfa adapt``,
+    ``alignment/adapting.py``)."""
+    from montreal_forced_aligner_tpu.training.adapt import MapAdapter
+
+    adapter = MapAdapter(acoustic_model_path, dictionary_path, mapping_tau)
+    adapted = adapter.adapt(corpus_directory)
+    adapted.save(output_model_path)
+    click.echo(f"Saved adapted model to {output_model_path}")
+
+
+@cli.command("validate")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+def validate_cli(corpus_directory, dictionary_path):
+    """Validate a corpus + dictionary (reference: ``mfa validate``,
+    ``validation/corpus_validator.py:77``): counts, OOVs, audio issues."""
+    from collections import Counter
+
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+    from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
+
+    lex = Lexicon.load(dictionary_path)
+    corpus = Corpus.load(corpus_directory)
+    tokenizer = SimpleTokenizer(word_set=set(lex.words))
+    oovs = Counter()
+    total_words = 0
+    bad_audio = []
+    total_duration = 0.0
+    for utt in corpus.utterances:
+        _norm, utt_oovs = tokenizer(utt.text)
+        oovs.update(utt_oovs)
+        total_words += len(utt.normalized_tokens or _norm.split())
+        try:
+            wav = corpus.load_audio(utt)
+            total_duration += len(wav.samples) / wav.sample_rate
+        except Exception as e:
+            bad_audio.append((utt.file_name, str(e)))
+    click.echo(f"Speakers: {len(corpus.speakers)}")
+    click.echo(f"Utterances: {corpus.num_utterances}")
+    click.echo(f"Total duration: {total_duration:.1f}s")
+    click.echo(f"Total words: {total_words}")
+    click.echo(f"OOV types: {len(oovs)}  tokens: {sum(oovs.values())}")
+    for w, c in oovs.most_common(20):
+        click.echo(f"  {w}\t{c}")
+    if bad_audio:
+        click.echo(f"Sound file errors: {len(bad_audio)}")
+        for f, e in bad_audio[:10]:
+            click.echo(f"  {f}: {e}")
+    click.echo("Validation complete")
+
+
+@cli.command("create_segments_vad")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--max_segment_length", default=30.0, show_default=True)
+@click.option("--min_segment_length", default=0.333, show_default=True)
+@click.option("--min_pause_duration", default=0.333, show_default=True)
+@click.option("--energy_threshold", default=5.5, show_default=True)
+def create_segments_vad_cli(corpus_directory, output_directory,
+                            max_segment_length, min_segment_length,
+                            min_pause_duration, energy_threshold):
+    """Segment audio files by energy VAD (reference:
+    ``mfa create_segments_vad``, ``vad/segmenter.py:56``)."""
+    from montreal_forced_aligner_tpu.vad.segmenter import (
+        SegmenterConfig,
+        VadSegmenter,
+    )
+
+    seg = VadSegmenter(
+        SegmenterConfig(
+            max_segment_length=max_segment_length,
+            min_segment_length=min_segment_length,
+            min_pause_duration=min_pause_duration,
+            energy_threshold=energy_threshold,
+        )
+    )
+    outs = seg.segment_corpus(corpus_directory, output_directory)
+    click.echo(f"Wrote {len(outs)} segment TextGrids to {output_directory}")
+
+
+@cli.command("evaluate_alignments")
+@click.argument("reference_directory", type=click.Path(exists=True))
+@click.argument("test_directory", type=click.Path(exists=True))
+@click.option("--silence_phone", default="sil", show_default=True)
+def evaluate_alignments_cli(reference_directory, test_directory, silence_phone):
+    """Compare two directories of TextGrids (reference:
+    ``alignment/base.py:2536`` evaluate_alignments): overlap error, phone
+    error rate, boundary agreement (+-10 ms)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.data import CtmInterval
+    from montreal_forced_aligner_tpu.evaluation import (
+        align_phones,
+        boundary_agreement,
+    )
+    from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+    def phones_of(path):
+        tg = TextGrid.read(path)
+        out = []
+        for name, ivs in tg.tiers.items():
+            if "phone" in name.lower():
+                out.extend(
+                    CtmInterval(iv.begin, iv.end, iv.label.strip())
+                    for iv in ivs
+                    if iv.label.strip()
+                )
+        return out
+
+    scores, pers, agrees, totals = [], [], [], []
+    for ref_tg in sorted(Path(reference_directory).rglob("*.TextGrid")):
+        test_tg = Path(test_directory) / ref_tg.name
+        if not test_tg.exists():
+            continue
+        ref = phones_of(ref_tg)
+        test = phones_of(test_tg)
+        if not ref or not test:
+            continue
+        sc, per, _err = align_phones(ref, test, silence_phone)
+        ag, nb = boundary_agreement(ref, test, silence_phone)
+        if sc is not None:
+            scores.append(sc)
+        pers.append(per)
+        agrees.append(ag * nb)
+        totals.append(nb)
+    if not totals:
+        click.echo("No overlapping TextGrids found")
+        return
+    click.echo(f"Files evaluated: {len(pers)}")
+    click.echo(f"Mean overlap error: {np.mean(scores):.4f}s")
+    click.echo(f"Mean phone error rate: {np.mean(pers):.4f}")
+    click.echo(
+        f"Boundary agreement (+-10ms): {sum(agrees) / max(sum(totals), 1):.4f}"
+    )
+
+
 if __name__ == "__main__":
     cli()

@@ -124,10 +124,14 @@ def mle_update(
     min_gaussian_occupancy: float = 10.0,
     min_variance: float = 0.001,
     remove_low_count_gaussians: bool = False,
+    update_flags: str = "mvw",
 ) -> Tuple[DiagGmmSet, dict]:
     """Maximum-likelihood re-estimation (Kaldi ``MleDiagGmmUpdate`` semantics:
     weights/means/variances from accumulated stats; components under the
-    occupancy floor keep their previous parameters)."""
+    occupancy floor keep their previous parameters). ``update_flags`` selects
+    which parameter groups update (m=means, v=variances, w=weights), matching
+    the reference's MAP adaptation which updates means only
+    (``alignment/adapting.py:86-135``, ``update_flags_str="m"``)."""
     occ = acc.occ  # (P, G)
     P, G = occ.shape
     D = acc.mean_acc.shape[2]
@@ -146,6 +150,12 @@ def mle_update(
     weights = np.where(
         tot_occ_per_pdf > 0, occ / np.maximum(tot_occ_per_pdf, 1e-10), gmm.weights
     )
+    if "m" not in update_flags:
+        new_means = old_means
+    if "v" not in update_flags:
+        new_vars = old_vars
+    if "w" not in update_flags:
+        weights = gmm.weights.astype(np.float64)
     # keep padding weights at zero
     pad = np.arange(G)[None, :] >= gmm.num_gauss[:, None]
     weights = np.where(pad, 0.0, weights)
@@ -167,6 +177,23 @@ def mle_update(
         "floored_gauss": int((~valid & ~pad).sum()),
     }
     return out, info
+
+
+def ismooth_stats_from_model(
+    gmm: DiagGmmSet, acc: GmmAccumulators, tau: float = 20.0
+) -> GmmAccumulators:
+    """I-smoothing for MAP adaptation (Kaldi
+    ``IsmoothStatsAmDiagGmmFromModel``): add ``tau`` pseudo-counts of each
+    Gaussian's own distribution to its statistics (reference
+    ``alignment/adapting.py:86-135``, ``mapping_tau=20``)."""
+    means = gmm.get_means()
+    variances = gmm.get_vars()
+    pad = np.arange(gmm.max_gauss)[None, :] >= gmm.num_gauss[:, None]
+    tau_occ = np.where(pad, 0.0, tau)
+    acc.occ = acc.occ + tau_occ
+    acc.mean_acc = acc.mean_acc + tau_occ[:, :, None] * means
+    acc.var_acc = acc.var_acc + tau_occ[:, :, None] * (variances + means**2)
+    return acc
 
 
 def split_gaussians(

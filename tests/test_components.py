@@ -1,0 +1,194 @@
+"""Tests for MAP adaptation, pronunciation probabilities, evaluation
+metrics, and VAD segmentation."""
+
+import numpy as np
+import pytest
+
+from montreal_forced_aligner_tpu.data import CtmInterval, UtteranceAlignment, WordCtmInterval
+from montreal_forced_aligner_tpu.evaluation import (
+    align_phones,
+    boundary_agreement,
+    edit_distance,
+    score_wer,
+)
+
+
+# -- evaluation --------------------------------------------------------------
+def test_edit_distance_and_wer():
+    assert edit_distance(list("kitten"), list("sitting")) == 3
+    assert score_wer(["a", "b", "c"], ["a", "b", "c"]) == 0.0
+    assert score_wer(["a", "b", "c"], ["a", "x", "c"]) == pytest.approx(1 / 3)
+
+
+def test_align_phones_identical():
+    ref = [CtmInterval(0.0, 0.1, "a"), CtmInterval(0.1, 0.3, "b")]
+    score, per, errors = align_phones(ref, list(ref))
+    assert score == 0.0
+    assert per == 0.0
+    assert not errors
+
+
+def test_align_phones_with_errors():
+    ref = [
+        CtmInterval(0.0, 0.1, "a"),
+        CtmInterval(0.1, 0.3, "b"),
+        CtmInterval(0.3, 0.4, "c"),
+    ]
+    test = [
+        CtmInterval(0.0, 0.12, "a"),
+        CtmInterval(0.12, 0.3, "x"),  # substitution
+        CtmInterval(0.3, 0.4, "c"),
+    ]
+    score, per, errors = align_phones(ref, test)
+    assert per == pytest.approx(2 / 3)
+    assert errors[("b", "x")] == 1
+    assert score > 0
+
+
+def test_boundary_agreement():
+    ref = [CtmInterval(0.0, 0.1, "a"), CtmInterval(0.1, 0.3, "b")]
+    test = [CtmInterval(0.005, 0.1, "a"), CtmInterval(0.1, 0.35, "b")]
+    agree, total = boundary_agreement(ref, test, tolerance=0.010)
+    assert total == 4
+    assert agree == pytest.approx(3 / 4)
+
+
+# -- pronunciation probabilities --------------------------------------------
+def _fake_alignment(uid, words_with_sil):
+    """words_with_sil: list of (word, pron, sil_after: bool)."""
+    t = 0.2  # initial silence
+    phones = [CtmInterval(0.0, t, "sil")]
+    words = []
+    for word, pron, sil_after in words_with_sil:
+        w_phones = []
+        begin = t
+        for ph in pron.split():
+            w_phones.append(CtmInterval(t, t + 0.1, ph))
+            t += 0.1
+        phones.extend(w_phones)
+        words.append(WordCtmInterval(begin, t, word, w_phones))
+        if sil_after:
+            phones.append(CtmInterval(t, t + 0.15, "sil"))
+            t += 0.15
+    return UtteranceAlignment(uid, words, phones, -100.0, -5.0)
+
+
+def test_pronunciation_probabilities():
+    from montreal_forced_aligner_tpu.training.pronunciation import (
+        PronunciationCounter,
+        compute_pronunciation_probabilities,
+    )
+
+    counter = PronunciationCounter()
+    # "the" with two pronunciations; "dh ah" 3x, "dh iy" 1x
+    for i in range(3):
+        counter.add_utterance(
+            _fake_alignment(i, [("the", "dh ah", True), ("cat", "k ae t", True)])
+        )
+    counter.add_utterance(
+        _fake_alignment(3, [("the", "dh iy", False), ("cat", "k ae t", True)])
+    )
+    result = compute_pronunciation_probabilities(counter)
+    p_ah = result.pronunciations[("the", "dh ah")]["probability"]
+    p_iy = result.pronunciations[("the", "dh iy")]["probability"]
+    assert p_ah == 1.0
+    assert p_iy < p_ah
+    assert 0 < result.silence_probability <= 1
+    # "the" followed by silence 3/4 times -> high silence-after prob
+    assert result.pronunciations[("the", "dh ah")]["silence_after_probability"] > 0.5
+    assert result.initial_silence_probability > 0.5  # always initial silence
+
+
+def test_apply_probabilities_to_lexicon(tmp_path):
+    from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+    from montreal_forced_aligner_tpu.training.pronunciation import (
+        PronunciationCounter,
+        apply_probabilities_to_lexicon,
+        compute_pronunciation_probabilities,
+    )
+
+    d = tmp_path / "d.dict"
+    d.write_text("the\tdh ah\nthe\tdh iy\ncat\tk ae t\n")
+    lex = Lexicon.load(d, position_dependent=False)
+    counter = PronunciationCounter()
+    for i in range(4):
+        counter.add_utterance(
+            _fake_alignment(i, [("the", "dh ah", True), ("cat", "k ae t", False)])
+        )
+    result = compute_pronunciation_probabilities(counter)
+    apply_probabilities_to_lexicon(lex, result)
+    assert lex.words["the"][0].probability == 1.0
+    out = tmp_path / "out.dict"
+    lex.write(out)
+    text = out.read_text()
+    assert "the\t1.0" in text or "the\t1.00" in text
+
+
+# -- VAD ---------------------------------------------------------------------
+def test_energy_vad_segments():
+    from montreal_forced_aligner_tpu.vad.segmenter import (
+        SegmenterConfig,
+        compute_energy_vad,
+        segments_from_vad,
+    )
+
+    rng = np.random.RandomState(0)
+    sr = 16000
+    sil = lambda d: rng.randn(int(d * sr)).astype(np.float32) * 3
+    speech = lambda d: (
+        6000 * np.sin(2 * np.pi * 300 * np.arange(int(d * sr)) / sr)
+    ).astype(np.float32)
+    wave = np.concatenate([sil(0.5), speech(1.0), sil(0.6), speech(0.8), sil(0.5)])
+    voiced = compute_energy_vad(wave)
+    segs = segments_from_vad(voiced, SegmenterConfig())
+    assert len(segs) == 2
+    (s1, e1), (s2, e2) = segs
+    assert abs(s1 - 0.5) < 0.1 and abs(e1 - 1.5) < 0.1
+    assert abs(s2 - 2.1) < 0.1 and abs(e2 - 2.9) < 0.1
+
+
+def test_segment_merging_and_limits():
+    from montreal_forced_aligner_tpu.vad.segmenter import (
+        SegmenterConfig,
+        segments_from_vad,
+    )
+
+    cfg = SegmenterConfig(
+        min_pause_duration=0.2, min_segment_length=0.3, max_segment_length=1.0
+    )
+    voiced = np.zeros(400, bool)
+    voiced[10:60] = True  # 0.1-0.6
+    voiced[70:90] = True  # 0.7-0.9: pause 0.1 < 0.2 -> merged
+    voiced[200:205] = True  # 2.0-2.05: too short -> dropped
+    voiced[250:390] = True  # 2.5-3.9: 1.4s -> split at 1.0
+    segs = segments_from_vad(voiced, cfg)
+    assert segs[0] == (pytest.approx(0.1), pytest.approx(0.9))
+    assert len([s for s in segs if s[0] >= 2.4]) == 2
+
+
+# -- MAP adaptation ----------------------------------------------------------
+def test_map_adaptation(tmp_path):
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.training.adapt import MapAdapter
+    from montreal_forced_aligner_tpu.align.aligner import AlignerConfig
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    adapter = MapAdapter(
+        model_path,
+        dict_path,
+        config=AlignerConfig(frame_bucket_multiple=32, batch_size=4),
+    )
+    before = adapter.aligner.model.gmm.get_means().copy()
+    adapted = adapter.adapt(corpus_dir)
+    after = adapted.gmm.get_means()
+    # means moved but not wildly (tau=20 smoothing)
+    diff = np.abs(after - before).max()
+    assert diff > 1e-6
+    # variances untouched (means-only update)
+    np.testing.assert_allclose(
+        adapted.gmm.inv_vars, adapter.aligner.model.gmm.inv_vars, rtol=1e-6
+    )
+    out = tmp_path / "adapted.zip"
+    adapted.save(out)
+    assert out.exists()
