@@ -32,6 +32,7 @@ from montreal_forced_aligner_tpu.graph.compiler import (
     AlignmentGraphCompiler,
     CompiledGraph,
     batch_graphs,
+    ship_graph_to_device,
 )
 from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
 from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
@@ -384,7 +385,7 @@ class PretrainedAligner:
         prepared = []
         for batch, feats_dev, flens, _sums in stashes:
             garrs = batch_graphs([graphs[i] for i in batch])
-            graph = BatchedGraph(**{k: jnp.asarray(v) for k, v in garrs.items()})
+            graph = ship_graph_to_device(garrs)
             mean_rows = spk_mean[
                 np.array(
                     [speaker_index[corpus.utterances[i].speaker] for i in batch]

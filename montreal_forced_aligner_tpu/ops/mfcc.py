@@ -162,6 +162,7 @@ def _mfcc_device(
     dct = jnp.asarray(consts["dct"])  # (n_mel, n_ceps)
     lifter = jnp.asarray(consts["lifter"])
 
+    waves = waves.astype(jnp.float32)
     B, Lp = waves.shape
     shift, length = cfg.frame_shift, cfg.frame_length
 
@@ -233,14 +234,22 @@ def pad_waves_for_mfcc(
     shift = cfg.frame_shift
     L = ((L + shift - 1) // shift) * shift  # chunk-align for reshape framing
     right = PAD_RIGHT
-    out = np.zeros((len(waves), PAD_LEFT + L + right), dtype=np.float32)
+    # ship as int16 when lossless (native 16-bit audio): halves the
+    # host->device transfer, which dominates on remote-attached TPUs
+    int16_ok = all(
+        np.all(w == np.round(w)) and (w.size == 0 or np.abs(w).max() < 32767.5)
+        for w in waves
+    )
+    dtype = np.int16 if int16_ok else np.float32
+    out = np.zeros((len(waves), PAD_LEFT + L + right), dtype=dtype)
     for b, w in enumerate(waves):
         n = len(w)
-        out[b, PAD_LEFT : PAD_LEFT + n] = w
+        src = w.astype(dtype) if dtype == np.int16 else w
+        out[b, PAD_LEFT : PAD_LEFT + n] = src
         refl = min(PAD_LEFT, n)
-        out[b, PAD_LEFT - refl : PAD_LEFT] = w[:refl][::-1]
+        out[b, PAD_LEFT - refl : PAD_LEFT] = src[:refl][::-1]
         refl = min(right, n)
-        out[b, PAD_LEFT + n : PAD_LEFT + n + refl] = w[n - refl :][::-1]
+        out[b, PAD_LEFT + n : PAD_LEFT + n + refl] = src[n - refl :][::-1]
     return out, lengths
 
 

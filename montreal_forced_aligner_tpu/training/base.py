@@ -32,6 +32,7 @@ from montreal_forced_aligner_tpu.graph.compiler import (
     AlignmentGraphCompiler,
     CompiledGraph,
     batch_graphs,
+    ship_graph_to_device,
 )
 from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
 from montreal_forced_aligner_tpu.ops.feats import compute_deltas, splice_frames, apply_transform
@@ -219,9 +220,7 @@ class TrainingPipeline:
                 self.graphs[i] = g
                 graphs.append(g)
             fb.garrs = batch_graphs(graphs)
-            fb.graph = BatchedGraph(
-                **{k: jnp.asarray(v) for k, v in fb.garrs.items()}
-            )
+            fb.graph = ship_graph_to_device(fb.garrs)
 
     # -- global stats for flat starts ---------------------------------------
     def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:

@@ -28,6 +28,7 @@ from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, pad_waves_for_mfcc,
 @partial(jax.jit, static_argnames=("cfg", "max_frames"))
 def _frame_log_energy(waves, cfg: MfccConfig, max_frames: int):
     """Per-frame log energy with the MFCC framing (DC-removed, pre-window)."""
+    waves = waves.astype(jnp.float32)
     B, Lp = waves.shape
     shift, length = cfg.frame_shift, cfg.frame_length
     off = PAD_LEFT + shift // 2 - length // 2
