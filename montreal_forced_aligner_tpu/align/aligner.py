@@ -469,7 +469,7 @@ class PretrainedAligner:
                 if base.endswith(pos):
                     base = base[: -len(pos)]
                     break
-            iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base)
+            iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base, phone_id=pid)
             phone_intervals.append(iv)
             if widx >= 0:
                 if widx not in word_map:

@@ -31,6 +31,8 @@ def cli():
 @click.option("--boost_silence", default=1.0, show_default=True)
 @click.option("--batch_size", default=16, show_default=True)
 @click.option("--include_silence/--no_include_silence", default=False)
+@click.option("--fine_tune/--no_fine_tune", default=False,
+              help="Refine boundaries at 1 ms resolution")
 def align_cli(
     corpus_directory,
     dictionary_path,
@@ -41,6 +43,7 @@ def align_cli(
     boost_silence,
     batch_size,
     include_silence,
+    fine_tune,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -64,6 +67,13 @@ def align_cli(
         f"{len(corpus.speakers)} speakers"
     )
     results = aligner.align_corpus(corpus)
+    if fine_tune:
+        from montreal_forced_aligner_tpu.align.fine_tune import (
+            fine_tune_alignments,
+        )
+
+        results = fine_tune_alignments(aligner, corpus, results)
+        click.echo("Fine-tuned boundaries at 1 ms resolution")
     scores = [r.per_frame_log_likelihood for r in results.values()]
     click.echo(
         f"Aligned {len(results)} utterances "

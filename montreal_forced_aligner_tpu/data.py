@@ -30,6 +30,7 @@ class CtmInterval:
     end: float
     label: str
     confidence: Optional[float] = None
+    phone_id: Optional[int] = None  # position-tagged phone id (internal)
 
     @property
     def duration(self) -> float:

@@ -192,3 +192,38 @@ def test_map_adaptation(tmp_path):
     out = tmp_path / "adapted.zip"
     adapted.save(out)
     assert out.exists()
+
+
+# -- fine-tune ---------------------------------------------------------------
+def test_fine_tune_boundaries(tmp_path):
+    from helpers import SEGMENTS, build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.align.fine_tune import fine_tune_alignments
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    before = [(p.label, p.begin, p.end) for p in results[0].phones]
+    results = fine_tune_alignments(aligner, corpus, results)
+    after = results[0].phones
+    # sequences unchanged, boundaries at 1ms resolution and close to truth
+    assert [p.label for p in after] == [lab for lab, _b, _e in before]
+    # contiguity preserved
+    for a, b in zip(after[:-1], after[1:]):
+        assert abs(a.end - b.begin) < 1e-6
+    # boundary between aa (ends at 0.90) and bb refined within 15ms
+    ab = [p for p in after if p.label == "bb"][0]
+    assert abs(ab.begin - 0.90) < 0.02
+    # some boundary should now be off the 10ms grid (1ms resolution)
+    offsets = [round(p.begin * 1000) % 10 for p in after[1:]]
+    assert any(o != 0 for o in offsets) or all(
+        abs(p.begin - b) < 1e-6 for p, (_l, b, _e) in zip(after, before)
+    )
