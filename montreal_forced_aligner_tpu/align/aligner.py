@@ -80,6 +80,21 @@ def _final_feats(feats, frame_lengths, mean_rows, lda):
     return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
 
 
+@jax.jit
+def _phone_confidence(ff, state_path, graph, W, gconsts):
+    """Per-frame confidence margin: aligned pdf log-like minus the best
+    pdf log-like (reference ``PhoneConfidenceFunction``,
+    ``alignment/multiprocessing.py:1353``). Always <= 0."""
+    ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
+    P = gconsts.shape[0]
+    frame_pdf = jnp.take_along_axis(graph.state_pdf, state_path, axis=1)  # (B, T)
+    onehot = jax.nn.one_hot(frame_pdf, P, dtype=ll.dtype)  # (B, T, P)
+    selected = jnp.einsum(
+        "btp,btp->bt", ll, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    return selected - ll.max(axis=-1)
+
+
 @partial(jax.jit, static_argnames=("acoustic_scale",))
 def _emit_and_align(ff, frame_lengths, graph, W, gconsts, acoustic_scale):
     """All-pdf GMM loglikes -> exact one-hot selection of graph-state
@@ -113,6 +128,7 @@ class AlignerConfig:
     batch_size: int = 16
     frame_bucket_multiple: int = 256
     fmllr_min_count: float = 100.0
+    compute_confidence: bool = False
 
 
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
@@ -415,11 +431,17 @@ class PretrainedAligner:
                 self._device_gmm[1],
                 cfg.acoustic_scale,
             )
-            pending.append((batch, flens, garrs, state_path, scores))
+            conf = None
+            if cfg.compute_confidence:
+                conf = _phone_confidence(
+                    ff, state_path, graph, self._device_gmm[0], self._device_gmm[1]
+                )
+            pending.append((batch, flens, garrs, state_path, scores, conf))
 
-        for batch, flens, garrs, state_path, scores in pending:
+        for batch, flens, garrs, state_path, scores, conf in pending:
             state_path = np.asarray(state_path)
             scores = np.asarray(scores)
+            conf = None if conf is None else np.asarray(conf)
             phone_f, word_f, inst_f, _tstate_f = extract_frame_labels_host(
                 garrs, state_path
             )
@@ -434,6 +456,7 @@ class PretrainedAligner:
                     inst_f[row, :Lf],
                     float(scores[row]),
                     phone_names,
+                    confidence=None if conf is None else conf[row, :Lf],
                 )
             if callback:
                 callback(len(batch))
@@ -448,6 +471,7 @@ class PretrainedAligner:
         instances: np.ndarray,
         score: float,
         phone_names: Dict[int, str],
+        confidence=None,
     ) -> UtteranceAlignment:
         """Run-length encode the frame labels into phone/word intervals
         (replaces the reference's CTM generation + lexicon phones-to-
@@ -470,6 +494,8 @@ class PretrainedAligner:
                     base = base[: -len(pos)]
                     break
             iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base, phone_id=pid)
+            if confidence is not None:
+                iv.confidence = round(float(confidence[s0:s1].mean()), 4)
             phone_intervals.append(iv)
             if widx >= 0:
                 if widx not in word_map:

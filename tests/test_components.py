@@ -227,3 +227,39 @@ def test_fine_tune_boundaries(tmp_path):
     assert any(o != 0 for o in offsets) or all(
         abs(p.begin - b) < 1e-6 for p, (_l, b, _e) in zip(after, before)
     )
+
+
+def test_alignment_analysis_and_confidence(tmp_path):
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.align.analysis import (
+        analyze_alignments,
+        csv_report,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    aligner = PretrainedAligner(
+        model_path,
+        dict_path,
+        AlignerConfig(frame_bucket_multiple=32, batch_size=4, compute_confidence=True),
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    # confidences attached and <= 0 (margin to best competing pdf)
+    confs = [p.confidence for p in results[0].phones]
+    assert all(c is not None for c in confs)
+    assert all(c <= 1e-6 for c in confs)
+    # well-matched synthetic audio: confidence near zero on average
+    assert np.mean(confs) > -5.0
+
+    analyses, flagged = analyze_alignments(results)
+    assert 0 in analyses
+    assert np.isfinite(analyses[0].speech_log_likelihood)
+    out = tmp_path / "report.csv"
+    csv_report(analyses, corpus, out)
+    assert out.read_text().count("\n") >= 2
