@@ -333,5 +333,81 @@ def evaluate_alignments_cli(reference_directory, test_directory, silence_phone):
     )
 
 
+@cli.command("train_lm")
+@click.argument("source_path", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--order", default=3, show_default=True)
+def train_lm_cli(source_path, output_model_path, order):
+    """Train an n-gram LM from a text file (one sentence per line) or a
+    corpus directory (reference: ``mfa train_lm``,
+    ``language_modeling/trainer.py``). Writes ARPA format."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.language_modeling.ngram import (
+        train_lm_from_texts,
+    )
+
+    src = _P(source_path)
+    if src.is_dir():
+        texts = []
+        for lab in sorted(src.rglob("*.lab")) + sorted(src.rglob("*.txt")):
+            t = lab.read_text(encoding="utf-8").strip().lower()
+            if t:
+                texts.append(t)
+    else:
+        texts = [
+            ln.strip().lower()
+            for ln in src.read_text(encoding="utf-8").splitlines()
+            if ln.strip()
+        ]
+    model, _counter = train_lm_from_texts(texts, order=order)
+    model.write(output_model_path)
+    click.echo(
+        f"Trained order-{order} LM on {len(texts)} sentences "
+        f"({len(model.ngrams[1])} unigrams) -> {output_model_path}"
+    )
+
+
+@cli.command("transcribe")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("acoustic_model_path", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--language_model_path", type=click.Path(exists=True), default=None,
+              help="ARPA LM; trained from the corpus transcripts if omitted")
+@click.option("--evaluate/--no_evaluate", default=False)
+@click.option("--batch_size", default=16, show_default=True)
+def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
+                   output_directory, language_model_path, evaluate, batch_size):
+    """Transcribe a corpus (reference: ``mfa transcribe``,
+    ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.language_modeling.ngram import ArpaModel
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    lm = ArpaModel.read(language_model_path) if language_model_path else None
+    tr = Transcriber(
+        acoustic_model_path, dictionary_path, lm=lm, batch_size=batch_size
+    )
+    corpus = Corpus.load(corpus_directory)
+    results = tr.transcribe_corpus(corpus)
+    out = _P(output_directory)
+    for utt in corpus.utterances:
+        if utt.id not in results:
+            continue
+        d = out / utt.speaker
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{utt.file_name}.lab").write_text(results[utt.id].text + "\n")
+    click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
+    if evaluate:
+        metrics = tr.evaluate(corpus, results)
+        click.echo(
+            f"WER: {metrics['wer']:.4f}  CER: {metrics['cer']:.4f} "
+            f"({metrics['num_utterances']} utterances)"
+        )
+
+
 if __name__ == "__main__":
     cli()

@@ -256,6 +256,31 @@ class AlignmentGraphCompiler:
         exits = [(base + src, w, tid) for src, w, tid in plan["exits"]]
         return base, exits
 
+    def _expand_phone_standalone(self, g: _GraphBuilder, phone: int, word_idx: int = -1):
+        """Expand one phone with empty context (monophone decode graphs)."""
+        plan = self._phone_plan(self._window(0, phone, 0))
+        return self._expand_plan(g, plan, phone, word_idx)
+
+    def _expand_pronunciation(
+        self, g: _GraphBuilder, pids: Sequence[int], word_idx: int
+    ):
+        """Simple within-variant chain with interior context only (used by
+        the dense decoding-graph builder; monophone-exact)."""
+        entry = None
+        prev_exits = []
+        n = len(pids)
+        for k, phone in enumerate(pids):
+            l = pids[k - 1] if k > 0 else 0
+            r = pids[k + 1] if k < n - 1 else 0
+            plan = self._phone_plan(self._window(l, phone, r))
+            p_entry, p_exits = self._expand_plan(g, plan, phone, word_idx)
+            if entry is None:
+                entry = p_entry
+            for s, w, tid in prev_exits:
+                g.add_arc(s, p_entry, w, tid)
+            prev_exits = p_exits
+        return entry, prev_exits
+
     def _group_rights(
         self, left: int, phone: int, rights: Sequence[int]
     ) -> List[Tuple[frozenset, dict]]:

@@ -1,0 +1,364 @@
+"""Speech transcription (decoding against a language model).
+
+Behavioral spec: reference ``transcription/transcriber.py`` (``Transcriber``:
+HCLG decoding graph built from lexicon + ARPA LM ``:1425-1571``; decode
+``:1085``; WER/CER evaluation ``:127-512``; phone LM training ``:737-760``
+and phone transcription ``DecodePhoneFunction``).
+
+TPU-native design: instead of beam search over a composed HCLG, the decoding
+graph (LM states x word HMM chains with optional silence) is built dense on
+the host and decoded with the same exact batched dense-Viterbi kernel used
+for alignment — the graph is shared across all utterances in a batch. This
+is exact (no pruning) and fast for small/medium vocabularies (phone
+transcription, per-speaker LMs, command-and-control); large-vocabulary beam
+decoding is a planned extension on the same kernel with band pruning.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.data import CtmInterval
+from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+from montreal_forced_aligner_tpu.graph.compiler import (
+    AlignmentGraphCompiler,
+    _GraphBuilder,
+    batch_graphs,
+    ship_graph_to_device,
+)
+from montreal_forced_aligner_tpu.language_modeling.ngram import (
+    ArpaModel,
+    train_lm_from_texts,
+)
+from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+
+logger = logging.getLogger("mfa_tpu")
+
+LN10 = math.log(10.0)
+
+
+@dataclass
+class TranscriptionResult:
+    utterance_id: int
+    text: str
+    words: List[CtmInterval]
+    log_likelihood: float
+
+
+class DecodingGraphCompiler:
+    """Builds a shared dense decoding graph: bigram LM over the vocabulary
+    with per-word HMM chains and optional silence at word boundaries
+    (the reference's HCLG composition, ``transcription/multiprocessing.py:451``,
+    realized as a dense state lattice)."""
+
+    def __init__(
+        self,
+        align_compiler: AlignmentGraphCompiler,
+        lexicon: Lexicon,
+        lm: ArpaModel,
+        lm_scale: float = 1.0,
+        max_states: int = 6000,
+    ):
+        self.compiler = align_compiler
+        self.lexicon = lexicon
+        self.lm = lm
+        self.lm_scale = lm_scale
+        self.max_states = max_states
+        if align_compiler.tree.N != 1:
+            raise NotImplementedError(
+                "dense decoding currently supports monophone models; "
+                "context-dependent decode graphs land with band-pruned decode"
+            )
+
+    def build(self):
+        lex = self.lexicon
+        lm = self.lm
+        g = _GraphBuilder()
+        comp = self.compiler
+        sil = lex.phone_id(lex.silence_phone, None)
+        vocab = [w for w in lm.vocab if w in lex.words]
+        if not vocab:
+            raise ValueError("no LM words found in the lexicon")
+
+        word_entries: Dict[int, List[Tuple[int, float]]] = {}
+        word_exits: Dict[int, List[Tuple[int, float, int, float]]] = {}
+        for w_idx, word in enumerate(vocab):
+            entries = []
+            exits = []
+            for pron in lex.words[word]:
+                if lex.position_dependent:
+                    pids = lex.pronunciation_phone_ids(pron.phones)
+                else:
+                    pids = [lex.phone_id(p, None) for p in pron.phones]
+                prob = pron.probability if pron.probability is not None else 1.0
+                pron_lp = math.log(max(min(prob, 1.0), 1e-5))
+                p_sil = (
+                    pron.silence_after_probability
+                    if pron.silence_after_probability is not None
+                    else lex.silence_probability
+                )
+                entry, p_exits = comp._expand_pronunciation(g, pids, w_idx)
+                entries.append((entry, pron_lp))
+                for s, wgt, tid in p_exits:
+                    exits.append((s, wgt, tid, p_sil))
+            word_entries[w_idx] = entries
+            word_exits[w_idx] = exits
+            if len(g.state_pdf) > self.max_states:
+                raise ValueError(
+                    f"decoding graph exceeds {self.max_states} states; "
+                    "vocabulary too large for dense decode"
+                )
+
+        # one optional-silence instance per source word (shared over targets)
+        sil_exits_per_word: Dict[int, List[Tuple[int, float, int]]] = {}
+        for w_idx in range(len(vocab)):
+            entry, s_exits = comp._expand_phone_standalone(g, sil)
+            for s, wgt, tid, p_sil in word_exits[w_idx]:
+                g.add_arc(s, entry, wgt + math.log(max(p_sil, 1e-5)), tid)
+            sil_exits_per_word[w_idx] = s_exits
+        # initial silence
+        init_sil_entry, init_sil_exits = comp._expand_phone_standalone(g, sil)
+        g.add_start(init_sil_entry, math.log(lex.initial_silence_probability))
+
+        # LM transitions
+        start_lp = math.log(1.0 - lex.initial_silence_probability)
+        for v_idx, v in enumerate(vocab):
+            lm_lp = self.lm_scale * lm.log_prob(v, ("<s>",)) * LN10
+            for entry, pron_lp in word_entries[v_idx]:
+                g.add_start(entry, start_lp + lm_lp + pron_lp)
+                for s, wgt, tid in init_sil_exits:
+                    g.add_arc(s, entry, wgt + lm_lp + pron_lp, tid)
+        for u_idx, u in enumerate(vocab):
+            for v_idx, v in enumerate(vocab):
+                lm_lp = self.lm_scale * lm.log_prob(v, (u,)) * LN10
+                for entry, pron_lp in word_entries[v_idx]:
+                    # skip-silence path
+                    for s, wgt, tid, p_sil in word_exits[u_idx]:
+                        g.add_arc(
+                            s,
+                            entry,
+                            wgt
+                            + math.log(max(1.0 - p_sil, 1e-5))
+                            + lm_lp
+                            + pron_lp,
+                            tid,
+                        )
+                    # through-silence path
+                    for s, wgt, tid in sil_exits_per_word[u_idx]:
+                        g.add_arc(s, entry, wgt + lm_lp + pron_lp, tid)
+            # finals
+            eos_lp = self.lm_scale * lm.log_prob("</s>", (u,)) * LN10
+            for s, wgt, tid, p_sil in word_exits[u_idx]:
+                g.add_final(s, wgt + math.log(max(1.0 - p_sil, 1e-5)) + eos_lp, tid)
+            for s, wgt, tid in sil_exits_per_word[u_idx]:
+                g.add_final(s, wgt + eos_lp, tid)
+
+        graph = g.finish(vocab)
+        return graph, vocab
+
+
+class Transcriber:
+    """Transcribe a corpus with an acoustic model + LM (reference entry
+    point: ``mfa transcribe``)."""
+
+    def __init__(
+        self,
+        acoustic_model_path,
+        dictionary_path,
+        lm: Optional[ArpaModel] = None,
+        lm_order: int = 3,
+        acoustic_scale: float = 1.0 / 12,
+        batch_size: int = 16,
+    ):
+        from montreal_forced_aligner_tpu.align.aligner import (
+            AlignerConfig,
+            PretrainedAligner,
+        )
+
+        self.aligner = PretrainedAligner(
+            acoustic_model_path,
+            dictionary_path,
+            AlignerConfig(batch_size=batch_size, acoustic_scale=acoustic_scale),
+        )
+        self.lm = lm
+        self.lm_order = lm_order
+        self.acoustic_scale = acoustic_scale
+        self._graph = None
+        self._vocab = None
+
+    def train_lm_from_corpus(self, corpus: Corpus) -> ArpaModel:
+        texts = []
+        for utt in corpus.utterances:
+            tokens = self.aligner.tokenizer.tokenize(utt.text)
+            texts.append(" ".join(tokens))
+        self.lm, _counter = train_lm_from_texts(texts, order=self.lm_order)
+        return self.lm
+
+    def _ensure_graph(self):
+        if self._graph is None:
+            builder = DecodingGraphCompiler(
+                self.aligner.compiler, self.aligner.lexicon, self.lm
+            )
+            self._graph, self._vocab = builder.build()
+            logger.info(
+                "decoding graph: %d states over %d words",
+                self._graph.num_states,
+                len(self._vocab),
+            )
+        return self._graph
+
+    def transcribe_corpus(
+        self, corpus: Corpus
+    ) -> Dict[int, TranscriptionResult]:
+        """Decode every utterance against the shared graph."""
+        from montreal_forced_aligner_tpu.align.aligner import (
+            _final_feats,
+            _emit_and_align,
+            _mfcc_and_sums,
+            _round_up,
+        )
+        from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
+        from montreal_forced_aligner_tpu.ops.viterbi import (
+            extract_frame_labels_host,
+        )
+
+        if self.lm is None:
+            self.train_lm_from_corpus(corpus)
+        graph = self._ensure_graph()
+        al = self.aligner
+        speaker_index = corpus.speaker_index
+
+        waves = [corpus.load_audio(u).samples for u in corpus.utterances]
+        order = np.argsort([len(w) for w in waves], kind="stable")
+        batches = [
+            list(order[i : i + al.config.batch_size])
+            for i in range(0, len(order), al.config.batch_size)
+        ]
+        # per-speaker CMVN means
+        from montreal_forced_aligner_tpu.align.fine_tune import _speaker_means
+
+        spk_mean = _speaker_means(al, corpus)
+
+        lda = (
+            jnp.asarray(al.model.lda_mat)
+            if (al.model.uses_lda and al.model.lda_mat is not None)
+            else None
+        )
+        results: Dict[int, TranscriptionResult] = {}
+        fs = al.frame_shift
+        for batch in batches:
+            wave_list = [waves[i] for i in batch]
+            L = _round_up(max(len(w) for w in wave_list), 16000)
+            padded, lens = pad_waves_for_mfcc(wave_list, al.mfcc_config, L)
+            flens = np.array(
+                [al.mfcc_config.num_frames(int(n)) for n in lens], np.int32
+            )
+            feats, _sums = _mfcc_and_sums(
+                jnp.asarray(padded),
+                jnp.asarray(flens),
+                al.mfcc_config,
+                al.mfcc_config.num_frames(L),
+            )
+            mean_rows = spk_mean[
+                np.array(
+                    [speaker_index[corpus.utterances[i].speaker] for i in batch]
+                )
+            ]
+            ff = _final_feats(
+                feats, jnp.asarray(flens), jnp.asarray(mean_rows), lda
+            )
+            B = len(batch)
+            garrs = batch_graphs([graph] * B)
+            bgraph = ship_graph_to_device(garrs)
+            state_path, scores = _emit_and_align(
+                ff,
+                jnp.asarray(flens),
+                bgraph,
+                al._device_gmm[0],
+                al._device_gmm[1],
+                self.acoustic_scale,
+            )
+            sp = np.asarray(state_path)
+            scores_h = np.asarray(scores)
+            _ph, word_f, inst_f, _ts = extract_frame_labels_host(garrs, sp)
+            for row, i in enumerate(batch):
+                utt = corpus.utterances[i]
+                Lf = int(flens[row])
+                words = self._decode_words(
+                    word_f[row, :Lf], inst_f[row, :Lf], utt.begin, fs
+                )
+                results[i] = TranscriptionResult(
+                    utterance_id=i,
+                    text=" ".join(w.label for w in words),
+                    words=words,
+                    log_likelihood=float(scores_h[row]),
+                )
+        return results
+
+    def _decode_words(self, word_f, inst_f, offset, fs) -> List[CtmInterval]:
+        words: List[CtmInterval] = []
+        L = len(word_f)
+        boundaries = np.flatnonzero(np.diff(inst_f)) + 1
+        seg_starts = np.concatenate([[0], boundaries])
+        seg_ends = np.concatenate([boundaries, [L]])
+        cur_word = None
+        for s0, s1 in zip(seg_starts, seg_ends):
+            widx = int(word_f[s0])
+            if widx < 0:
+                cur_word = None
+                continue
+            label = self._vocab[widx]
+            begin = offset + s0 * fs
+            end = offset + s1 * fs
+            if (
+                cur_word is not None
+                and cur_word.label == label
+                and abs(cur_word.end - begin) < 1e-6
+                and int(word_f[s0 - 1]) == widx
+            ):
+                cur_word.end = end
+            else:
+                cur_word = CtmInterval(begin, end, label)
+                words.append(cur_word)
+        return words
+
+    def evaluate(
+        self, corpus: Corpus, results: Dict[int, TranscriptionResult]
+    ) -> dict:
+        """WER/CER against the corpus transcripts (reference
+        ``transcriber.py:127-512``)."""
+        from montreal_forced_aligner_tpu.evaluation import score_cer, score_wer
+
+        wers, cers = [], []
+        for utt in corpus.utterances:
+            if utt.id not in results:
+                continue
+            ref = self.aligner.tokenizer.tokenize(utt.text)
+            hyp = results[utt.id].text.split()
+            wers.append(score_wer(ref, hyp))
+            cers.append(score_cer(" ".join(ref), " ".join(hyp)))
+        return {
+            "wer": float(np.mean(wers)) if wers else 1.0,
+            "cer": float(np.mean(cers)) if cers else 1.0,
+            "num_utterances": len(wers),
+        }
+
+
+def train_phone_lm(
+    results: Dict[int, "UtteranceAlignment"], order: int = 4
+) -> ArpaModel:
+    """Train a phone LM from aligned phone sequences (reference
+    ``train_phone_lm``, ``transcription/transcriber.py:737-760``)."""
+    texts = []
+    for aln in results.values():
+        phones = [p.label for p in aln.phones]
+        texts.append(" ".join(phones))
+    model, _counter = train_lm_from_texts(texts, order=order)
+    return model
