@@ -1,0 +1,189 @@
+"""UBM / i-vector / PLDA / diarization tests on synthetic two-speaker audio."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, compute_mfcc_batch
+
+SR = 16000
+
+
+CHORDS = [
+    [300, 2200],
+    [550, 1700],
+    [850, 2700],
+    [400, 1200],
+    [700, 3200],
+]
+
+
+def make_speaker_wave(rng, spk: int, dur: float = 3.0):
+    """Two synthetic 'speakers': a shared inventory of 'phones' (tone
+    chords) spoken in random order — non-stationary like real speech, so
+    per-utterance CMN keeps the speaker signal — with a consistent
+    speaker-specific formant shift."""
+    shift = 1.0 + 0.10 * spk
+    pieces = []
+    t_total = 0.0
+    while t_total < dur:
+        seg = 0.15 + 0.15 * rng.rand()
+        n = int(seg * SR)
+        t = np.arange(n) / SR
+        chord = CHORDS[rng.randint(len(CHORDS))]
+        x = sum(
+            3000 * np.sin(2 * np.pi * f * shift * (1 + 0.003 * rng.randn()) * t)
+            for f in chord
+        )
+        pieces.append(x)
+        t_total += seg
+    wave = np.concatenate(pieces) + rng.randn(
+        sum(len(p) for p in pieces)
+    ) * 200
+    return wave.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ivector_setup():
+    rng = np.random.RandomState(0)
+    waves = []
+    speakers = []
+    for u in range(12):
+        spk = u % 2
+        waves.append(make_speaker_wave(rng, spk, 6.0 + 2.0 * rng.rand()))
+        speakers.append(spk)
+    cfg = MfccConfig()
+    batches = []
+    for lo in range(0, len(waves), 4):
+        chunk = waves[lo : lo + 4]
+        feats, flens = compute_mfcc_batch(chunk, cfg=cfg)
+        batches.append((feats, flens))
+    from montreal_forced_aligner_tpu.ivector.extractor import apply_utterance_cmn
+
+    batches = apply_utterance_cmn(batches)
+    return batches, np.array(speakers)
+
+
+def test_ubm_training(ivector_setup):
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+
+    batches, _spk = ivector_setup
+    ubm = train_ubm(batches, num_gauss=8, num_init_iterations=6, num_iterations=2)
+    assert 4 <= ubm.num_gauss <= 8
+    assert np.all(ubm.variances > 0)
+    assert abs(ubm.weights.sum() - 1.0) < 1e-6
+
+
+def test_ivector_separates_speakers(ivector_setup):
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        extract_ivectors,
+        length_normalize,
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+    from montreal_forced_aligner_tpu.diarization.clustering import (
+        agglomerative_cluster,
+        cosine_distance_matrix,
+        kmeans_cluster,
+    )
+
+    batches, spk = ivector_setup
+    ubm = train_ubm(batches, num_gauss=8, num_init_iterations=6, num_iterations=2)
+    extractor = train_ivector_extractor(
+        batches, ubm, ivector_dim=8, num_iterations=4, gaussian_min_count=1.0
+    )
+    iv = length_normalize(extract_ivectors(extractor, batches))
+    assert iv.shape == (12, 8)
+    # clustering into 2 groups must largely reproduce the speaker split
+    # (synthetic tone "speakers" are a weak proxy for real speaker variation)
+    labels = agglomerative_cluster(cosine_distance_matrix(iv), num_clusters=2)
+    acc = max((labels == spk).mean(), (labels == 1 - spk).mean())
+    labels_km = kmeans_cluster(iv, 2)
+    acc_km = max((labels_km == spk).mean(), (labels_km == 1 - spk).mean())
+    assert max(acc, acc_km) >= 10 / 12
+
+
+def test_plda_scoring_and_eer(ivector_setup):
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        extract_ivectors,
+        length_normalize,
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+    from montreal_forced_aligner_tpu.ivector.plda import Plda, compute_eer
+
+    batches, spk = ivector_setup
+    ubm = train_ubm(batches, num_gauss=8, num_init_iterations=6, num_iterations=2)
+    extractor = train_ivector_extractor(
+        batches, ubm, ivector_dim=8, num_iterations=4, gaussian_min_count=1.0
+    )
+    iv = length_normalize(extract_ivectors(extractor, batches))
+    plda = Plda.train(iv, spk)
+    scores = plda.log_likelihood_ratio(iv, iv)
+    # same-speaker pairs must outscore different-speaker pairs
+    same = [scores[i, j] for i in range(12) for j in range(12) if i != j and spk[i] == spk[j]]
+    diff = [scores[i, j] for i in range(12) for j in range(12) if spk[i] != spk[j]]
+    assert np.mean(same) > np.mean(diff)
+    trial_scores = np.array(same + diff)
+    trial_labels = np.array([1] * len(same) + [0] * len(diff))
+    assert compute_eer(trial_scores, trial_labels) < 0.2
+
+
+def test_extractor_roundtrip(ivector_setup, tmp_path):
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        IvectorExtractor,
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+
+    batches, _ = ivector_setup
+    ubm = train_ubm(batches, num_gauss=4, num_init_iterations=3, num_iterations=1)
+    ex = train_ivector_extractor(batches, ubm, ivector_dim=4, num_iterations=1,
+                                 gaussian_min_count=1.0)
+    p = tmp_path / "extractor.npz"
+    ex.save(p)
+    ex2 = IvectorExtractor.load(p)
+    np.testing.assert_allclose(ex2.T, ex.T)
+    np.testing.assert_allclose(ex2.ubm.means, ex.ubm.means)
+
+
+def test_tmatrix_em_recovers_latents():
+    """Model-based correctness: synthesize features exactly from the
+    total-variability model and verify EM recovers the latent w (up to a
+    linear transform)."""
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        extract_ivectors,
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import DiagUbm
+
+    rng = np.random.RandomState(1)
+    C, D, R = 6, 10, 3
+    means = rng.randn(C, D) * 5
+    variances = np.ones((C, D)) * 0.5
+    ubm = DiagUbm(np.ones(C) / C, means, variances)
+    T_true = rng.randn(C, D, R)
+    batches, true_w = [], []
+    n_utts, T_frames = 40, 200
+    for lo in range(0, n_utts, 8):
+        B = min(8, n_utts - lo)
+        feats = np.zeros((B, T_frames, D), np.float32)
+        for b in range(B):
+            w = rng.randn(R)
+            true_w.append(w)
+            comps = rng.randint(0, C, T_frames)
+            for t, c in enumerate(comps):
+                feats[b, t] = (
+                    means[c] + T_true[c] @ w + rng.randn(D) * np.sqrt(0.5)
+                )
+        batches.append((jnp.asarray(feats), np.full(B, T_frames, np.int32)))
+    true_w = np.stack(true_w)
+    ex = train_ivector_extractor(
+        batches, ubm, ivector_dim=R, num_iterations=8, gaussian_min_count=1.0
+    )
+    w_est = extract_ivectors(ex, batches)
+    x = w_est - w_est.mean(0)
+    y = true_w - true_w.mean(0)
+    proj, *_ = np.linalg.lstsq(x, y, rcond=None)
+    r2 = 1 - ((x @ proj - y) ** 2).sum() / (y**2).sum()
+    assert r2 > 0.95
