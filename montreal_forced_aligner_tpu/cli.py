@@ -409,5 +409,53 @@ def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
         )
 
 
+@cli.command("train_g2p")
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--order", default=8, show_default=True)
+@click.option("--num_alignment_iterations", default=10, show_default=True)
+def train_g2p_cli(dictionary_path, output_model_path, order,
+                  num_alignment_iterations):
+    """Train a G2P model from a pronunciation dictionary (reference:
+    ``mfa train_g2p``, ``g2p/phonetisaurus_trainer.py``)."""
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PTrainer
+
+    trainer = G2PTrainer(
+        order=order, num_alignment_iterations=num_alignment_iterations
+    )
+    model = trainer.train_from_dictionary(dictionary_path)
+    model.save(output_model_path)
+    click.echo(f"Saved G2P model to {output_model_path}")
+
+
+@cli.command("g2p")
+@click.argument("input_path", type=click.Path(exists=True))
+@click.argument("g2p_model_path", type=click.Path(exists=True))
+@click.argument("output_path", type=click.Path())
+@click.option("--num_pronunciations", default=1, show_default=True)
+def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations):
+    """Generate pronunciations for a word list (one word per line)
+    (reference: ``mfa g2p``, ``g2p/generator.py``)."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
+
+    model = G2PModel.load(g2p_model_path)
+    gen = G2PGenerator(model)
+    words = [
+        w.strip().lower()
+        for w in _P(input_path).read_text(encoding="utf-8").splitlines()
+        if w.strip()
+    ]
+    with open(output_path, "w", encoding="utf-8") as f:
+        n = 0
+        for w in words:
+            for phones, _score in gen.generate(w, num_pronunciations):
+                f.write(f"{w}\t{' '.join(phones)}\n")
+                n += 1
+    click.echo(f"Wrote {n} pronunciations for {len(words)} words to {output_path}")
+
+
 if __name__ == "__main__":
     cli()
