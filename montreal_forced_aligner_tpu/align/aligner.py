@@ -185,6 +185,7 @@ class PretrainedAligner:
         acoustic_model_path,
         dictionary_path,
         config: Optional[AlignerConfig] = None,
+        g2p_model_path=None,
     ):
         self.config = config or AlignerConfig()
         self.model = AcousticModel.load(acoustic_model_path)
@@ -196,6 +197,12 @@ class PretrainedAligner:
             dictionary_path,
             phone_table=self.model.phone_table,
         )
+        self.g2p = None
+        if g2p_model_path is not None:
+            from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
+            from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
+
+            self.g2p = G2PGenerator(G2PModel.load(g2p_model_path))
         self.tokenizer = SimpleTokenizer(word_set=set(self.lexicon.words))
         self.compiler = AlignmentGraphCompiler(
             self.model.transition_model,
@@ -318,6 +325,27 @@ class PretrainedAligner:
             out_prepared.append((batch, flens, garrs, graph, adapted))
         return out_prepared
 
+    def _add_g2p_pronunciations(self, tokens) -> None:
+        """Generate pronunciations for OOV tokens via G2P (reference online
+        align, ``online/alignment.py:44-75``)."""
+        from montreal_forced_aligner_tpu.dictionary.lexicon import Pronunciation
+
+        known_phones = set()
+        for name in self.model.phone_table:
+            base = name
+            for pos in POSITIONS:
+                if base.endswith(pos):
+                    base = base[: -len(pos)]
+            known_phones.add(base)
+        for tok in tokens:
+            if tok in self.lexicon.words:
+                continue
+            for phones, _score in self.g2p.generate(tok, num_pronunciations=1):
+                if all(p in known_phones for p in phones):
+                    self.lexicon.add_pronunciation(
+                        tok, Pronunciation(phones=tuple(phones))
+                    )
+
     # -- pipeline ------------------------------------------------------------
     def align_corpus(
         self, corpus: Corpus, callback=None
@@ -335,6 +363,8 @@ class PretrainedAligner:
         for utt in corpus.utterances:
             tokens = self.tokenizer.tokenize(utt.text)
             utt.normalized_tokens = tokens
+            if self.g2p is not None:
+                self._add_g2p_pronunciations(tokens)
             graphs.append(self.compiler.compile(tokens))
 
         # 2. load audio
@@ -473,45 +503,16 @@ class PretrainedAligner:
         phone_names: Dict[int, str],
         confidence=None,
     ) -> UtteranceAlignment:
-        """Run-length encode the frame labels into phone/word intervals
-        (replaces the reference's CTM generation + lexicon phones-to-
-        pronunciations pass, ``alignment/multiprocessing.py:1573-1741``)."""
-        L = len(phones)
-        fs = self.frame_shift
-        offset = utt.begin
-        boundaries = np.flatnonzero(np.diff(instances)) + 1
-        seg_starts = np.concatenate([[0], boundaries])
-        seg_ends = np.concatenate([boundaries, [L]])
-        phone_intervals: List[CtmInterval] = []
-        word_map: Dict[int, WordCtmInterval] = {}
-        for s0, s1 in zip(seg_starts, seg_ends):
-            pid = int(phones[s0])
-            widx = int(words[s0])
-            name = phone_names.get(pid, str(pid))
-            base = name
-            for pos in POSITIONS:
-                if base.endswith(pos):
-                    base = base[: -len(pos)]
-                    break
-            iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base, phone_id=pid)
-            if confidence is not None:
-                iv.confidence = round(float(confidence[s0:s1].mean()), 4)
-            phone_intervals.append(iv)
-            if widx >= 0:
-                if widx not in word_map:
-                    word_map[widx] = WordCtmInterval(
-                        iv.begin, iv.end, graph.words[widx], [iv]
-                    )
-                else:
-                    word_map[widx].end = iv.end
-                    word_map[widx].phones.append(iv)
-        word_intervals = [word_map[k] for k in sorted(word_map)]
-        return UtteranceAlignment(
-            utterance_id=utt.id,
-            words=word_intervals,
-            phones=phone_intervals,
-            log_likelihood=score,
-            per_frame_log_likelihood=score / max(L, 1),
+        return frames_to_alignment(
+            utt,
+            graph.words,
+            phones,
+            words,
+            instances,
+            score,
+            phone_names,
+            self.frame_shift,
+            confidence=confidence,
         )
 
     # -- export --------------------------------------------------------------
@@ -580,4 +581,57 @@ def _resample(wav, target_rate: int):
         sample_rate=target_rate,
         num_channels=wav.num_channels,
         duration=wav.duration,
+    )
+
+
+def frames_to_alignment(
+    utt: Utterance,
+    graph_words: List[str],
+    phones: np.ndarray,
+    words: np.ndarray,
+    instances: np.ndarray,
+    score: float,
+    phone_names: Dict[int, str],
+    frame_shift: float,
+    confidence=None,
+) -> UtteranceAlignment:
+    """Run-length encode frame labels into phone/word intervals
+    (replaces the reference's CTM generation + lexicon
+    phones-to-pronunciations pass, ``alignment/multiprocessing.py:1573-1741``)."""
+    L = len(phones)
+    fs = frame_shift
+    offset = utt.begin
+    boundaries = np.flatnonzero(np.diff(instances)) + 1
+    seg_starts = np.concatenate([[0], boundaries])
+    seg_ends = np.concatenate([boundaries, [L]])
+    phone_intervals: List[CtmInterval] = []
+    word_map: Dict[int, WordCtmInterval] = {}
+    for s0, s1 in zip(seg_starts, seg_ends):
+        pid = int(phones[s0])
+        widx = int(words[s0])
+        name = phone_names.get(pid, str(pid))
+        base = name
+        for pos in POSITIONS:
+            if base.endswith(pos):
+                base = base[: -len(pos)]
+                break
+        iv = CtmInterval(offset + s0 * fs, offset + s1 * fs, base, phone_id=pid)
+        if confidence is not None:
+            iv.confidence = round(float(confidence[s0:s1].mean()), 4)
+        phone_intervals.append(iv)
+        if widx >= 0:
+            if widx not in word_map:
+                word_map[widx] = WordCtmInterval(
+                    iv.begin, iv.end, graph_words[widx], [iv]
+                )
+            else:
+                word_map[widx].end = iv.end
+                word_map[widx].phones.append(iv)
+    word_intervals = [word_map[k] for k in sorted(word_map)]
+    return UtteranceAlignment(
+        utterance_id=utt.id,
+        words=word_intervals,
+        phones=phone_intervals,
+        log_likelihood=score,
+        per_frame_log_likelihood=score / max(L, 1),
     )

@@ -50,6 +50,7 @@ DEFAULT_RECIPE = [
     StageConfig("triphone", "tri", 35, 10000, num_leaves=2000, subset=20000),
     StageConfig("lda", "lda", 35, 10000, num_leaves=2500, subset=20000),
     StageConfig("sat_1", "sat", 35, 10000, num_leaves=2500, subset=20000),
+    StageConfig("pron_prob_1", "pron_prob", 0, 0),
     StageConfig("sat_2", "sat", 35, 15000, num_leaves=4200, subset=50000),
 ]
 
@@ -110,6 +111,9 @@ class TrainableAligner:
                     num_leaves=stage.num_leaves,
                     lda_mat=lda_mat,
                 )
+            elif stage.kind == "pron_prob":
+                self._estimate_pronunciation_probabilities(pipeline)
+                continue
             else:
                 raise ValueError(f"unknown stage kind {stage.kind}")
             model = trainer.train(pipeline)
@@ -123,3 +127,55 @@ class TrainableAligner:
     def export_model(self, path) -> None:
         final = self.models[self.recipe[-1].name]
         final.save(path)
+
+    def _estimate_pronunciation_probabilities(self, pipeline) -> None:
+        """Pronunciation-probability stage (reference
+        ``acoustic_modeling/pronunciation_probabilities.py``): derive word
+        alignments from the cached stage alignments, count pronunciations
+        and surrounding silences, and fold the estimated probabilities into
+        the shared lexicon so subsequent stages compile weighted graphs."""
+        from montreal_forced_aligner_tpu.align.aligner import frames_to_alignment
+        from montreal_forced_aligner_tpu.training.pronunciation import (
+            PronunciationCounter,
+            apply_probabilities_to_lexicon,
+            compute_pronunciation_probabilities,
+        )
+
+        phone_names = {v: k for k, v in self.lexicon.phone_table.items()}
+        counter = PronunciationCounter()
+        n = 0
+        for fb in pipeline.batches:
+            if fb.state_path is None:
+                continue
+            sp = fb.state_path
+            b = np.arange(sp.shape[0])[:, None]
+            phone_f = fb.garrs["state_phone"][b, sp]
+            word_f = fb.garrs["state_word"][b, sp]
+            inst_f = fb.garrs["state_instance"][b, sp]
+            for row, i in enumerate(fb.utt_indices):
+                utt = self.corpus.utterances[i]
+                L = int(fb.frame_lengths[row])
+                g = pipeline.graphs[i]
+                aln = frames_to_alignment(
+                    utt,
+                    g.words,
+                    phone_f[row, :L],
+                    word_f[row, :L],
+                    inst_f[row, :L],
+                    0.0,
+                    phone_names,
+                    0.01,
+                )
+                counter.add_utterance(aln, self.lexicon.silence_phone)
+                n += 1
+        if n == 0:
+            logger.warning("pron_prob stage skipped: no cached alignments")
+            return
+        result = compute_pronunciation_probabilities(counter)
+        apply_probabilities_to_lexicon(self.lexicon, result)
+        logger.info(
+            "estimated pronunciation probabilities from %d utterances "
+            "(corpus silence probability %.2f)",
+            n,
+            result.silence_probability,
+        )

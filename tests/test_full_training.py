@@ -13,6 +13,7 @@ TINY_RECIPE = [
     StageConfig("monophone", "mono", 6, 40),
     StageConfig("triphone", "tri", 4, 64, num_leaves=48),
     StageConfig("lda", "lda", 5, 64, num_leaves=48),
+    StageConfig("pron_prob", "pron_prob", 0, 0),
     StageConfig("sat", "sat", 5, 64, num_leaves=48),
 ]
 
@@ -39,6 +40,14 @@ def full_train(tmp_path_factory):
 def test_all_stages_ran(full_train):
     _tmp, _cd, _dp, ta, final, _truths = full_train
     assert set(ta.models) == {"monophone", "triphone", "lda", "sat"}
+    # pron_prob stage estimated probabilities into the shared lexicon
+    probs = [
+        p.probability
+        for prons in ta.lexicon.words.values()
+        for p in prons
+    ]
+    assert any(p is not None for p in probs)
+    assert all(p is None or 0 < p <= 1 for p in probs)
     # final model carries LDA + fMLLR + alignment model
     assert final.meta["features"]["lda"] is True
     assert final.meta["features"]["fmllr"] is True
