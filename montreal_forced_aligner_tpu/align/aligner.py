@@ -129,6 +129,7 @@ class AlignerConfig:
     frame_bucket_multiple: int = 256
     fmllr_min_count: float = 100.0
     compute_confidence: bool = False
+    devices: Optional[tuple] = None  # default: all local devices
 
 
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
@@ -217,7 +218,29 @@ class PretrainedAligner:
             use_energy=bool(feat_meta.get("use_energy", False)),
         )
         self.frame_shift = self.mfcc_config.frame_shift_ms / 1000.0
+        # data parallelism over local devices: batches are placed round-robin
+        # (alignment is embarrassingly parallel; multi-host scale-out uses the
+        # sharded mesh step in parallel/, see dryrun_multichip)
+        import jax as _jax
+
+        self.devices = (
+            list(self.config.devices)
+            if self.config.devices
+            else _jax.local_devices()
+        )
         self._device_gmm = self._prepare_gmm()
+        self._gmm_per_device = {}
+
+    def _gmm_on(self, device):
+        if device not in self._gmm_per_device:
+            import jax as _jax
+
+            W, gconsts = self._device_gmm
+            self._gmm_per_device[device] = (
+                _jax.device_put(W, device),
+                _jax.device_put(gconsts, device),
+            )
+        return self._gmm_per_device[device]
 
     def _prepare_gmm(self):
         gmm = self.model.gmm
@@ -391,7 +414,10 @@ class PretrainedAligner:
         spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
         spk_count = np.zeros(num_speakers, dtype=np.float64)
         stashes = []
-        for batch in batches:
+        import jax as _jax
+
+        for bi, batch in enumerate(batches):
+            dev = self.devices[bi % len(self.devices)]
             wave_list = [waves[i] for i in batch]
             L = _round_up(max(len(w) for w in wave_list), 16000)
             padded, lens = pad_waves_for_mfcc(wave_list, self.mfcc_config, L)
@@ -400,7 +426,10 @@ class PretrainedAligner:
             )
             max_frames = self.mfcc_config.num_frames(L)
             feats_dev, sums = _mfcc_and_sums(
-                jnp.asarray(padded), jnp.asarray(flens), self.mfcc_config, max_frames
+                _jax.device_put(padded, dev),
+                _jax.device_put(flens, dev),
+                self.mfcc_config,
+                max_frames,
             )
             stashes.append((batch, feats_dev, flens, sums))
 
@@ -430,8 +459,9 @@ class PretrainedAligner:
         )
         prepared = []
         for batch, feats_dev, flens, _sums in stashes:
+            dev = list(feats_dev.devices())[0]
             garrs = batch_graphs([graphs[i] for i in batch])
-            graph = ship_graph_to_device(garrs)
+            graph = ship_graph_to_device(garrs, device=dev)
             mean_rows = spk_mean[
                 np.array(
                     [speaker_index[corpus.utterances[i].speaker] for i in batch]
@@ -439,9 +469,9 @@ class PretrainedAligner:
             ]
             ff = _final_feats(
                 feats_dev,
-                jnp.asarray(flens),
-                jnp.asarray(mean_rows.astype(np.float32)),
-                lda,
+                _jax.device_put(flens, dev),
+                _jax.device_put(mean_rows.astype(np.float32), dev),
+                None if lda is None else _jax.device_put(lda, dev),
             )
             prepared.append((batch, flens, garrs, graph, ff))
 
@@ -453,19 +483,19 @@ class PretrainedAligner:
 
         pending = []
         for batch, flens, garrs, graph, ff in prepared:
+            dev = list(ff.devices())[0]
+            W_d, gc_d = self._gmm_on(dev)
             state_path, scores = _emit_and_align(
                 ff,
-                jnp.asarray(flens),
+                _jax.device_put(flens, dev),
                 graph,
-                self._device_gmm[0],
-                self._device_gmm[1],
+                W_d,
+                gc_d,
                 cfg.acoustic_scale,
             )
             conf = None
             if cfg.compute_confidence:
-                conf = _phone_confidence(
-                    ff, state_path, graph, self._device_gmm[0], self._device_gmm[1]
-                )
+                conf = _phone_confidence(ff, state_path, graph, W_d, gc_d)
             pending.append((batch, flens, garrs, state_path, scores, conf))
 
         for batch, flens, garrs, state_path, scores, conf in pending:

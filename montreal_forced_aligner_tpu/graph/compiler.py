@@ -553,7 +553,7 @@ INT_GRAPH_KEYS = [
 FLOAT_GRAPH_KEYS = ["in_weight", "start", "final"]
 
 
-def ship_graph_to_device(garrs: dict):
+def ship_graph_to_device(garrs: dict, device=None):
     """Transfer a batched graph with exactly TWO host->device copies.
 
     Per-array device_put is latency-bound on remote-attached TPUs (~10 ms per
@@ -569,8 +569,14 @@ def ship_graph_to_device(garrs: dict):
     float_parts = [
         np.ascontiguousarray(garrs[k]).reshape(-1) for k in FLOAT_GRAPH_KEYS
     ]
-    int_buf = jnp.asarray(np.concatenate(int_parts))
-    float_buf = jnp.asarray(np.concatenate(float_parts))
+    import jax
+
+    if device is None:
+        int_buf = jnp.asarray(np.concatenate(int_parts))
+        float_buf = jnp.asarray(np.concatenate(float_parts))
+    else:
+        int_buf = jax.device_put(np.concatenate(int_parts), device)
+        float_buf = jax.device_put(np.concatenate(float_parts), device)
     out = {}
     off = 0
     for k, part in zip(INT_GRAPH_KEYS, int_parts):

@@ -101,3 +101,34 @@ def test_real_mono_model_alignment(mono_model_path, reference_data_dir, tmp_path
     assert abs(words[0].begin - 0.04) < 0.05
     outs = aligner.export_textgrids(corpus, results, tmp_path / "out")
     assert outs[0].exists()
+
+
+def test_multi_device_alignment_matches_single(tmp_path):
+    """Round-robin device placement over the 8-device CPU mesh must produce
+    identical alignments to single-device execution."""
+    import jax
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    devs = jax.devices()
+    assert len(devs) >= 2, "conftest should provide 8 virtual CPU devices"
+    single = PretrainedAligner(
+        model_path,
+        dict_path,
+        AlignerConfig(frame_bucket_multiple=32, batch_size=1, devices=(devs[0],)),
+    )
+    multi = PretrainedAligner(
+        model_path,
+        dict_path,
+        AlignerConfig(frame_bucket_multiple=32, batch_size=1, devices=tuple(devs)),
+    )
+    corpus = Corpus.load(corpus_dir)
+    r1 = single.align_corpus(corpus)
+    corpus2 = Corpus.load(corpus_dir)
+    r2 = multi.align_corpus(corpus2)
+    for uid in r1:
+        p1 = [(p.label, round(p.begin, 3), round(p.end, 3)) for p in r1[uid].phones]
+        p2 = [(p.label, round(p.begin, 3), round(p.end, 3)) for p in r2[uid].phones]
+        assert p1 == p2
