@@ -144,6 +144,45 @@ def model_inspect_cli(model_path):
     click.echo(json.dumps(info, indent=2, default=str))
 
 
+@model_cli.command("add")
+@click.argument("model_type")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--name", default=None)
+def model_add_cli(model_type, path, name):
+    """Register a local model archive (reference: ``mfa model add``)."""
+    from montreal_forced_aligner_tpu.model_manager import ModelManager
+
+    dst = ModelManager().add(model_type, path, name)
+    click.echo(f"Registered {dst}")
+
+
+@model_cli.command("list")
+@click.argument("model_type", required=False)
+def model_list_cli(model_type):
+    """List registered models (reference: ``mfa model list``)."""
+    from montreal_forced_aligner_tpu.model_manager import ModelManager
+
+    for mt, names in ModelManager().list_models(model_type).items():
+        click.echo(f"{mt}:")
+        for n in names:
+            click.echo(f"  {n}")
+
+
+@model_cli.command("download")
+@click.argument("model_type")
+@click.argument("name")
+def model_download_cli(model_type, name):
+    """Fetch a model from a configured local mirror (no network egress in
+    this environment; reference: ``mfa model download``)."""
+    from montreal_forced_aligner_tpu.model_manager import ModelManager
+
+    try:
+        dst = ModelManager().download(model_type, name)
+        click.echo(f"Downloaded to {dst}")
+    except RuntimeError as e:
+        raise click.ClickException(str(e))
+
+
 @cli.command("version")
 def version_cli():
     from montreal_forced_aligner_tpu import __version__

@@ -67,7 +67,8 @@ class FeatureBatch:
     utt_indices: List[int]
     raw: jnp.ndarray  # (B, T, n_mfcc) CMVN-normalized MFCCs, device resident
     feats: jnp.ndarray  # (B, T, D_final) stage features, device resident
-    frame_lengths: np.ndarray  # (B,)
+    frame_lengths: np.ndarray  # (B,) effective lengths (0 = out of subset)
+    full_frame_lengths: np.ndarray = None  # (B,) true lengths
     speaker_idx: np.ndarray = None  # (B,) dense speaker index per row
     # filled when graphs are attached
     garrs: Optional[dict] = None
@@ -173,6 +174,7 @@ class TrainingPipeline:
                     raw=raw,
                     feats=final,
                     frame_lengths=flens,
+                    full_frame_lengths=flens.copy(),
                     speaker_idx=spk_idx,
                 )
             )
@@ -206,6 +208,22 @@ class TrainingPipeline:
             fb.feats = final
             fb.frame_pdf = None
             fb.frame_tid = None
+
+    def set_subset(self, utt_indices: Optional[set]) -> None:
+        """Restrict training to a subset by zeroing the effective frame
+        lengths of excluded utterances (the reference materializes subset
+        split directories instead, ``corpus/base.py:2845``). None = full."""
+        for fb in self.batches:
+            if utt_indices is None:
+                fb.frame_lengths = fb.full_frame_lengths.copy()
+            else:
+                fb.frame_lengths = np.array(
+                    [
+                        fl if i in utt_indices else 0
+                        for i, fl in zip(fb.utt_indices, fb.full_frame_lengths)
+                    ],
+                    np.int32,
+                )
 
     def compile_graphs(self, compiler: AlignmentGraphCompiler) -> None:
         corpus = self.corpus
@@ -375,3 +393,39 @@ def _accumulate_events(
         "ne,nd->ed", onehot, x * x, precision=jax.lax.Precision.HIGHEST
     )
     return counts, sums, sumsqs
+
+
+
+def select_training_subset(
+    corpus, subset_size: int, min_word_count: int = 3, seed: int = 0
+) -> set:
+    """Pick a training subset (reference ``create_subset``,
+    ``corpus/base.py:2526-2680``): only utterances with more than
+    ``min_word_count`` words, preferring shorter utterances and speaker
+    diversity (round-robin over speakers in ascending-duration order)."""
+    from collections import defaultdict
+
+    eligible = defaultdict(list)
+    for utt in corpus.utterances:
+        tokens = utt.normalized_tokens or utt.text.split()
+        if len(tokens) <= min_word_count:
+            continue
+        dur = utt.num_frames if utt.num_frames else len(tokens)
+        eligible[utt.speaker].append((dur, utt.id))
+    for spk in eligible:
+        eligible[spk].sort()
+    chosen: set = set()
+    speakers = sorted(eligible)
+    idx = {s: 0 for s in speakers}
+    while len(chosen) < subset_size:
+        progressed = False
+        for s in speakers:
+            if idx[s] < len(eligible[s]):
+                chosen.add(eligible[s][idx[s]][1])
+                idx[s] += 1
+                progressed = True
+                if len(chosen) >= subset_size:
+                    break
+        if not progressed:
+            break
+    return chosen

@@ -86,8 +86,24 @@ class TrainableAligner:
         topo = None
         lda_mat = None
         model = None
+        prev_trainer = None
+        from montreal_forced_aligner_tpu.training.base import (
+            select_training_subset,
+        )
+
         for stage in self.recipe:
             logger.info("=== stage %s (%s) ===", stage.name, stage.kind)
+            if stage.kind != "pron_prob":
+                if stage.subset and stage.subset < self.corpus.num_utterances:
+                    subset = select_training_subset(self.corpus, stage.subset)
+                    pipeline.set_subset(subset)
+                    logger.info("subset: %d utterances", len(subset))
+                else:
+                    pipeline.set_subset(None)
+                if prev_trainer is not None:
+                    # align the (possibly larger) subset with the previous
+                    # stage's model (reference ``trainer.py:588-607``)
+                    prev_trainer._realign(pipeline)
             cfg = replace(
                 self.base_config,
                 num_iterations=stage.num_iterations,
@@ -119,6 +135,7 @@ class TrainableAligner:
             model = trainer.train(pipeline)
             self.models[stage.name] = model
             self.trainers[stage.name] = trainer
+            prev_trainer = trainer
             topo = trainer.tm.topo
             if getattr(trainer, "lda_mat", None) is not None:
                 lda_mat = trainer.lda_mat

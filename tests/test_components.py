@@ -263,3 +263,20 @@ def test_alignment_analysis_and_confidence(tmp_path):
     out = tmp_path / "report.csv"
     csv_report(analyses, corpus, out)
     assert out.read_text().count("\n") >= 2
+
+
+def test_model_manager(tmp_path):
+    from montreal_forced_aligner_tpu.model_manager import ModelManager
+
+    mm = ModelManager(root=tmp_path / "models")
+    src = tmp_path / "my_model.zip"
+    src.write_bytes(b"PK\x05\x06" + b"\x00" * 18)
+    dst = mm.add("acoustic", src, name="english_test")
+    assert dst.exists()
+    assert mm.list_models("acoustic")["acoustic"] == ["english_test"]
+    assert mm.resolve("acoustic", "english_test") == dst
+    assert mm.resolve("acoustic", str(src)) == src
+    with pytest.raises(FileNotFoundError):
+        mm.resolve("acoustic", "nonexistent")
+    with pytest.raises(RuntimeError):
+        mm.download("acoustic", "english_us_arpa")
