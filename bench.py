@@ -75,7 +75,7 @@ def main():
             model_path, dict_path = build_synthetic_model(tmp, wave=wave)
 
         aligner = PretrainedAligner(
-            model_path, dict_path, AlignerConfig(batch_size=16)
+            model_path, dict_path, AlignerConfig(batch_size=32)
         )
         corpus_dir, total_audio = build_corpus(tmp, list(aligner.lexicon.words))
         corpus = Corpus.load(corpus_dir)

@@ -95,11 +95,17 @@ def _phone_confidence(ff, state_path, graph, W, gconsts):
     return selected - ll.max(axis=-1)
 
 
-@partial(jax.jit, static_argnames=("acoustic_scale",))
-def _emit_and_align(ff, frame_lengths, graph, W, gconsts, acoustic_scale):
+@partial(jax.jit, static_argnames=("acoustic_scale", "band_limits"))
+def _emit_and_align(
+    ff, frame_lengths, graph, W, gconsts, acoustic_scale,
+    band=None, band_limits=None,
+):
     """All-pdf GMM loglikes -> exact one-hot selection of graph-state
-    emissions -> dense Viterbi. One device program; only the state paths
-    leave the device."""
+    emissions -> exact Viterbi (band-sparse DP when the graph's arc offsets
+    fit a band, dense max-plus otherwise). One device program; only the
+    state paths leave the device."""
+    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
+
     ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
     P = gconsts.shape[0]
     onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)  # (B, S, P)
@@ -110,6 +116,12 @@ def _emit_and_align(ff, frame_lengths, graph, W, gconsts, acoustic_scale):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if band is not None and band_limits is not None:
+        lb, ub = band_limits
+        return viterbi_align_batch_band(
+            emit, frame_lengths, band, graph.start, graph.final, lb, ub,
+            acoustic_scale=acoustic_scale,
+        )
     return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
 
 
@@ -458,10 +470,20 @@ class PretrainedAligner:
             else None
         )
         prepared = []
+        from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+
         for batch, feats_dev, flens, _sums in stashes:
             dev = list(feats_dev.devices())[0]
             garrs = batch_graphs([graphs[i] for i in batch])
             graph = ship_graph_to_device(garrs, device=dev)
+            band_out = band_from_arcs(garrs)
+            if band_out is not None:
+                band_np, lb, ub = band_out
+                garrs["_band"] = (
+                    _jax.device_put(band_np, dev), (lb, ub)
+                )
+            else:
+                garrs["_band"] = (None, None)
             mean_rows = spk_mean[
                 np.array(
                     [speaker_index[corpus.utterances[i].speaker] for i in batch]
@@ -485,6 +507,7 @@ class PretrainedAligner:
         for batch, flens, garrs, graph, ff in prepared:
             dev = list(ff.devices())[0]
             W_d, gc_d = self._gmm_on(dev)
+            band_dev, band_limits = garrs.pop("_band", (None, None))
             state_path, scores = _emit_and_align(
                 ff,
                 _jax.device_put(flens, dev),
@@ -492,6 +515,8 @@ class PretrainedAligner:
                 W_d,
                 gc_d,
                 cfg.acoustic_scale,
+                band=band_dev,
+                band_limits=band_limits,
             )
             conf = None
             if cfg.compute_confidence:

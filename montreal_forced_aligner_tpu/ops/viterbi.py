@@ -180,3 +180,113 @@ def frame_tids_host(
         out[b, : L - 1] = in_tid[b, cur, k]
         out[b, L - 1] = final_tid[b, state_path[b, L - 1]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Band-sparse Viterbi
+# ---------------------------------------------------------------------------
+# Alignment-graph arcs have small state offsets (self-loops 0, forward 1-3,
+# silence skips and pronunciation-variant joins up to a few dozen; measured
+# |d| <= 16 on real graphs). Storing transitions as a (B, S, D) band over
+# offsets d in [-LB, UB] turns the O(S^2) dense max-plus step into O(S*D) —
+# ~20x less VPU work. Graphs whose offsets exceed the band fall back to the
+# dense kernel.
+
+BAND_BUCKETS = [(4, 16), (8, 32), (16, 64), (16, 128)]
+
+
+def band_limits_for(graphs_offsets_min: int, graphs_offsets_max: int):
+    """Smallest band bucket covering [min_offset, max_offset], else None."""
+    for lb, ub in BAND_BUCKETS:
+        if -lb <= graphs_offsets_min and graphs_offsets_max <= ub:
+            return lb, ub
+    return None
+
+
+@partial(jax.jit, static_argnames=("acoustic_scale", "lb", "ub"))
+def viterbi_align_batch_band(
+    emit: jnp.ndarray,  # (B, T, S)
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (B, S, D) weights; column j = offset j - lb
+    start: jnp.ndarray,  # (B, S)
+    final: jnp.ndarray,  # (B, S)
+    lb: int,
+    ub: int,
+    acoustic_scale: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Band-sparse exact Viterbi; same semantics as viterbi_align_batch.
+
+    The step is a running maximum over D shifted views of alpha (sequential
+    max instead of stack+argmax: fewer and larger VPU ops)."""
+    B, T, S = emit.shape
+    D = lb + ub + 1
+    emit = acoustic_scale * emit
+    t_iota = jnp.arange(T)
+    band_cols = [band[:, :, j] for j in range(D)]
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs
+        ap = jnp.pad(
+            alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF
+        )  # alpha[s - d] = ap[s - d + ub]
+        m = jnp.full_like(alpha_prev, NEG_INF)
+        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+        for j in range(D):
+            d = j - lb
+            c = ap[:, ub - d : ub - d + S] + band_cols[j]
+            take = c > m
+            m = jnp.where(take, c, m)
+            bp = jnp.where(take, jnp.uint8(j), bp)
+        alpha_new = m + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        return alpha_out, bp
+
+    alpha0 = start + emit[:, 0, :]
+    alpha_T, backptrs = jax.lax.scan(
+        step, alpha0, (jnp.moveaxis(emit[:, 1:, :], 1, 0), t_iota[1:])
+    )
+    final_scores = alpha_T + final
+    best_state_T = jnp.argmax(final_scores, axis=1).astype(jnp.int32)
+    best_score = jnp.take_along_axis(final_scores, best_state_T[:, None], axis=1)[:, 0]
+
+    def back_step(state, inputs):
+        bp_t, t = inputs
+        j = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0].astype(jnp.int32)
+        prev_state = state - (j - lb)
+        active = t < frame_lengths
+        prev_out = jnp.where(active, prev_state, state)
+        return prev_out, state
+
+    state_0, states_rev = jax.lax.scan(
+        back_step, best_state_T, (backptrs[::-1], t_iota[1:][::-1])
+    )
+    states = jnp.concatenate(
+        [state_0[:, None], jnp.moveaxis(states_rev[::-1], 0, 1)], axis=1
+    )
+    return states, best_score
+
+
+def band_from_arcs(garrs: dict):
+    """Band weights from the sparse incoming-arc lists, or None if any arc
+    falls outside the largest band bucket. Returns (band (B,S,D), lb, ub)."""
+    in_src = garrs["in_src"]
+    in_weight = garrs["in_weight"]
+    B, S, K = in_src.shape
+    dst = np.arange(S)[None, :, None]
+    d = dst - in_src  # (B, S, K)
+    real = in_weight > NEG_INF / 2
+    if not real.any():
+        return None
+    dmin = int(d[real].min())
+    dmax = int(d[real].max())
+    limits = band_limits_for(dmin, dmax)
+    if limits is None:
+        return None
+    lb, ub = limits
+    D = lb + ub + 1
+    band = np.full((B, S, D), NEG_INF, dtype=np.float32)
+    j = np.clip(d + lb, 0, D - 1)
+    b_idx, s_idx, _ = np.indices(in_src.shape)
+    np.maximum.at(band, (b_idx[real], s_idx[real], j[real]), in_weight[real])
+    return band, lb, ub

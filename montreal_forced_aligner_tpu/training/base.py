@@ -73,6 +73,9 @@ class FeatureBatch:
     # filled when graphs are attached
     garrs: Optional[dict] = None
     graph: Optional[BatchedGraph] = None
+    # band-sparse transition representation (None when offsets exceed band)
+    band: Optional[jnp.ndarray] = None  # (B, S, D)
+    band_limits: Optional[tuple] = None  # (lb, ub)
     # cached alignment (updated on realignment iterations)
     frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
     frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host
@@ -239,6 +242,16 @@ class TrainingPipeline:
                 graphs.append(g)
             fb.garrs = batch_graphs(graphs)
             fb.graph = ship_graph_to_device(fb.garrs)
+            from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+
+            band_out = band_from_arcs(fb.garrs)
+            if band_out is not None:
+                band_np, lb, ub = band_out
+                fb.band = jnp.asarray(band_np)
+                fb.band_limits = (lb, ub)
+            else:
+                fb.band = None
+                fb.band_limits = None
 
     # -- global stats for flat starts ---------------------------------------
     def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:
@@ -274,11 +287,15 @@ def _finalize_features(x, frame_lengths, lda, uses_deltas):
     return x
 
 
-@partial(jax.jit, static_argnames=("acoustic_scale",))
-def _align_batch(feats, frame_lengths, graph, W, gconsts, acoustic_scale):
+@partial(jax.jit, static_argnames=("acoustic_scale", "band_limits"))
+def _align_batch(
+    feats, frame_lengths, graph, W, gconsts, acoustic_scale,
+    band=None, band_limits=None,
+):
     """Viterbi-align one batch with the current GMM (one-hot emission
-    selection; see aligner._finish_align)."""
+    selection; band-sparse DP when the graph's arc offsets allow)."""
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
 
     ll = gmm_loglikes(feats, W, gconsts)
     P = gconsts.shape[0]
@@ -290,6 +307,12 @@ def _align_batch(feats, frame_lengths, graph, W, gconsts, acoustic_scale):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if band is not None and band_limits is not None:
+        lb, ub = band_limits
+        return viterbi_align_batch_band(
+            emit, frame_lengths, band, graph.start, graph.final, lb, ub,
+            acoustic_scale=acoustic_scale,
+        )
     return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
 
 

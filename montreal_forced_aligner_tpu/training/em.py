@@ -125,6 +125,7 @@ class ViterbiEmTrainer:
                 out = _align_batch(
                     fb.feats, flens_j, fb.graph, W, gconsts,
                     self.config.acoustic_scale,
+                    band=fb.band, band_limits=fb.band_limits,
                 )
             pending.append((fb, out))
         for fb, (state_path, _scores) in pending:
