@@ -82,14 +82,14 @@ def main():
 
         # warm-up (compile)
         aligner.align_corpus(corpus)
-        # steady state
-        reps = 3
-        t0 = time.time()
-        for _ in range(reps):
+        # steady state: median of 5 (remote-attached TPU latency is noisy)
+        times = []
+        for _ in range(5):
+            t0 = time.time()
             results = aligner.align_corpus(corpus)
-        dt = (time.time() - t0) / reps
+            times.append(time.time() - t0)
         assert len(results) == corpus.num_utterances
-        throughput = total_audio / dt
+        throughput = total_audio / sorted(times)[len(times) // 2]
 
     print(
         json.dumps(

@@ -393,16 +393,8 @@ class PretrainedAligner:
         -> all-pdf likelihoods -> one-hot state selection -> dense Viterbi.
         """
         cfg = self.config
-        # 1. tokenize + compile graphs on host
-        graphs: List[CompiledGraph] = []
-        for utt in corpus.utterances:
-            tokens = self.tokenizer.tokenize(utt.text)
-            utt.normalized_tokens = tokens
-            if self.g2p is not None:
-                self._add_g2p_pronunciations(tokens)
-            graphs.append(self.compiler.compile(tokens))
-
-        # 2. load audio
+        # 1. load audio (graph compilation happens after phase A dispatch so
+        # host FST expansion overlaps with device MFCC compute)
         speaker_index = corpus.speaker_index
         num_speakers = len(corpus.speakers)
         waves: List[np.ndarray] = []
@@ -455,6 +447,15 @@ class PretrainedAligner:
                 sidx = speaker_index[corpus.utterances[i].speaker]
                 spk_sum[sidx] += sums[row]
                 spk_count[sidx] += flens[row]
+
+        # host graph compilation overlaps with the in-flight device work
+        graphs: List[CompiledGraph] = []
+        for utt in corpus.utterances:
+            tokens = self.tokenizer.tokenize(utt.text)
+            utt.normalized_tokens = tokens
+            if self.g2p is not None:
+                self._add_g2p_pronunciations(tokens)
+            graphs.append(self.compiler.compile(tokens))
 
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
 

@@ -115,19 +115,31 @@ class _GraphBuilder:
 
     def finish(self, words: List[str]) -> CompiledGraph:
         S = len(self.state_pdf)
-        # incoming arc lists
-        incoming: List[List[Tuple[int, float, int]]] = [[] for _ in range(S)]
-        for src, dst, w, tid in self.arcs:
-            incoming[dst].append((src, w, tid))
-        K = max(1, max(len(lst) for lst in incoming))
-        in_src = np.zeros((S, K), dtype=np.int32)
-        in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
-        in_tid = np.zeros((S, K), dtype=np.int32)
-        for s, lst in enumerate(incoming):
-            for k, (src, w, tid) in enumerate(lst):
-                in_src[s, k] = src
-                in_weight[s, k] = w
-                in_tid[s, k] = tid
+        # incoming arc lists (vectorized: sort arcs by destination, then
+        # rank within destination)
+        if self.arcs:
+            arcs = np.asarray(self.arcs, dtype=np.float64)
+            src_a = arcs[:, 0].astype(np.int32)
+            dst_a = arcs[:, 1].astype(np.int32)
+            w_a = arcs[:, 2].astype(np.float32)
+            tid_a = arcs[:, 3].astype(np.int32)
+            order = np.argsort(dst_a, kind="stable")
+            dst_s = dst_a[order]
+            counts = np.bincount(dst_s, minlength=S)
+            K = max(1, int(counts.max()))
+            starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+            rank = np.arange(len(dst_s)) - starts[dst_s]
+            in_src = np.zeros((S, K), dtype=np.int32)
+            in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
+            in_tid = np.zeros((S, K), dtype=np.int32)
+            in_src[dst_s, rank] = src_a[order]
+            in_weight[dst_s, rank] = w_a[order]
+            in_tid[dst_s, rank] = tid_a[order]
+        else:
+            K = 1
+            in_src = np.zeros((S, K), dtype=np.int32)
+            in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
+            in_tid = np.zeros((S, K), dtype=np.int32)
         start = np.full(S, NEG_INF, dtype=np.float32)
         for s, w in self.start.items():
             start[s] = w
