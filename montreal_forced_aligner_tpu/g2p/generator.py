@@ -56,29 +56,28 @@ class G2PGenerator:
         beams[0] = [(0.0, ("<s>",), ())]
         completed: List[Tuple[float, Tuple[str, ...]]] = []
         for pos in range(G + 1):
-            hyps = beams[pos]
-            if not hyps:
+            worklist = beams[pos]
+            if not worklist:
                 continue
-            hyps.sort(reverse=True)
-            hyps = hyps[: self.beam]
-            # dedupe by (history, phones)
+            worklist.sort(reverse=True)
+            worklist = worklist[: self.beam]
             seen = set()
-            pruned = []
-            for h in hyps:
-                key = (h[1], h[2])
+            processed = 0
+            while worklist and processed < self.beam * 4:
+                score, hist, phones = worklist.pop(0)
+                key = (hist, phones)
                 if key in seen:
                     continue
                 seen.add(key)
-                pruned.append(h)
-            beams[pos] = pruned
-            for score, hist, phones in pruned:
+                processed += 1
                 if pos == G:
                     end_lp = self.model.lm.log_prob("</s>", hist)
                     completed.append((score + end_lp, phones))
-                    continue
-                # epsilon-grapheme expansions (phone insertions) are rare;
-                # include them but only from the matched index
-                candidates = list(self.by_first.get(graphemes[pos], []))
+                candidates = []
+                if pos < G:
+                    candidates = list(self.by_first.get(graphemes[pos], []))
+                # epsilon-grapheme expansions (phone insertions) can occur at
+                # any position, including after the last grapheme
                 candidates += self.by_first.get(EPS, [])
                 for sym, g, p in candidates:
                     if g != (EPS,):
@@ -94,11 +93,15 @@ class G2PGenerator:
                     new_phones = phones + tuple(
                         ph for ph in p if ph != EPS
                     )
-                    if advance == 0 and len(new_phones) > 2 * G + 4:
+                    if advance == 0 and len(new_phones) > 2 * G + 8:
                         continue  # runaway insertion guard
-                    beams[pos + advance].append(
-                        (score + lp, new_hist, new_phones)
-                    )
+                    entry = (score + lp, new_hist, new_phones)
+                    if advance == 0:
+                        worklist.append(entry)
+                        worklist.sort(reverse=True)
+                        del worklist[self.beam :]
+                    else:
+                        beams[pos + advance].append(entry)
         completed.sort(reverse=True)
         out = []
         seen_ph = set()

@@ -280,12 +280,16 @@ class G2PTrainer:
         grapheme_order: int = 2,
         phone_order: int = 2,
         num_alignment_iterations: int = 10,
+        allow_deletions: bool = False,
+        allow_insertions: bool = False,
     ):
         self.order = order
         self.aligner = Aligner(
             grapheme_order=grapheme_order,
             phone_order=phone_order,
             num_iterations=num_alignment_iterations,
+            allow_deletions=allow_deletions,
+            allow_insertions=allow_insertions,
         )
 
     def train_from_pairs(

@@ -1,0 +1,78 @@
+"""Online alignment API, transcript-guided segmentation, trainable tokenizer."""
+
+import numpy as np
+import pytest
+
+from helpers import build_synthetic_corpus, build_synthetic_model, synth_wave
+
+
+@pytest.fixture(scope="module")
+def online_aligner(tmp_path_factory):
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    tmp = tmp_path_factory.mktemp("online")
+    _corpus_dir, wave = build_synthetic_corpus(tmp)
+    model_path, dict_path = build_synthetic_model(tmp, wave=wave)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32)
+    )
+    return aligner, wave
+
+
+def test_align_utterance_online(online_aligner):
+    from montreal_forced_aligner_tpu.online.alignment import (
+        align_utterance_online,
+    )
+
+    aligner, wave = online_aligner
+    aln = align_utterance_online(aligner, wave, "ab a")
+    labels = [w.label for w in sorted(aln.words, key=lambda w: w.begin)]
+    assert labels == ["ab", "a"]
+    w_ab = aln.words[0]
+    assert abs(w_ab.begin - 0.40) < 0.05
+    assert np.isfinite(aln.log_likelihood)
+
+
+def test_transcript_segmentation(online_aligner):
+    from montreal_forced_aligner_tpu.online.alignment import (
+        align_utterance_online,
+    )
+    from montreal_forced_aligner_tpu.vad.transcript_segmenter import (
+        segments_from_alignment,
+    )
+
+    aligner, wave = online_aligner
+    aln = align_utterance_online(aligner, wave, "ab a")
+    # the synthetic audio has no mid-speech silence; with a tiny max length
+    # the segmenter must split between the words
+    segs = segments_from_alignment(aln, min_pause=10.0, max_segment_length=1.0)
+    assert len(segs) == 2
+    assert segs[0].text == "ab"
+    assert segs[1].text == "a"
+    # with generous limits everything stays in one segment
+    segs1 = segments_from_alignment(aln, min_pause=10.0, max_segment_length=60.0)
+    assert len(segs1) == 1
+    assert segs1[0].text == "ab a"
+
+
+def test_trainable_tokenizer():
+    from montreal_forced_aligner_tpu.tokenization.trainer import TokenizerTrainer
+
+    # learn simple normalizations: lowercase passthrough + digit expansion
+    pairs = []
+    digits = {"1": "one", "2": "two", "3": "three"}
+    words = ["cat", "dog", "fish", "bird", "tree", "book"]
+    for w in words:
+        pairs.append((w, w))
+        for d, name in digits.items():
+            pairs.append((w + d, w + " " + name))
+            pairs.append((d, name))
+    trainer = TokenizerTrainer(order=5, num_alignment_iterations=5)
+    tok = trainer.train_from_pairs(pairs * 2)
+    assert tok.tokenize("cat") == "cat"
+    assert tok.tokenize("2") == "two"
+    out = tok.tokenize("dog3")
+    assert out == "dog three"
