@@ -19,6 +19,12 @@ import click
 def cli():
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
+    try:
+        from montreal_forced_aligner_tpu.config import record_history
+
+        record_history(sys.argv[1:])
+    except Exception:
+        pass
 
 
 @cli.command("align")
@@ -494,6 +500,229 @@ def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations):
                 f.write(f"{w}\t{' '.join(phones)}\n")
                 n += 1
     click.echo(f"Wrote {n} pronunciations for {len(words)} words to {output_path}")
+
+
+@cli.command("train_ivector")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--num_gauss", default=256, show_default=True)
+@click.option("--ivector_dim", default=192, show_default=True)
+@click.option("--num_iterations", default=10, show_default=True)
+@click.option("--batch_size", default=16, show_default=True)
+def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
+                      ivector_dim, num_iterations, batch_size):
+    """Train a UBM + i-vector extractor (reference: ``mfa train_ivector``,
+    ``ivector/trainer.py``)."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.pipeline import (
+        corpus_feature_batches,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+
+    corpus = Corpus.load(corpus_directory)
+    batches, _order = corpus_feature_batches(corpus, batch_size=batch_size)
+    ubm = train_ubm(batches, num_gauss=num_gauss)
+    extractor = train_ivector_extractor(
+        batches, ubm, ivector_dim=ivector_dim, num_iterations=num_iterations
+    )
+    extractor.save(output_model_path)
+    click.echo(
+        f"Trained {ubm.num_gauss}-gauss UBM + {ivector_dim}-dim extractor "
+        f"-> {output_model_path}"
+    )
+
+
+@cli.command("diarize_speakers")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("ivector_extractor_path", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--expected_num_speakers", default=0, show_default=True,
+              help="0 = threshold-based")
+@click.option("--distance_threshold", default=0.5, show_default=True)
+@click.option("--batch_size", default=16, show_default=True)
+def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
+                         output_directory, expected_num_speakers,
+                         distance_threshold, batch_size):
+    """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
+    ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.diarization.speaker_diarizer import (
+        SpeakerDiarizer,
+    )
+    from montreal_forced_aligner_tpu.ivector.extractor import IvectorExtractor
+    from montreal_forced_aligner_tpu.ivector.pipeline import (
+        corpus_feature_batches,
+    )
+
+    corpus = Corpus.load(corpus_directory)
+    batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
+    diarizer = SpeakerDiarizer(IvectorExtractor.load(ivector_extractor_path))
+    result = diarizer.cluster_utterances(
+        batches,
+        num_speakers=expected_num_speakers or None,
+        threshold=None if expected_num_speakers else distance_threshold,
+    )
+    out = _P(output_directory)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "utt2spk.tsv", "w", encoding="utf-8") as f:
+        for pos, utt_idx in enumerate(order):
+            utt = corpus.utterances[utt_idx]
+            f.write(f"{utt.file_name}\t{utt.begin}\t{utt.end}\t"
+                    f"speaker{int(result.labels[pos])}\n")
+    n = len(set(result.labels.tolist()))
+    click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")
+
+
+@cli.command("train_tokenizer")
+@click.argument("training_file", type=click.Path(exists=True))
+@click.argument("output_model_path", type=click.Path())
+@click.option("--order", default=6, show_default=True)
+def train_tokenizer_cli(training_file, output_model_path, order):
+    """Train a tokenizer from tab-separated (raw, tokenized) lines
+    (reference: ``mfa train_tokenizer``, ``tokenization/trainer.py``)."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.tokenization.trainer import TokenizerTrainer
+
+    pairs = []
+    for line in _P(training_file).read_text(encoding="utf-8").splitlines():
+        if "\t" in line:
+            raw, tok = line.split("\t", 1)
+            pairs.append((raw.strip(), tok.strip()))
+    tokenizer = TokenizerTrainer(order=order).train_from_pairs(pairs)
+    tokenizer.model.save(output_model_path)
+    click.echo(f"Trained tokenizer on {len(pairs)} pairs -> {output_model_path}")
+
+
+@cli.command("tokenize")
+@click.argument("input_path", type=click.Path(exists=True))
+@click.argument("tokenizer_model_path", type=click.Path(exists=True))
+@click.argument("output_path", type=click.Path())
+def tokenize_cli(input_path, tokenizer_model_path, output_path):
+    """Tokenize text with a trained tokenizer (reference: ``mfa tokenize``)."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
+    from montreal_forced_aligner_tpu.tokenization.trainer import TrainedTokenizer
+
+    tok = TrainedTokenizer(model=G2PModel.load(tokenizer_model_path))
+    lines = _P(input_path).read_text(encoding="utf-8").splitlines()
+    with open(output_path, "w", encoding="utf-8") as f:
+        for line in lines:
+            f.write(tok.tokenize(line.strip()) + "\n")
+    click.echo(f"Tokenized {len(lines)} lines -> {output_path}")
+
+
+@cli.command("train_dictionary")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("acoustic_model_path", type=click.Path(exists=True))
+@click.argument("output_dictionary_path", type=click.Path())
+@click.option("--batch_size", default=16, show_default=True)
+def train_dictionary_cli(corpus_directory, dictionary_path,
+                         acoustic_model_path, output_dictionary_path,
+                         batch_size):
+    """Align a corpus and export a dictionary with estimated pronunciation
+    and silence probabilities (reference: ``mfa train_dictionary``,
+    ``pretrained.py:561`` DictionaryTrainer)."""
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.training.pronunciation import (
+        PronunciationCounter,
+        apply_probabilities_to_lexicon,
+        compute_pronunciation_probabilities,
+    )
+
+    aligner = PretrainedAligner(
+        acoustic_model_path, dictionary_path, AlignerConfig(batch_size=batch_size)
+    )
+    corpus = Corpus.load(corpus_directory)
+    results = aligner.align_corpus(corpus)
+    counter = PronunciationCounter()
+    for aln in results.values():
+        counter.add_utterance(aln, aligner.lexicon.silence_phone)
+    probs = compute_pronunciation_probabilities(counter)
+    apply_probabilities_to_lexicon(aligner.lexicon, probs)
+    aligner.lexicon.write(output_dictionary_path)
+    click.echo(
+        f"Exported dictionary with pronunciation probabilities to "
+        f"{output_dictionary_path}"
+    )
+
+
+@cli.command("validate_dictionary")
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.option("--order", default=6, show_default=True)
+def validate_dictionary_cli(dictionary_path, order):
+    """G2P-based dictionary QA (reference: ``mfa validate_dictionary``,
+    ``validation/dictionary_validator.py:15``): train a G2P model on the
+    dictionary and flag entries whose pronunciations disagree strongly."""
+    from montreal_forced_aligner_tpu.dictionary.lexicon import (
+        parse_dictionary_file,
+    )
+    from montreal_forced_aligner_tpu.evaluation import edit_distance
+    from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PTrainer
+
+    pairs = [
+        (w, p.phones) for w, p in parse_dictionary_file(dictionary_path)
+    ]
+    model = G2PTrainer(order=order).train_from_pairs(pairs)
+    gen = G2PGenerator(model)
+    flagged = []
+    for w, phones in pairs:
+        hyps = gen.generate(w, num_pronunciations=3)
+        if not hyps:
+            continue
+        best = min(
+            edit_distance(list(phones), list(h)) for h, _s in hyps
+        )
+        if best > max(2, len(phones) // 2):
+            flagged.append((w, " ".join(phones), best))
+    click.echo(f"Validated {len(pairs)} entries; {len(flagged)} flagged")
+    for w, pron, d in flagged[:50]:
+        click.echo(f"  {w}\t{pron}\t(phone distance {d})")
+
+
+@cli.command("configure")
+@click.option("--profile", default=None, help="Profile name to edit")
+@click.option("--batch_size", default=None, type=int)
+@click.option("--seed", default=None, type=int)
+@click.option("--clean/--no_clean", default=None)
+@click.option("--debug/--no_debug", default=None)
+@click.option("--temporary_directory", default=None)
+def configure_cli(profile, **options):
+    """Persist default options to the global profile store (reference:
+    ``mfa configure``, ``config.py:167-280``)."""
+    from montreal_forced_aligner_tpu.config import get_config
+
+    cfg = get_config()
+    if profile:
+        cfg.current_profile_name = profile
+    cfg.current_profile.update({k: v for k, v in options.items() if v is not None})
+    cfg.save()
+    click.echo(f"Saved profile {cfg.current_profile_name!r}")
+
+
+@cli.command("history")
+@click.option("--depth", default=10, show_default=True)
+def history_cli(depth):
+    """Show recent command history (reference: ``mfa history``)."""
+    from montreal_forced_aligner_tpu.config import load_history
+
+    for entry in load_history()[-depth:]:
+        click.echo(
+            f"{entry['time']}  (exit {entry['exit_code']})  "
+            + " ".join(entry["command"])
+        )
 
 
 if __name__ == "__main__":

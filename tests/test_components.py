@@ -280,3 +280,35 @@ def test_model_manager(tmp_path):
         mm.resolve("acoustic", "nonexistent")
     with pytest.raises(RuntimeError):
         mm.download("acoustic", "english_us_arpa")
+
+
+def test_cli_commands_exist_and_config(tmp_path, monkeypatch):
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+
+    expected = {
+        "align", "align_one", "adapt", "train", "validate",
+        "validate_dictionary", "transcribe", "train_lm", "train_g2p", "g2p",
+        "train_ivector", "diarize_speakers", "train_tokenizer", "tokenize",
+        "train_dictionary", "create_segments_vad", "evaluate_alignments",
+        "model", "configure", "history", "version",
+    }
+    assert expected <= set(cli.commands)
+
+    monkeypatch.setenv("MFA_TPU_TEMP_DIR", str(tmp_path))
+    import montreal_forced_aligner_tpu.config as C
+
+    C._config = None
+    runner = CliRunner()
+    r = runner.invoke(cli, ["configure", "--batch_size", "8", "--seed", "42"])
+    assert r.exit_code == 0, r.output
+    C._config = None
+    cfg = C.get_config()
+    assert cfg.current_profile.batch_size == 8
+    assert cfg.current_profile.seed == 42
+    r = runner.invoke(cli, ["version"])
+    assert r.exit_code == 0
+    r = runner.invoke(cli, ["history"])
+    assert r.exit_code == 0
+    assert "exit 0" in r.output  # history recorded invocations
