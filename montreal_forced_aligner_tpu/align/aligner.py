@@ -199,6 +199,7 @@ class PretrainedAligner:
         dictionary_path,
         config: Optional[AlignerConfig] = None,
         g2p_model_path=None,
+        rules_path=None,
     ):
         self.config = config or AlignerConfig()
         self.model = AcousticModel.load(acoustic_model_path)
@@ -210,6 +211,14 @@ class PretrainedAligner:
             dictionary_path,
             phone_table=self.model.phone_table,
         )
+        if rules_path is not None:
+            from montreal_forced_aligner_tpu.dictionary.rules import (
+                PhonologicalRule,
+                apply_rules_to_lexicon,
+            )
+
+            rules = PhonologicalRule.load_rules(rules_path)
+            apply_rules_to_lexicon(self.lexicon, rules)
         self.g2p = None
         if g2p_model_path is not None:
             from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator

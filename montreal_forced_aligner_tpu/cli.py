@@ -39,6 +39,10 @@ def cli():
 @click.option("--include_silence/--no_include_silence", default=False)
 @click.option("--fine_tune/--no_fine_tune", default=False,
               help="Refine boundaries at 1 ms resolution")
+@click.option("--g2p_model_path", type=click.Path(exists=True), default=None,
+              help="G2P model for OOV pronunciations")
+@click.option("--rules_path", type=click.Path(exists=True), default=None,
+              help="Phonological rules yaml for pronunciation variants")
 def align_cli(
     corpus_directory,
     dictionary_path,
@@ -50,6 +54,8 @@ def align_cli(
     batch_size,
     include_silence,
     fine_tune,
+    g2p_model_path,
+    rules_path,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -66,7 +72,13 @@ def align_cli(
         boost_silence=boost_silence,
         batch_size=batch_size,
     )
-    aligner = PretrainedAligner(acoustic_model_path, dictionary_path, config)
+    aligner = PretrainedAligner(
+        acoustic_model_path,
+        dictionary_path,
+        config,
+        g2p_model_path=g2p_model_path,
+        rules_path=rules_path,
+    )
     corpus = Corpus.load(corpus_directory)
     click.echo(
         f"Loaded corpus: {corpus.num_utterances} utterances, "

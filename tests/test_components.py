@@ -312,3 +312,64 @@ def test_cli_commands_exist_and_config(tmp_path, monkeypatch):
     r = runner.invoke(cli, ["history"])
     assert r.exit_code == 0
     assert "exit 0" in r.output  # history recorded invocations
+
+
+def test_phonological_rules(tmp_path):
+    from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+    from montreal_forced_aligner_tpu.dictionary.rules import (
+        PhonologicalRule,
+        apply_rules_to_lexicon,
+    )
+
+    d = tmp_path / "d.dict"
+    d.write_text("heed\thh iy d\nbeat\tb iy t\nhid\thh ih d\n")
+    lex = Lexicon.load(d, position_dependent=False)
+    # reference test rule: iy -> ih everywhere
+    rule = PhonologicalRule(segment="iy", replacement="ih")
+    added = apply_rules_to_lexicon(lex, [rule])
+    assert added == 2
+    assert ("hh", "ih", "d") in {p.phones for p in lex.words["heed"]}
+    assert ("b", "ih", "t") in {p.phones for p in lex.words["beat"]}
+
+    # contexted + word-final rule: t -> d / after ih, word-finally
+    lex2 = Lexicon.load(d, position_dependent=False)
+    rule2 = PhonologicalRule(
+        segment="t", replacement="d", preceding_context="iy",
+        following_context="$",
+    )
+    apply_rules_to_lexicon(lex2, [rule2])
+    assert ("b", "iy", "d") in {p.phones for p in lex2.words["beat"]}
+    # no false positives
+    assert all(p.phones != ("hh", "iy", "d", "d") for p in lex2.words["heed"])
+
+    # deletion rule
+    rule3 = PhonologicalRule(segment="d", replacement="", following_context="$")
+    lex3 = Lexicon.load(d, position_dependent=False)
+    apply_rules_to_lexicon(lex3, [rule3])
+    assert ("hh", "iy") in {p.phones for p in lex3.words["heed"]}
+
+
+def test_rules_yaml_loading(tmp_path):
+    from montreal_forced_aligner_tpu.dictionary.rules import PhonologicalRule
+
+    y = tmp_path / "rules.yaml"
+    y.write_text(
+        "rules:\n"
+        "  - following_context: ''\n"
+        "    preceding_context: ''\n"
+        "    replacement: ih\n"
+        "    segment: iy\n"
+    )
+    rules = PhonologicalRule.load_rules(y)
+    assert len(rules) == 1
+    assert rules[0].apply("hh iy d") == "hh ih d"
+
+
+def test_exceptions_hierarchy():
+    from montreal_forced_aligner_tpu import exceptions as E
+
+    assert issubclass(E.AlignmentError, E.MFAError)
+    assert issubclass(E.DictionaryError, E.MFAError)
+    assert issubclass(E.CorpusReadError, E.CorpusError)
+    err = E.PhoneMismatchError({"zz", "aa"})
+    assert "aa" in str(err)
