@@ -217,8 +217,11 @@ def version_cli():
 @click.option("--batch_size", default=16, show_default=True)
 @click.option("--num_iterations_scale", default=1.0, show_default=True,
               help="Scale factor on per-stage iteration counts (quick runs)")
+@click.option("--working_directory", type=click.Path(), default=None,
+              help="Stage checkpoints for resume")
 def train_cli(corpus_directory, dictionary_path, output_model_path,
-              output_directory, batch_size, num_iterations_scale):
+              output_directory, batch_size, num_iterations_scale,
+              working_directory):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -235,7 +238,8 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
         for st in DEFAULT_RECIPE
     ]
     ta = TrainableAligner(
-        corpus_directory, dictionary_path, recipe=recipe, batch_size=batch_size
+        corpus_directory, dictionary_path, recipe=recipe,
+        batch_size=batch_size, working_directory=working_directory,
     )
     final = ta.train()
     ta.export_model(output_model_path)

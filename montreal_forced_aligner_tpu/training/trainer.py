@@ -67,6 +67,7 @@ class TrainableAligner:
         base_config: Optional[TrainerConfig] = None,
         batch_size: int = 16,
         position_dependent_phones: bool = False,
+        working_directory=None,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.lexicon = Lexicon.load(
@@ -75,8 +76,76 @@ class TrainableAligner:
         self.recipe = recipe if recipe is not None else DEFAULT_RECIPE
         self.base_config = base_config or TrainerConfig()
         self.batch_size = batch_size
+        self.working_directory = (
+            Path(working_directory) if working_directory else None
+        )
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
+
+    def _checkpoint_paths(self, stage_name: str):
+        if self.working_directory is None:
+            return None, None
+        d = self.working_directory / stage_name
+        return d / "model.zip", d / "aux.npz"
+
+    def _save_checkpoint(self, stage_name: str, trainer, model) -> None:
+        """Per-stage checkpoint (reference: filesystem-is-the-checkpoint,
+        ``acoustic_modeling/base.py:820-826`` skips existing models)."""
+        model_path, aux_path = self._checkpoint_paths(stage_name)
+        if model_path is None:
+            return
+        model_path.parent.mkdir(parents=True, exist_ok=True)
+        model.save(model_path)
+        aux = {}
+        if getattr(trainer, "speaker_transforms", None) is not None:
+            aux["speaker_transforms"] = trainer.speaker_transforms
+        if aux:
+            np.savez_compressed(aux_path, **aux)
+
+    def _load_checkpoint(self, stage, pipeline, topo, lda_mat):
+        """Returns a trainer reconstructed from a stage checkpoint (with the
+        pipeline realigned by its model), or None."""
+        model_path, aux_path = self._checkpoint_paths(stage.name)
+        if model_path is None or not model_path.exists():
+            return None
+        from montreal_forced_aligner_tpu.training.em import ViterbiEmTrainer
+        from montreal_forced_aligner_tpu.training.sat import SatTrainer
+
+        model = AcousticModel.load(model_path)
+        cfg = replace(
+            self.base_config,
+            num_iterations=stage.num_iterations,
+            max_gaussians=stage.max_gaussians,
+        )
+        if stage.kind == "sat":
+            trainer = SatTrainer(
+                self.lexicon, model.transition_model.topo, cfg,
+                lda_mat=model.lda_mat,
+            )
+        else:
+            trainer = ViterbiEmTrainer(self.lexicon, cfg)
+            trainer.train_type = stage.kind
+        trainer.tm = model.transition_model
+        trainer.gmm = model.gmm
+        trainer.tree = model.tree
+        if getattr(model, "lda_mat", None) is not None:
+            trainer.lda_mat = model.lda_mat
+        if aux_path is not None and aux_path.exists():
+            aux = np.load(aux_path)
+            if "speaker_transforms" in aux:
+                trainer.speaker_transforms = aux["speaker_transforms"]
+        # restore the stage's feature transform + alignments
+        pipeline.set_feature_transform(
+            uses_deltas=model.uses_deltas and model.lda_mat is None,
+            lda_mat=model.lda_mat,
+            speaker_transforms=getattr(trainer, "speaker_transforms", None),
+        )
+        pipeline.compile_graphs(trainer.make_compiler())
+        trainer._realign(pipeline)
+        logger.info("resumed stage %s from %s", stage.name, model_path)
+        self.models[stage.name] = model
+        self.trainers[stage.name] = trainer
+        return trainer, model
 
     def train(self) -> AcousticModel:
         pipeline = TrainingPipeline(
@@ -132,7 +201,16 @@ class TrainableAligner:
                 continue
             else:
                 raise ValueError(f"unknown stage kind {stage.kind}")
+            resumed = self._load_checkpoint(stage, pipeline, topo, lda_mat)
+            if resumed is not None:
+                trainer, model = resumed
+                prev_trainer = trainer
+                topo = trainer.tm.topo
+                if getattr(trainer, "lda_mat", None) is not None:
+                    lda_mat = trainer.lda_mat
+                continue
             model = trainer.train(pipeline)
+            self._save_checkpoint(stage.name, trainer, model)
             self.models[stage.name] = model
             self.trainers[stage.name] = trainer
             prev_trainer = trainer

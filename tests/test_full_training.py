@@ -99,3 +99,41 @@ def test_final_model_aligns(full_train, tmp_path):
             if i == len(full) - 1 or full[i + 1][0] != ph:
                 errors.append(abs(p.end - e))
     assert np.median(errors) < 0.03
+
+
+def test_checkpoint_resume(tmp_path):
+    """Stage checkpoints are written and resumed (filesystem-is-the-
+    checkpoint, reference acoustic_modeling/base.py:820-826)."""
+    corpus_dir, _truths = make_training_corpus(tmp_path, n_utts=4)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    recipe = [
+        StageConfig("monophone", "mono", 3, 30),
+        StageConfig("triphone", "tri", 2, 40, num_leaves=32),
+    ]
+    wd = tmp_path / "work"
+    ta1 = TrainableAligner(
+        corpus_dir, dict_path, recipe=recipe,
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4, working_directory=wd,
+    )
+    m1 = ta1.train()
+    assert (wd / "monophone" / "model.zip").exists()
+    assert (wd / "triphone" / "model.zip").exists()
+    # second run resumes both stages without retraining
+    ta2 = TrainableAligner(
+        corpus_dir, dict_path, recipe=recipe,
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4, working_directory=wd,
+    )
+    m2 = ta2.train()
+    assert m2.gmm.num_pdfs == m1.gmm.num_pdfs
+    import numpy as np
+
+    np.testing.assert_allclose(
+        m2.transition_model.log_probs, m1.transition_model.log_probs, atol=1e-6
+    )
+    tri_trainer = ta2.trainers["triphone"]
+    assert tri_trainer.iteration_log == []  # no EM iterations ran on resume
