@@ -207,10 +207,17 @@ class PretrainedAligner:
             self.model.phone_table = reconstruct_phone_table(
                 self.model.meta, self.model.transition_model.topo
             )
-        self.lexicon = Lexicon.load(
-            dictionary_path,
-            phone_table=self.model.phone_table,
+        from montreal_forced_aligner_tpu.dictionary.lexicon import (
+            load_dictionary_argument,
         )
+
+        self.lexicons, self.speaker_dictionary_map, default_key = (
+            load_dictionary_argument(
+                dictionary_path, phone_table=self.model.phone_table
+            )
+        )
+        self.default_dictionary_key = default_key or next(iter(self.lexicons))
+        self.lexicon = self.lexicons[self.default_dictionary_key]
         if rules_path is not None:
             from montreal_forced_aligner_tpu.dictionary.rules import (
                 PhonologicalRule,
@@ -225,14 +232,21 @@ class PretrainedAligner:
             from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
 
             self.g2p = G2PGenerator(G2PModel.load(g2p_model_path))
-        self.tokenizer = SimpleTokenizer(word_set=set(self.lexicon.words))
-        self.compiler = AlignmentGraphCompiler(
-            self.model.transition_model,
-            self.model.tree,
-            self.lexicon,
-            transition_scale=self.config.transition_scale,
-            self_loop_scale=self.config.self_loop_scale,
-        )
+        all_words = set()
+        for lex in self.lexicons.values():
+            all_words |= set(lex.words)
+        self.tokenizer = SimpleTokenizer(word_set=all_words)
+        self.compilers = {
+            key: AlignmentGraphCompiler(
+                self.model.transition_model,
+                self.model.tree,
+                lex,
+                transition_scale=self.config.transition_scale,
+                self_loop_scale=self.config.self_loop_scale,
+            )
+            for key, lex in self.lexicons.items()
+        }
+        self.compiler = self.compilers[self.default_dictionary_key]
         feat_meta = self.model.meta.get("features", {})
         self.mfcc_config = MfccConfig(
             frame_shift_ms=float(feat_meta.get("frame_shift", 10)),
@@ -464,7 +478,10 @@ class PretrainedAligner:
             utt.normalized_tokens = tokens
             if self.g2p is not None:
                 self._add_g2p_pronunciations(tokens)
-            graphs.append(self.compiler.compile(tokens))
+            key = self.speaker_dictionary_map.get(
+                utt.speaker, self.default_dictionary_key
+            )
+            graphs.append(self.compilers[key].compile(tokens))
 
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
 

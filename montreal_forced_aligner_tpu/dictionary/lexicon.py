@@ -233,3 +233,31 @@ class Lexicon:
                         cols.append(f"{v:.2f}")
                     cols.extend(pron.phones)
                     f.write("\t".join(cols) + "\n")
+
+
+def load_dictionary_argument(path, phone_table=None, **kwargs):
+    """Resolve the CLI dictionary argument into {name: Lexicon} plus a
+    speaker->name mapping (reference ``MultispeakerDictionaryMixin``,
+    ``dictionary/multispeaker.py:61,289-327``): a plain dictionary file maps
+    every speaker to it; a yaml file maps speaker names (and ``default``)
+    to dictionary paths."""
+    import yaml as _yaml
+    from pathlib import Path as _P
+
+    path = _P(path)
+    if path.suffix.lower() in (".yaml", ".yml"):
+        with open(path, "r", encoding="utf-8") as f:
+            mapping = _yaml.safe_load(f) or {}
+        lexicons = {}
+        speaker_map = {}
+        for speaker, dict_path in mapping.items():
+            dict_path = str(dict_path)
+            if dict_path not in lexicons:
+                lexicons[dict_path] = Lexicon.load(
+                    dict_path, phone_table=phone_table, **kwargs
+                )
+            speaker_map[speaker] = dict_path
+        default = speaker_map.get("default")
+        return lexicons, speaker_map, default
+    lex = Lexicon.load(path, phone_table=phone_table, **kwargs)
+    return {str(path): lex}, {}, str(path)

@@ -132,3 +132,30 @@ def test_multi_device_alignment_matches_single(tmp_path):
         p1 = [(p.label, round(p.begin, 3), round(p.end, 3)) for p in r1[uid].phones]
         p2 = [(p.label, round(p.begin, 3), round(p.end, 3)) for p in r2[uid].phones]
         assert p1 == p2
+
+
+def test_multispeaker_dictionaries(tmp_path):
+    """A yaml mapping speakers to dictionaries compiles per-speaker graphs
+    (reference MultispeakerDictionaryMixin)."""
+    import yaml
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    # speaker-specific dictionary: same words, reversed pron for "ab"
+    alt_dict = tmp_path / "alt.dict"
+    alt_dict.write_text("ab\taa bb\na\taa\nb\tbb\nba\tbb aa\n")
+    mapping = tmp_path / "dicts.yaml"
+    mapping.write_text(
+        yaml.safe_dump({"default": str(dict_path), "spk1": str(alt_dict)})
+    )
+    aligner = PretrainedAligner(
+        model_path, mapping, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    assert len(aligner.lexicons) == 2
+    assert aligner.speaker_dictionary_map["spk1"].endswith("alt.dict")
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+    labels = [w.label for w in sorted(results[0].words, key=lambda w: w.begin)]
+    assert labels == ["ab", "a"]
