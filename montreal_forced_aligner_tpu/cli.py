@@ -268,7 +268,12 @@ def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
 @cli.command("validate")
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
-def validate_cli(corpus_directory, dictionary_path):
+@click.option("--acoustic_model_path", type=click.Path(exists=True), default=None)
+@click.option("--test_transcriptions/--no_test_transcriptions", default=False,
+              help="Decode utterances against a corpus LM and report WER "
+                   "(flags likely transcript errors)")
+def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
+                 test_transcriptions):
     """Validate a corpus + dictionary (reference: ``mfa validate``,
     ``validation/corpus_validator.py:77``): counts, OOVs, audio issues."""
     from collections import Counter
@@ -304,6 +309,36 @@ def validate_cli(corpus_directory, dictionary_path):
         click.echo(f"Sound file errors: {len(bad_audio)}")
         for f, e in bad_audio[:10]:
             click.echo(f"  {f}: {e}")
+    if test_transcriptions:
+        if acoustic_model_path is None:
+            raise click.ClickException(
+                "--test_transcriptions requires --acoustic_model_path"
+            )
+        from montreal_forced_aligner_tpu.transcription.transcriber import (
+            Transcriber,
+        )
+
+        tr = Transcriber(acoustic_model_path, dictionary_path)
+        results = tr.transcribe_corpus(corpus)
+        metrics = tr.evaluate(corpus, results)
+        click.echo(
+            f"Transcription check: WER {metrics['wer']:.4f} over "
+            f"{metrics['num_utterances']} utterances"
+        )
+        from montreal_forced_aligner_tpu.evaluation import score_wer
+
+        flagged = []
+        for utt in corpus.utterances:
+            if utt.id not in results:
+                continue
+            ref = tr.aligner.tokenizer.tokenize(utt.text)
+            wer = score_wer(ref, results[utt.id].text.split())
+            if wer > 0.45:
+                flagged.append((utt.file_name, wer))
+        if flagged:
+            click.echo(f"Utterances with suspicious transcripts: {len(flagged)}")
+            for f, w in flagged[:20]:
+                click.echo(f"  {f}: WER {w:.2f}")
     click.echo("Validation complete")
 
 
