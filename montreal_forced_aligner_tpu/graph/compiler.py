@@ -68,39 +68,69 @@ class CompiledGraph:
 
 
 class _GraphBuilder:
-    """Accumulates states and arcs during expansion."""
+    """Accumulates states and arcs during expansion (numpy-block based: a
+    whole phone instance's states and internal arcs are appended as arrays;
+    only junction arcs are scalar)."""
 
     def __init__(self):
-        self.state_pdf: List[int] = []
-        self.state_phone: List[int] = []
-        self.state_word: List[int] = []
-        self.state_hmm_pos: List[int] = []
-        self.state_tstate: List[int] = []
-        self.state_instance: List[int] = []
-        self.num_instances: int = 0
-        self.arcs: List[Tuple[int, int, float, int]] = []  # (src, dst, weight, tid)
+        self.num_states = 0
+        self.num_instances = 0
+        # per-instance blocks
+        self._pdf_blocks: List[np.ndarray] = []
+        self._phone_vals: List[Tuple[int, int, int, int]] = []  # phone, word, inst, n
+        self._tstate_blocks: List[np.ndarray] = []
+        self._hmm_blocks: List[np.ndarray] = []
+        # arc blocks (absolute state indices)
+        self._arc_src: List[np.ndarray] = []
+        self._arc_dst: List[np.ndarray] = []
+        self._arc_w: List[np.ndarray] = []
+        self._arc_tid: List[np.ndarray] = []
+        # scalar junction arcs
+        self._jsrc: List[int] = []
+        self._jdst: List[int] = []
+        self._jw: List[float] = []
+        self._jtid: List[int] = []
         self.start: Dict[int, float] = {}
         self.final: Dict[int, float] = {}
         self.final_tid: Dict[int, int] = {}
 
-    def add_state(
-        self, pdf: int, phone: int, word: int, hmm_pos: int, tstate: int, instance: int
+    def add_instance_block(
+        self, plan: dict, phone: int, word: int
     ) -> int:
-        idx = len(self.state_pdf)
-        self.state_pdf.append(pdf)
-        self.state_phone.append(phone)
-        self.state_word.append(word)
-        self.state_hmm_pos.append(hmm_pos)
-        self.state_tstate.append(tstate)
-        self.state_instance.append(instance)
-        return idx
-
-    def new_instance(self) -> int:
+        """Add all states + internal arcs of one phone instance; returns the
+        base state index."""
+        base = self.num_states
+        n = plan["n_emit"]
+        inst = self.num_instances
         self.num_instances += 1
-        return self.num_instances - 1
+        self._pdf_blocks.append(plan["np_pdfs"])
+        self._tstate_blocks.append(plan["np_tstates"])
+        self._hmm_blocks.append(plan["np_hmm_pos"])
+        self._phone_vals.append((phone, word, inst, n))
+        if len(plan["np_arc_src"]):
+            self._arc_src.append(plan["np_arc_src"] + base)
+            self._arc_dst.append(plan["np_arc_dst"] + base)
+            self._arc_w.append(plan["np_arc_w"])
+            self._arc_tid.append(plan["np_arc_tid"])
+        self.num_states += n
+        return base
+
+    @property
+    def state_pdf(self):  # length check compatibility
+        class _Len:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+        return _Len(self.num_states)
 
     def add_arc(self, src: int, dst: int, weight: float, tid: int = 0) -> None:
-        self.arcs.append((src, dst, weight, tid))
+        self._jsrc.append(src)
+        self._jdst.append(dst)
+        self._jw.append(weight)
+        self._jtid.append(tid)
 
     def add_start(self, state: int, weight: float) -> None:
         prev = self.start.get(state, NEG_INF)
@@ -114,20 +144,52 @@ class _GraphBuilder:
         self.final_tid[state] = tid
 
     def finish(self, words: List[str]) -> CompiledGraph:
-        S = len(self.state_pdf)
-        # incoming arc lists (vectorized: sort arcs by destination, then
-        # rank within destination)
-        if self.arcs:
-            arcs = np.asarray(self.arcs, dtype=np.float64)
-            src_a = arcs[:, 0].astype(np.int32)
-            dst_a = arcs[:, 1].astype(np.int32)
-            w_a = arcs[:, 2].astype(np.float32)
-            tid_a = arcs[:, 3].astype(np.int32)
+        S = self.num_states
+        state_pdf = (
+            np.concatenate(self._pdf_blocks)
+            if self._pdf_blocks
+            else np.zeros(0, np.int32)
+        )
+        state_tstate = (
+            np.concatenate(self._tstate_blocks)
+            if self._tstate_blocks
+            else np.zeros(0, np.int32)
+        )
+        state_hmm = (
+            np.concatenate(self._hmm_blocks)
+            if self._hmm_blocks
+            else np.zeros(0, np.int32)
+        )
+        counts = np.asarray([v[3] for v in self._phone_vals], np.int32)
+        state_phone = np.repeat(
+            np.asarray([v[0] for v in self._phone_vals], np.int32), counts
+        )
+        state_word = np.repeat(
+            np.asarray([v[1] for v in self._phone_vals], np.int32), counts
+        )
+        state_instance = np.repeat(
+            np.asarray([v[2] for v in self._phone_vals], np.int32), counts
+        )
+
+        src_a = np.concatenate(
+            self._arc_src + [np.asarray(self._jsrc, np.int32)]
+        ).astype(np.int32)
+        dst_a = np.concatenate(
+            self._arc_dst + [np.asarray(self._jdst, np.int32)]
+        ).astype(np.int32)
+        w_a = np.concatenate(
+            self._arc_w + [np.asarray(self._jw, np.float32)]
+        ).astype(np.float32)
+        tid_a = np.concatenate(
+            self._arc_tid + [np.asarray(self._jtid, np.int32)]
+        ).astype(np.int32)
+
+        if len(dst_a):
             order = np.argsort(dst_a, kind="stable")
             dst_s = dst_a[order]
-            counts = np.bincount(dst_s, minlength=S)
-            K = max(1, int(counts.max()))
-            starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+            counts_in = np.bincount(dst_s, minlength=S)
+            K = max(1, int(counts_in.max()))
+            starts = np.concatenate([[0], np.cumsum(counts_in[:-1])])
             rank = np.arange(len(dst_s)) - starts[dst_s]
             in_src = np.zeros((S, K), dtype=np.int32)
             in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
@@ -140,21 +202,22 @@ class _GraphBuilder:
             in_src = np.zeros((S, K), dtype=np.int32)
             in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
             in_tid = np.zeros((S, K), dtype=np.int32)
+
         start = np.full(S, NEG_INF, dtype=np.float32)
-        for s, w in self.start.items():
-            start[s] = w
+        for st, w in self.start.items():
+            start[st] = w
         final = np.full(S, NEG_INF, dtype=np.float32)
         final_tid = np.zeros(S, dtype=np.int32)
-        for s, w in self.final.items():
-            final[s] = w
-            final_tid[s] = self.final_tid.get(s, 0)
+        for st, w in self.final.items():
+            final[st] = w
+            final_tid[st] = self.final_tid.get(st, 0)
         return CompiledGraph(
-            state_pdf=np.asarray(self.state_pdf, dtype=np.int32),
-            state_phone=np.asarray(self.state_phone, dtype=np.int32),
-            state_word=np.asarray(self.state_word, dtype=np.int32),
-            state_hmm_pos=np.asarray(self.state_hmm_pos, dtype=np.int32),
-            state_tstate=np.asarray(self.state_tstate, dtype=np.int32),
-            state_instance=np.asarray(self.state_instance, dtype=np.int32),
+            state_pdf=state_pdf,
+            state_phone=state_phone,
+            state_word=state_word,
+            state_hmm_pos=state_hmm,
+            state_tstate=state_tstate,
+            state_instance=state_instance,
             in_src=in_src,
             in_weight=in_weight,
             in_tid=in_tid,
@@ -248,6 +311,14 @@ class AlignmentGraphCompiler:
             internal=internal,
             exits=exits,
             key=tuple(zip(pdfs, tstates)),
+            # numpy blocks for bulk instantiation
+            np_pdfs=np.asarray(pdfs, dtype=np.int32),
+            np_tstates=np.asarray(tstates, dtype=np.int32),
+            np_hmm_pos=np.arange(n_emit, dtype=np.int32),
+            np_arc_src=np.asarray([a[0] for a in internal], dtype=np.int32),
+            np_arc_dst=np.asarray([a[1] for a in internal], dtype=np.int32),
+            np_arc_w=np.asarray([a[2] for a in internal], dtype=np.float32),
+            np_arc_tid=np.asarray([a[3] for a in internal], dtype=np.int32),
         )
         self._phone_cache[window] = plan
         return plan
@@ -257,14 +328,7 @@ class AlignmentGraphCompiler:
     ) -> Tuple[int, List[Tuple[int, float, int]]]:
         """Materialize one phone instance from a plan; returns
         (entry_state, [(exit_state, weight, tid)])."""
-        base = len(g.state_pdf)
-        instance = g.new_instance()
-        for j in range(plan["n_emit"]):
-            g.add_state(
-                plan["pdfs"][j], phone, word_idx, j, plan["tstates"][j], instance
-            )
-        for src, dst, w, tid in plan["internal"]:
-            g.add_arc(base + src, base + dst, w, tid)
+        base = g.add_instance_block(plan, phone, word_idx)
         exits = [(base + src, w, tid) for src, w, tid in plan["exits"]]
         return base, exits
 
