@@ -28,17 +28,17 @@ MFA_CPU_BASELINE_AUDIO_SEC_PER_S = 30.0
 REF_DATA = Path("/root/reference/tests/data")
 
 
-def build_corpus(tmp, lexicon_words, num_utts=32, seconds=15.0, sr=16000):
+def build_corpus(tmp, lexicon_words, num_utts=96, seconds=15.0, sr=16000):
     from montreal_forced_aligner_tpu.io.wav import write_wave
 
     rng = np.random.RandomState(0)
     corp = Path(tmp) / "corpus"
     words = [w for w in lexicon_words if w.isalpha()]
     total_audio = 0.0
-    for spk in range(4):
+    for spk in range(8):
         d = corp / f"spk{spk}"
         d.mkdir(parents=True, exist_ok=True)
-        for u in range(num_utts // 4):
+        for u in range(num_utts // 8):
             n = int(seconds * sr)
             wave = (rng.randn(n) * 800).astype(np.float32)
             # add some tonal structure so likelihoods vary

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 from montreal_forced_aligner_tpu.io.textgrid import TextGrid
 from montreal_forced_aligner_tpu.io.wav import read_wave
 
-AUDIO_EXTENSIONS = {".wav"}
+AUDIO_EXTENSIONS = {".wav", ".flac"}
 TRANSCRIPT_EXTENSIONS = {".lab", ".txt"}
 
 
@@ -65,7 +65,11 @@ class Corpus:
         directory = Path(directory)
         corpus = cls()
         speakers = set()
-        wavs = sorted(directory.rglob("*.wav"))
+        wavs = sorted(
+            p
+            for ext in AUDIO_EXTENSIONS
+            for p in directory.rglob(f"*{ext}")
+        )
         if not wavs:
             raise FileNotFoundError(f"no .wav files under {directory}")
         uid = 0

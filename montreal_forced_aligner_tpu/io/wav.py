@@ -83,10 +83,21 @@ def read_wave(
     end: Optional[float] = None,
     channel: int = 0,
 ) -> WaveData:
-    """Read a (segment of a) WAV file; mixes/selects down to one channel."""
-    with open(path, "rb") as f:
-        data = f.read()
-    samples, sample_rate, num_channels = _parse_wav(data)
+    """Read a (segment of a) WAV or FLAC file; selects one channel."""
+    if str(path).lower().endswith(".flac"):
+        from montreal_forced_aligner_tpu.io.flac import decode_flac
+
+        st = decode_flac(path)
+        scale = 2.0 ** (16 - st.bits_per_sample)
+        samples = (st.samples.astype(np.float32) * scale)
+        if st.num_channels == 1:
+            samples = samples[:, 0]
+        sample_rate = st.sample_rate
+        num_channels = st.num_channels
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        samples, sample_rate, num_channels = _parse_wav(data)
     if num_channels > 1:
         samples = samples[:, channel]
     total = len(samples)

@@ -85,3 +85,17 @@ def test_tree_lookup(mono_model_path):
         entry = tm.topo.entry_for_phone(phone)
         pdf_class = entry[int(tm.hmm_state[s])].forward_pdf_class
         assert am.tree.compute_pdf([phone], pdf_class) == int(tm.forward_pdf[s])
+
+
+def test_flac_decoding(reference_data_dir):
+    from montreal_forced_aligner_tpu.io.flac import decode_flac
+    from montreal_forced_aligner_tpu.io.wav import read_wave
+
+    path = reference_data_dir / "wav" / "61-70968-0000.flac"
+    st = decode_flac(path)
+    # STREAMINFO carries an MD5 of the raw samples: exact-decode proof
+    assert st.md5_ok is True
+    assert st.sample_rate == 16000
+    wav = read_wave(path)
+    assert len(wav.samples) == st.total_samples
+    assert wav.sample_rate == 16000
