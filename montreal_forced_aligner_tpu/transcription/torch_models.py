@@ -1,0 +1,75 @@
+"""Optional neural transcription backends (Whisper-family via HF
+transformers; torch CPU is baked into this image, model weights are not).
+
+Behavioral spec: reference ``transcription/models.py:29,160``
+(``MfaFasterWhisperPipeline``) and the speechbrain workers
+(``transcription/multiprocessing.py:583-1001``). These are auxiliary GPU
+workloads in the reference (out of the TPU compute path); here they are thin
+host-side wrappers that require locally available weights (no network
+egress).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("mfa_tpu")
+
+
+def found_transformers() -> bool:
+    try:
+        import transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class WhisperTranscriber:
+    """Transcribe with a locally available Whisper checkpoint (reference
+    ``WhisperTranscriber``, ``transcription/transcriber.py:1850``)."""
+
+    def __init__(self, model_path, language: Optional[str] = None):
+        if not found_transformers():
+            raise RuntimeError(
+                "transformers is not available; whisper transcription needs "
+                "the transformers package and local model weights"
+            )
+        model_path = Path(model_path)
+        if not model_path.exists():
+            raise FileNotFoundError(
+                f"no local Whisper checkpoint at {model_path}; this "
+                "environment has no network egress, so weights must be "
+                "provided as a local directory"
+            )
+        from transformers import (
+            WhisperForConditionalGeneration,
+            WhisperProcessor,
+        )
+
+        self.processor = WhisperProcessor.from_pretrained(str(model_path))
+        self.model = WhisperForConditionalGeneration.from_pretrained(
+            str(model_path)
+        )
+        self.language = language
+
+    def transcribe(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
+        import torch
+
+        inputs = self.processor(
+            samples / 32768.0, sampling_rate=sample_rate, return_tensors="pt"
+        )
+        with torch.no_grad():
+            ids = self.model.generate(inputs["input_features"])
+        return self.processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
+
+    def transcribe_corpus(self, corpus) -> Dict[int, str]:
+        out = {}
+        for utt in corpus.utterances:
+            wav = corpus.load_audio(utt)
+            out[utt.id] = self.transcribe(wav.samples, wav.sample_rate)
+        return out

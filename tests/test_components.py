@@ -373,3 +373,36 @@ def test_exceptions_hierarchy():
     assert issubclass(E.CorpusReadError, E.CorpusError)
     err = E.PhoneMismatchError({"zz", "aa"})
     assert "aa" in str(err)
+
+
+def test_wrapper_batch_api(tmp_path):
+    from helpers import build_synthetic_corpus, build_synthetic_model, synth_wave
+    from montreal_forced_aligner_tpu.align.aligner import AlignerConfig
+    from montreal_forced_aligner_tpu.wrapper import MFA
+
+    _corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    mfa = MFA(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    records = [
+        {"speaker_id": "s1", "file_id": "u1", "text": "ab a", "samples": wave},
+        {"speaker_id": "s1", "file_id": "u2", "text": "ab a", "samples": wave},
+    ]
+    out = mfa.align(records)
+    assert len(out) == 2
+    assert [w["word"] for w in out[0]["words"]] == ["ab", "a"]
+    assert abs(out[0]["words"][0]["begin"] - 0.40) < 0.05
+    assert out[0]["phones"][0]["phone"] in ("sil", "aa")
+
+
+def test_whisper_wrapper_gating(tmp_path):
+    from montreal_forced_aligner_tpu.transcription.torch_models import (
+        WhisperTranscriber,
+        found_transformers,
+    )
+
+    assert found_transformers() in (True, False)
+    if found_transformers():
+        with pytest.raises(FileNotFoundError):
+            WhisperTranscriber(tmp_path / "nonexistent_model")
