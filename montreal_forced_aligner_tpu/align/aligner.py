@@ -56,6 +56,10 @@ from montreal_forced_aligner_tpu.ops.viterbi import (
 
 POSITIONS = ("_B", "_E", "_I", "_S")
 
+import logging
+
+_logger = logging.getLogger("mfa_tpu")
+
 
 from functools import partial
 
@@ -406,7 +410,7 @@ class PretrainedAligner:
 
     # -- pipeline ------------------------------------------------------------
     def align_corpus(
-        self, corpus: Corpus, callback=None
+        self, corpus: Corpus, callback=None, profile_dir=None
     ) -> Dict[int, UtteranceAlignment]:
         """Align every utterance; returns {utterance_id: UtteranceAlignment}.
 
@@ -414,7 +418,29 @@ class PretrainedAligner:
         between (host round-trips are only waves in and state paths out):
         (A) MFCC + per-utterance CMVN sums; (B) mean-normalize -> deltas/LDA
         -> all-pdf likelihoods -> one-hot state selection -> dense Viterbi.
+
+        ``profile_dir`` enables a JAX profiler trace over the run (the
+        reference only had timing logs, ``alignment/mixins.py:243``).
         """
+        import contextlib
+        import time as _time
+
+        import jax as _jax_prof
+
+        trace_cm = (
+            _jax_prof.profiler.trace(str(profile_dir))
+            if profile_dir
+            else contextlib.nullcontext()
+        )
+        with trace_cm:
+            return self._align_corpus_impl(corpus, callback)
+
+    def _align_corpus_impl(
+        self, corpus: Corpus, callback=None
+    ) -> Dict[int, UtteranceAlignment]:
+        import time as _time
+
+        _phase_t0 = _time.time()
         cfg = self.config
         # 1. load audio (graph compilation happens after phase A dispatch so
         # host FST expansion overlaps with device MFCC compute)
@@ -484,6 +510,10 @@ class PretrainedAligner:
             graphs.append(self.compilers[key].compile(tokens))
 
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
+        _logger.debug(
+            "align phase A (audio+MFCC+graphs) took %.3fs", _time.time() - _phase_t0
+        )
+        _phase_t0 = _time.time()
 
         # phase B: normalize -> final feats -> emission -> Viterbi -> CTM.
         # SAT models run two passes: first with the speaker-independent
@@ -572,6 +602,10 @@ class PretrainedAligner:
                 )
             if callback:
                 callback(len(batch))
+        _logger.debug(
+            "align phase B (emission+Viterbi+CTM) took %.3fs",
+            _time.time() - _phase_t0,
+        )
         return results
 
     def _frames_to_ctm(

@@ -43,6 +43,8 @@ def cli():
               help="G2P model for OOV pronunciations")
 @click.option("--rules_path", type=click.Path(exists=True), default=None,
               help="Phonological rules yaml for pronunciation variants")
+@click.option("--profile_dir", type=click.Path(), default=None,
+              help="Write a JAX profiler trace here")
 def align_cli(
     corpus_directory,
     dictionary_path,
@@ -56,6 +58,7 @@ def align_cli(
     fine_tune,
     g2p_model_path,
     rules_path,
+    profile_dir,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -84,7 +87,7 @@ def align_cli(
         f"Loaded corpus: {corpus.num_utterances} utterances, "
         f"{len(corpus.speakers)} speakers"
     )
-    results = aligner.align_corpus(corpus)
+    results = aligner.align_corpus(corpus, profile_dir=profile_dir)
     if fine_tune:
         from montreal_forced_aligner_tpu.align.fine_tune import (
             fine_tune_alignments,
