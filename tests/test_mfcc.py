@@ -124,3 +124,64 @@ def test_deltas_match_kaldi_coefficients():
     # edge clamping: frame 0's delta uses clamped indices
     expect0 = sum(j * x[0, max(0, 0 + j)] for j in range(-2, 3)) / 10.0
     np.testing.assert_allclose(out[0, 0, 3:6], expect0, rtol=1e-4, atol=1e-5)
+
+
+def test_pitch_tracking():
+    """The pitch tracker must recover known tone frequencies and mark noise
+    as unvoiced (reference kalpy PitchComputer semantics)."""
+    from montreal_forced_aligner_tpu.ops.pitch import PitchConfig, compute_pitch_batch
+
+    rng = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(int(1.0 * sr)) / sr
+
+    def tone(f):
+        # F0 with harmonics, like voiced speech
+        return (
+            6000 * np.sin(2 * np.pi * f * t)
+            + 2500 * np.sin(2 * np.pi * 2 * f * t)
+            + 900 * np.sin(2 * np.pi * 3 * f * t)
+        ).astype(np.float32)
+
+    w120 = tone(120.0)
+    w240 = tone(240.0)
+    noise = (rng.randn(len(t)) * 500).astype(np.float32)
+    waves = np.stack([w120, w240, noise])
+    lengths = np.full(3, len(t), np.int32)
+    cfg = PitchConfig()
+    feats, counts = compute_pitch_batch(waves, lengths, cfg)
+    assert feats.shape[2] == 3
+    T = int(counts[0])
+    # recover f0 from normalized log pitch? use direct: recompute from lags —
+    # instead check POV separates voiced from unvoiced
+    pov_voiced = feats[0, 5 : T - 5, 0].mean()
+    pov_noise = feats[2, 5 : T - 5, 0].mean()
+    assert pov_voiced > pov_noise + 0.5
+    # pitch ratio between the two tones ~ log(2) in mean-normalized space:
+    # compare via delta of their normalized log pitch difference is 0 (both
+    # constant) so instead verify via PitchConfig internals
+    from montreal_forced_aligner_tpu.ops.pitch import (
+        _nccf,
+        _viterbi_lags,
+        _resample_batch,
+    )
+    import jax.numpy as jnp
+
+    ds, ds_len = _resample_batch(waves, lengths, cfg)
+    shift = int(cfg.resample_rate * cfg.frame_shift_ms / 1000)
+    window = int(cfg.resample_rate * cfg.frame_length_ms / 1000)
+    lags = cfg.lags
+    nccf = _nccf(jnp.asarray(ds), window, shift, T, int(lags.max()), cfg.nccf_ballast)
+    lag_weight = 1.0 - cfg.soft_min_f0 * lags / cfg.resample_rate
+    path = np.asarray(
+        _viterbi_lags(
+            jnp.asarray(np.asarray(nccf[:, :, lags]) * lag_weight[None, None, :]),
+            jnp.asarray(np.log(lags).astype(np.float32)),
+            cfg.penalty_factor,
+            len(lags),
+        )
+    )
+    f0_est_120 = np.median(cfg.resample_rate / lags[path[0, 5 : T - 5]])
+    f0_est_240 = np.median(cfg.resample_rate / lags[path[1, 5 : T - 5]])
+    assert abs(f0_est_120 - 120) < 8
+    assert abs(f0_est_240 - 240) < 12
