@@ -76,9 +76,13 @@ def _mfcc_and_sums(padded_waves, frame_lengths, cfg, max_frames):
 
 
 @jax.jit
-def _final_feats(feats, frame_lengths, mean_rows, lda):
-    """CMVN-subtract then deltas or splice+LDA."""
+def _final_feats(feats, frame_lengths, mean_rows, lda, pitch=None):
+    """CMVN-subtract, optional pitch paste, then deltas or splice+LDA
+    (pitch is pasted post-CMVN, reference ``FinalFeatureFunction``,
+    ``corpus/features.py:254``)."""
     x = feats - mean_rows[:, None, :]
+    if pitch is not None:
+        x = jnp.concatenate([x, pitch], axis=-1)
     if lda is None:
         return compute_deltas(x, frame_lengths)
     return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
@@ -256,6 +260,7 @@ class PretrainedAligner:
             frame_shift_ms=float(feat_meta.get("frame_shift", 10)),
             use_energy=bool(feat_meta.get("use_energy", False)),
         )
+        self.use_pitch = bool(feat_meta.get("pitch", False))
         self.frame_shift = self.mfcc_config.frame_shift_ms / 1000.0
         # data parallelism over local devices: batches are placed round-robin
         # (alignment is embarrassingly parallel; multi-host scale-out uses the
@@ -484,13 +489,28 @@ class PretrainedAligner:
                 self.mfcc_config,
                 max_frames,
             )
-            stashes.append((batch, feats_dev, flens, sums))
+            pitch = None
+            if self.use_pitch:
+                from montreal_forced_aligner_tpu.ops.pitch import (
+                    pitch_for_mfcc_frames,
+                )
+
+                wbuf = np.zeros((len(batch), max(len(w) for w in wave_list)), np.float32)
+                for r, w in enumerate(wave_list):
+                    wbuf[r, : len(w)] = w
+                pitch = pitch_for_mfcc_frames(
+                    wbuf,
+                    np.array([len(w) for w in wave_list], np.int32),
+                    flens,
+                    max_frames,
+                )
+            stashes.append((batch, feats_dev, flens, sums, pitch))
 
         stashes = [
-            (batch, feats_dev, flens, np.asarray(sums))
-            for batch, feats_dev, flens, sums in stashes
+            (batch, feats_dev, flens, np.asarray(sums), pitch)
+            for batch, feats_dev, flens, sums, pitch in stashes
         ]
-        for batch, _feats, flens, sums in stashes:
+        for batch, _feats, flens, sums, _pitch in stashes:
             for row, i in enumerate(batch):
                 corpus.utterances[i].num_frames = int(flens[row])
                 sidx = speaker_index[corpus.utterances[i].speaker]
@@ -529,7 +549,7 @@ class PretrainedAligner:
         prepared = []
         from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
 
-        for batch, feats_dev, flens, _sums in stashes:
+        for batch, feats_dev, flens, _sums, pitch in stashes:
             dev = list(feats_dev.devices())[0]
             garrs = batch_graphs([graphs[i] for i in batch])
             graph = ship_graph_to_device(garrs, device=dev)
@@ -551,6 +571,7 @@ class PretrainedAligner:
                 _jax.device_put(flens, dev),
                 _jax.device_put(mean_rows.astype(np.float32), dev),
                 None if lda is None else _jax.device_put(lda, dev),
+                None if pitch is None else _jax.device_put(pitch, dev),
             )
             prepared.append((batch, flens, garrs, graph, ff))
 

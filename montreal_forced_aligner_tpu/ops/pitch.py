@@ -188,3 +188,25 @@ def compute_pitch_batch(
     out = np.stack(feats, axis=-1).astype(np.float32)
     out[~mask] = 0.0
     return out, frame_counts.astype(np.int32)
+
+
+def pitch_for_mfcc_frames(
+    waves, lengths, mfcc_frame_counts, T_mfcc: int,
+    cfg: Optional[PitchConfig] = None,
+) -> np.ndarray:
+    """Pitch features padded/extended to the MFCC frame grid (B, T_mfcc, P):
+    the pitch frame count (snip-edges framing at 4 kHz) can fall short of the
+    MFCC count; trailing frames repeat the last voiced estimate (the
+    reference pastes archives of equal length after kalpy length
+    reconciliation)."""
+    cfg = cfg or PitchConfig()
+    feats, counts = compute_pitch_batch(waves, lengths, cfg)
+    B, T_p, P = feats.shape
+    out = np.zeros((len(waves) if isinstance(waves, list) else waves.shape[0], T_mfcc, P), np.float32)
+    for b in range(out.shape[0]):
+        n = min(int(counts[b]), T_mfcc, T_p)
+        out[b, :n] = feats[b, :n]
+        want = min(int(mfcc_frame_counts[b]), T_mfcc)
+        if n > 0 and want > n:
+            out[b, n:want] = feats[b, n - 1]
+    return out

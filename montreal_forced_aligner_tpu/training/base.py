@@ -93,6 +93,7 @@ class TrainingPipeline:
         batch_size: int = 16,
         uses_deltas: bool = True,
         lda_mat: Optional[np.ndarray] = None,
+        use_pitch: bool = False,
     ):
         self.corpus = corpus
         self.lexicon = lexicon
@@ -100,6 +101,7 @@ class TrainingPipeline:
         self.batch_size = batch_size
         self.uses_deltas = uses_deltas
         self.lda_mat = lda_mat
+        self.use_pitch = use_pitch
         self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
         self.batches: List[FeatureBatch] = []
         self.graphs: List[CompiledGraph] = []
@@ -109,6 +111,8 @@ class TrainingPipeline:
     @property
     def feature_dim(self) -> int:
         base = self.mfcc_config.num_coefficients
+        if self.use_pitch:
+            base += 3
         if self.lda_mat is not None:
             return self.lda_mat.shape[0]
         return base * 3 if self.uses_deltas else base
@@ -165,6 +169,23 @@ class TrainingPipeline:
             )
             mean_rows = self._spk_mean[spk_idx]
             raw = _normalize_raw(feats_dev, jnp.asarray(mean_rows))
+            if self.use_pitch:
+                from montreal_forced_aligner_tpu.ops.pitch import (
+                    pitch_for_mfcc_frames,
+                )
+
+                wave_list = [waves[i] for i in batch]
+                L = max(len(w) for w in wave_list)
+                wbuf = np.zeros((len(batch), L), np.float32)
+                for r, w in enumerate(wave_list):
+                    wbuf[r, : len(w)] = w
+                pitch = pitch_for_mfcc_frames(
+                    wbuf,
+                    np.array([len(w) for w in wave_list], np.int32),
+                    flens,
+                    int(raw.shape[1]),
+                )
+                raw = jnp.concatenate([raw, jnp.asarray(pitch)], axis=-1)
             final = _finalize_features(
                 raw,
                 jnp.asarray(flens),

@@ -178,6 +178,7 @@ class ViterbiEmTrainer:
     # -- main loop -----------------------------------------------------------
     def train(self, pipeline: TrainingPipeline) -> AcousticModel:
         cfg = self.config
+        self.use_pitch = getattr(pipeline, "use_pitch", False)
         self.initialize(pipeline)
 
         initial_gaussians = self.gmm.total_gauss
@@ -242,5 +243,6 @@ class ViterbiEmTrainer:
             "deltas": True,
             "lda": False,
             "fmllr": False,
+            "pitch": getattr(self, "use_pitch", False),
             "frame_shift": 10,
         }

@@ -170,6 +170,7 @@ class LdaTrainer(TriphoneTrainer):
             "deltas": False,
             "lda": True,
             "fmllr": False,
+            "pitch": getattr(self, "use_pitch", False),
             "frame_shift": 10,
             "splice_left_context": self.splice_left,
             "splice_right_context": self.splice_right,

@@ -188,6 +188,7 @@ class SatTrainer(TriphoneTrainer):
             "deltas": self.lda_mat is None,
             "lda": self.lda_mat is not None,
             "fmllr": True,
+            "pitch": getattr(self, "use_pitch", False),
             "frame_shift": 10,
             "splice_left_context": 3 if self.lda_mat is not None else None,
             "splice_right_context": 3 if self.lda_mat is not None else None,

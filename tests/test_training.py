@@ -138,3 +138,38 @@ def test_model_roundtrip_kaldi_format(trained_model, tmp_path):
     np.testing.assert_allclose(
         m2.transition_model.log_probs, model.transition_model.log_probs, atol=1e-6
     )
+
+
+def test_training_with_pitch(tmp_path):
+    """Pitch-augmented training + alignment end to end (use_pitch path)."""
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    corpus_dir, truths = make_training_corpus(tmp_path, n_utts=4)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    lexicon = Lexicon.load(dict_path, position_dependent=False)
+    corpus = Corpus.load(corpus_dir)
+    pipeline = TrainingPipeline(corpus, lexicon, batch_size=4, use_pitch=True)
+    pipeline.prepare_features()
+    assert pipeline.feature_dim == (13 + 3) * 3
+    trainer = MonophoneTrainer(
+        lexicon, TrainerConfig(num_iterations=5, max_gaussians=30, boost_silence=1.0)
+    )
+    model = trainer.train(pipeline)
+    assert model.meta["features"]["pitch"] is True
+    assert model.gmm.dim == 48
+    model_path = tmp_path / "pitch_model.zip"
+    model.save(model_path)
+    aligner = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    )
+    assert aligner.use_pitch
+    results = aligner.align_corpus(corpus)
+    assert len(results) == corpus.num_utterances
+    labels = [p.label for p in results[0].phones if p.label not in ("sil", "spn")]
+    assert len(labels) >= 2
