@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: graph-state GMM emission log-likelihoods.
+
+For large models the XLA paths don't scale: a one-hot selection matmul costs
+T*P*S MACs (P = #pdfs can be thousands) and XLA gathers of per-state GMM
+parameters don't vectorize on TPU. This kernel implements "likelihood on
+demand" the TPU-native way (reference counterpart: the per-frame likelihood
+evaluation inside ``gmm-align-compiled``):
+
+* grid over (batch, state-tiles of 128); per-state pdf ids arrive via scalar
+  prefetch (``PrefetchScalarGridSpec``),
+* each tile DMAs exactly the needed per-pdf parameter blocks from HBM into
+  VMEM scratch (async copies, overlapped),
+* gconsts are folded into an augmented quadratic-feature matmul
+  (``[x; x^2; 1; 0] @ [miv; -0.5 iv; gconst; 0]^T``) so each Gaussian is one
+  aligned (T, 128) MXU tile, and
+* a streaming logsumexp over Gaussians produces ``emit[t, s]``.
+
+HBM traffic is B*S*G*(2D+2) parameter bytes per batch (DMA bandwidth)
+instead of T*P*S matmul work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _emission_kernel(
+    pdf_ref,  # scalar prefetch: (B * S_padded,) int32 pdf per state
+    xx_ref,  # (1, T, D2p) VMEM: this batch row's [x; x^2; 1; 0]
+    W_hbm,  # (P, G, D2p) HBM: per-pdf params (gconst folded in)
+    out_ref,  # (1, T, S_TILE) VMEM
+    params_vmem,  # scratch (S_TILE, G, D2p)
+    sem,  # DMA semaphores (S_TILE,)
+    *,
+    S_TILE: int,
+    G: int,
+    S_padded: int,
+):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+    base = b * S_padded + tile * S_TILE
+
+    def issue(i, _):
+        pltpu.make_async_copy(
+            W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, S_TILE, issue, 0)
+
+    def drain(i, _):
+        pltpu.make_async_copy(
+            W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, S_TILE, drain, 0)
+
+    xx = xx_ref[0]  # (T, D2p)
+    T = xx.shape[0]
+    m = jnp.full((T, S_TILE), NEG_INF, dtype=jnp.float32)
+    ssum = jnp.zeros((T, S_TILE), dtype=jnp.float32)
+    for g in range(G):
+        w_g = params_vmem[:, g, :]  # (S_TILE, D2p)
+        q = jax.lax.dot_general(
+            xx,
+            w_g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, S_TILE); includes the gconst term
+        m_new = jnp.maximum(m, q)
+        ssum = ssum * jnp.exp(m - m_new) + jnp.exp(q - m_new)
+        m = m_new
+    out_ref[0] = m + jnp.log(ssum)
+
+
+@functools.partial(jax.jit, static_argnames=("S_TILE",))
+def pallas_state_loglikes(
+    feats: jnp.ndarray,  # (B, T, D)
+    state_pdf: jnp.ndarray,  # (B, S) int32 (padding states may be 0)
+    W_rows: jnp.ndarray,  # (P, G, D2p) float32 from pack_gmm_for_pallas
+    S_TILE: int = 128,
+) -> jnp.ndarray:
+    """emit (B, T, S): per-graph-state emission log-likelihoods."""
+    B, T, D = feats.shape
+    S = state_pdf.shape[1]
+    P, G, D2p = W_rows.shape
+    S_padded = ((S + S_TILE - 1) // S_TILE) * S_TILE
+    if S_padded != S:
+        state_pdf = jnp.pad(state_pdf, ((0, 0), (0, S_padded - S)))
+    T_pad = (-T) % 8
+    if T_pad:
+        feats = jnp.pad(feats, ((0, 0), (0, T_pad), (0, 0)))
+    Tp = T + T_pad
+    ones = jnp.ones((B, Tp, 1), feats.dtype)
+    zeros = jnp.zeros((B, Tp, D2p - 2 * D - 1), feats.dtype)
+    xx = jnp.concatenate([feats, feats * feats, ones, zeros], axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, S_padded // S_TILE),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Tp, D2p), lambda b, t, pdf: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # W stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Tp, S_TILE), lambda b, t, pdf: (b, 0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S_TILE, G, D2p), jnp.float32),
+            pltpu.SemaphoreType.DMA((S_TILE,)),
+        ],
+    )
+    kernel = functools.partial(
+        _emission_kernel, S_TILE=S_TILE, G=G, S_padded=S_padded
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, S_padded), jnp.float32),
+        grid_spec=grid_spec,
+    )(state_pdf.reshape(-1), xx, W_rows)
+    return out[:, :T, :S]
+
+
+def pack_gmm_for_pallas(gmm) -> np.ndarray:
+    """(P, G, 2D+2) parameter rows: [miv, -0.5*iv, gconst, 0] per Gaussian;
+    padded Gaussians carry gconst = NEG_INF so they vanish in logsumexp."""
+    P, G, D = gmm.means_invvars.shape
+    out = np.zeros((P, G, 2 * D + 2), dtype=np.float32)
+    out[:, :, :D] = gmm.means_invvars
+    out[:, :, D : 2 * D] = -0.5 * gmm.inv_vars
+    out[:, :, 2 * D] = np.maximum(gmm.gconsts, NEG_INF)
+    return out

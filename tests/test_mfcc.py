@@ -185,3 +185,56 @@ def test_pitch_tracking():
     f0_est_240 = np.median(cfg.resample_rate / lags[path[1, 5 : T - 5]])
     assert abs(f0_est_120 - 120) < 8
     assert abs(f0_est_240 - 240) < 12
+
+
+def test_pallas_emission_kernel_interpret():
+    """The Pallas likelihood-on-demand kernel must match the XLA emission
+    path (run in interpreter mode; the remote-TPU tunnel in CI cannot
+    compile Mosaic kernels, real TPU hosts can)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import montreal_forced_aligner_tpu.ops.pallas_emission as PE
+    from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+
+    orig_call = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    PE.pl.pallas_call = patched
+    try:
+        rng = np.random.RandomState(0)
+        P, G, D = 50, 3, 13
+        miv = rng.randn(P, G, D).astype(np.float32) * 0.3
+        iv = (0.5 + rng.rand(P, G, D)).astype(np.float32)
+        w = rng.rand(P, G).astype(np.float32)
+        w /= w.sum(1, keepdims=True)
+        gmm = DiagGmmSet(
+            weights=w,
+            means_invvars=miv,
+            inv_vars=iv,
+            gconsts=np.zeros((P, G), np.float32),
+            num_gauss=np.full(P, G, np.int32),
+        )
+        gmm.compute_gconsts()
+        B, T, S = 2, 64, 130
+        feats = rng.randn(B, T, D).astype(np.float32)
+        state_pdf = rng.randint(0, P, (B, S)).astype(np.int32)
+        W_flat, _ = gmm.flatten_for_device()
+        ll_all = np.asarray(
+            gmm_loglikes(jnp.asarray(feats), jnp.asarray(W_flat), jnp.asarray(gmm.gconsts))
+        )
+        ref = np.take_along_axis(ll_all, state_pdf[:, None, :].repeat(T, 1), axis=2)
+        W_rows = PE.pack_gmm_for_pallas(gmm)
+        out = np.asarray(
+            PE.pallas_state_loglikes(
+                jnp.asarray(feats), jnp.asarray(state_pdf), jnp.asarray(W_rows)
+            )
+        )
+        assert np.abs(out - ref).max() < 1e-4
+    finally:
+        PE.pl.pallas_call = orig_call
