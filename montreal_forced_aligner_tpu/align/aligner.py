@@ -150,6 +150,7 @@ class AlignerConfig:
     fmllr_min_count: float = 100.0
     compute_confidence: bool = False
     devices: Optional[tuple] = None  # default: all local devices
+    num_loader_threads: int = 8  # threaded audio decode (native FLAC)
 
 
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
@@ -451,13 +452,11 @@ class PretrainedAligner:
         # host FST expansion overlaps with device MFCC compute)
         speaker_index = corpus.speaker_index
         num_speakers = len(corpus.speakers)
-        waves: List[np.ndarray] = []
-        for utt in corpus.utterances:
-            wav = corpus.load_audio(utt)
-            if wav.sample_rate != self.mfcc_config.sample_rate:
-                wav = _resample(wav, self.mfcc_config.sample_rate)
-            waves.append(wav.samples)
-            utt.num_samples = len(wav.samples)
+        waves: List[np.ndarray] = corpus.load_audio_parallel(
+            self.mfcc_config.sample_rate, num_workers=cfg.num_loader_threads
+        )
+        for utt, w in zip(corpus.utterances, waves):
+            utt.num_samples = len(w)
 
         order = np.argsort([len(w) for w in waves], kind="stable")
         batches = [

@@ -137,3 +137,27 @@ class Corpus:
 
     def load_audio(self, utt: Utterance):
         return read_wave(utt.file_path, begin=utt.begin, end=utt.end, channel=utt.channel)
+
+    def load_audio_parallel(self, target_rate: int, num_workers: int = 8):
+        """Decode every utterance's audio with a thread pool, resampled to
+        ``target_rate``; returns samples in ``self.utterances`` order.
+
+        The reference parallelizes corpus loading over multiprocessing jobs
+        (``corpus/base.py`` ``_load_corpus`` + job queues); decode here is
+        either file I/O or the native FLAC library (ctypes releases the GIL),
+        so threads suffice and avoid pickling the corpus.
+        """
+        import concurrent.futures
+
+        from montreal_forced_aligner_tpu.align.aligner import _resample
+
+        def one(utt):
+            wav = self.load_audio(utt)
+            if wav.sample_rate != target_rate:
+                wav = _resample(wav, target_rate)
+            return wav.samples
+
+        if num_workers <= 1 or len(self.utterances) <= 1:
+            return [one(u) for u in self.utterances]
+        with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+            return list(pool.map(one, self.utterances))

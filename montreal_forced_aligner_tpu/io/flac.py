@@ -1,10 +1,13 @@
-"""Pure-Python/numpy FLAC decoder.
+"""FLAC decoder (native C++ hot loop, pure-Python/numpy fallback).
 
 The reference decodes FLAC through libsndfile (``corpus/classes.py:26``),
 which is not available in this image. This is a clean-room decoder of the
 FLAC format (constant/verbatim/fixed/LPC subframes, Rice-coded residuals,
 stereo decorrelation); correctness is verified against the MD5 of the
-unencoded samples stored in the STREAMINFO block.
+unencoded samples stored in the STREAMINFO block. Frame decoding is
+bit-serial and dominates corpus loading, so it runs in
+``native/flac_decode.cc`` (ctypes) when the toolchain is available; the
+Python implementation below is the semantic reference and fallback.
 """
 
 from __future__ import annotations
@@ -229,6 +232,74 @@ def decode_flac(path) -> FlacStream:
     total_samples = si.read_uint(36)
     md5 = streaminfo[18:34]
 
+    out = _decode_frames_native(
+        data, pos, total_samples, num_channels, bits_per_sample
+    )
+    if out is None:
+        out = _decode_frames_python(
+            data, pos, total_samples, num_channels, bits_per_sample
+        )
+
+    # MD5 check over interleaved little-endian samples
+    md5_ok = None
+    if any(md5):
+        interleaved = out.astype("<i8").reshape(-1)
+        raw = bytearray()
+        arr = interleaved.astype(np.int64)
+        if bits_per_sample == 16:
+            raw = arr.astype("<i2").tobytes()
+        elif bits_per_sample == 8:
+            raw = arr.astype("<i1").tobytes()
+        elif bits_per_sample == 24:
+            b32 = arr.astype("<i4").tobytes()
+            raw = b"".join(
+                b32[i : i + 3] for i in range(0, len(b32), 4)
+            )
+        elif bits_per_sample == 32:
+            raw = arr.astype("<i4").tobytes()
+        if raw:
+            md5_ok = hashlib.md5(bytes(raw)).digest() == md5
+    return FlacStream(
+        sample_rate=sample_rate,
+        num_channels=num_channels,
+        bits_per_sample=bits_per_sample,
+        total_samples=total_samples,
+        samples=out,
+        md5_ok=md5_ok,
+    )
+
+
+def _decode_frames_native(
+    data: bytes, pos: int, total_samples: int, num_channels: int,
+    bits_per_sample: int,
+) -> Optional[np.ndarray]:
+    """Frame decode via native/flac_decode.cc; None -> use the Python path."""
+    import ctypes
+
+    from montreal_forced_aligner_tpu.native import flac_lib
+
+    lib = flac_lib()
+    if lib is None or total_samples == 0 or num_channels > 8:
+        return None
+    out = np.empty(total_samples * num_channels, dtype=np.int32)
+    n = lib.flac_decode_frames(
+        data,
+        len(data),
+        pos,
+        total_samples,
+        num_channels,
+        bits_per_sample,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n != total_samples:
+        return None
+    return out.reshape(total_samples, num_channels).astype(np.int64)
+
+
+def _decode_frames_python(
+    data: bytes, pos: int, total_samples: int, num_channels: int,
+    bits_per_sample: int,
+) -> np.ndarray:
     out = np.zeros((total_samples, num_channels), dtype=np.int64)
     written = 0
     br = _BitReader(data, pos)
@@ -289,32 +360,4 @@ def decode_flac(path) -> FlacStream:
         n = min(block_size, total_samples - written)
         out[written : written + n] = frame[:n]
         written += n
-
-    # MD5 check over interleaved little-endian samples
-    md5_ok = None
-    if any(md5):
-        byte_width = bits_per_sample // 8
-        interleaved = out.astype("<i8").reshape(-1)
-        raw = bytearray()
-        arr = interleaved.astype(np.int64)
-        if bits_per_sample == 16:
-            raw = arr.astype("<i2").tobytes()
-        elif bits_per_sample == 8:
-            raw = arr.astype("<i1").tobytes()
-        elif bits_per_sample == 24:
-            b32 = arr.astype("<i4").tobytes()
-            raw = b"".join(
-                b32[i : i + 3] for i in range(0, len(b32), 4)
-            )
-        elif bits_per_sample == 32:
-            raw = arr.astype("<i4").tobytes()
-        if raw:
-            md5_ok = hashlib.md5(bytes(raw)).digest() == md5
-    return FlacStream(
-        sample_rate=sample_rate,
-        num_channels=num_channels,
-        bits_per_sample=bits_per_sample,
-        total_samples=total_samples,
-        samples=out,
-        md5_ok=md5_ok,
-    )
+    return out

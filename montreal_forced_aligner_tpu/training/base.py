@@ -121,12 +121,9 @@ class TrainingPipeline:
         corpus = self.corpus
         speaker_index = corpus.speaker_index
         num_speakers = len(corpus.speakers)
-        waves: List[np.ndarray] = []
-        for utt in corpus.utterances:
-            wav = corpus.load_audio(utt)
-            if wav.sample_rate != self.mfcc_config.sample_rate:
-                wav = _resample(wav, self.mfcc_config.sample_rate)
-            waves.append(wav.samples)
+        waves: List[np.ndarray] = corpus.load_audio_parallel(
+            self.mfcc_config.sample_rate
+        )
         order = np.argsort([len(w) for w in waves], kind="stable")
         batch_lists = [
             list(order[i : i + self.batch_size])

@@ -99,3 +99,26 @@ def test_flac_decoding(reference_data_dir):
     wav = read_wave(path)
     assert len(wav.samples) == st.total_samples
     assert wav.sample_rate == 16000
+
+
+def test_flac_native_matches_python(reference_data_dir, monkeypatch):
+    """The C++ frame decoder must be bit-identical to the Python reference."""
+    import numpy as np
+
+    import montreal_forced_aligner_tpu.native as native
+    from montreal_forced_aligner_tpu.io.flac import decode_flac
+
+    path = reference_data_dir / "wav" / "61-70968-0000.flac"
+    st_native = decode_flac(path)
+    monkeypatch.setenv("MFA_TPU_NO_NATIVE", "1")
+    saved = dict(native._LIBS)
+    native._LIBS.clear()
+    try:
+        st_py = decode_flac(path)
+    finally:
+        native._LIBS.update(saved)
+    assert st_py.md5_ok is True
+    if native.load_native("flac_decode") is None:
+        return  # no toolchain: both runs used the Python path
+    assert st_native.md5_ok is True
+    assert np.array_equal(st_native.samples, st_py.samples)
