@@ -476,8 +476,14 @@ def train_lm_cli(source_path, output_model_path, order):
               help="ARPA LM; trained from the corpus transcripts if omitted")
 @click.option("--evaluate/--no_evaluate", default=False)
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--nbest", default=1, show_default=True,
+              help="decode N-best hypotheses (determinized K-best Viterbi)")
+@click.option("--rescore_lm_path", type=click.Path(exists=True), default=None,
+              help="larger ARPA LM for N-best rescoring (needs --nbest > 1)")
+@click.option("--rescore_weight", default=1.0, show_default=True)
 def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
-                   output_directory, language_model_path, evaluate, batch_size):
+                   output_directory, language_model_path, evaluate, batch_size,
+                   nbest, rescore_lm_path, rescore_weight):
     """Transcribe a corpus (reference: ``mfa transcribe``,
     ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
     from pathlib import Path as _P
@@ -491,7 +497,11 @@ def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
         acoustic_model_path, dictionary_path, lm=lm, batch_size=batch_size
     )
     corpus = Corpus.load(corpus_directory)
-    results = tr.transcribe_corpus(corpus)
+    rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
+    results = tr.transcribe_corpus(
+        corpus, nbest=nbest, rescore_lm=rescore_lm,
+        rescore_weight=rescore_weight,
+    )
     out = _P(output_directory)
     for utt in corpus.utterances:
         if utt.id not in results:

@@ -29,7 +29,7 @@ the state path is reconstructed by a reverse scan on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -290,3 +290,164 @@ def band_from_arcs(garrs: dict):
     b_idx, s_idx, _ = np.indices(in_src.shape)
     np.maximum.at(band, (b_idx[real], s_idx[real], j[real]), in_weight[real])
     return band, lb, ub
+
+
+# ---------------------------------------------------------------------------
+# K-best Viterbi (N-best "lattice" decoding)
+# ---------------------------------------------------------------------------
+# The reference emits word lattices from LatticeFasterDecoder, determinizes
+# them over word labels, and rescores with a larger LM
+# (``transcription/multiprocessing.py`` LatGen + ``kalpy.lm.rescore``). The
+# TPU-native equivalent is the K-best (tropical k-best semiring)
+# generalization of the dense max-plus scan: alpha carries the top-K
+# partial-path scores per state, each step merges incoming arcs' candidate
+# lists with a single top_k, and the host backtrace yields K rank-ordered
+# state paths. Passing per-arc word events additionally carries a rolling
+# hash of the emitted word sequence per (state, rank) and drops same-hash
+# candidates at every merge — the dense analogue of lattice determinization,
+# so the K ranks hold K *distinct word sequences* rather than timing
+# variants of the best one.
+
+HASH_MULT = jnp.uint32(1000003)
+
+
+@partial(jax.jit, static_argnames=("acoustic_scale", "K"))
+def viterbi_nbest_device(
+    emit: jnp.ndarray,  # (B, T, S)
+    frame_lengths: jnp.ndarray,  # (B,)
+    graph: BatchedGraph,
+    acoustic_scale: float = 0.1,
+    K: int = 8,
+    word_event: Optional[jnp.ndarray] = None,  # (B, S, Kin) int32, 0 = none
+    state0_hash: Optional[jnp.ndarray] = None,  # (B, S) uint32
+):
+    """Device half of K-best Viterbi.
+
+    Returns ``(final_scores (B, S, K), backptrs (T-1, B, S, K) int32)``;
+    backptr values encode ``arc_slot * K + predecessor_rank`` into the
+    incoming-arc list of the destination state. Use
+    :func:`nbest_backtrace_host` to materialize paths. With
+    ``word_event``/``state0_hash`` (see :func:`nbest_word_events`), ranks are
+    deduplicated by word-sequence hash (determinized N-best).
+    """
+    B, T, S = emit.shape
+    Kin = graph.in_src.shape[2]
+    emit = acoustic_scale * emit
+    t_iota = jnp.arange(T)
+    src_flat = graph.in_src.reshape(B, S * Kin)  # (B, S*Kin)
+    w = graph.in_weight[:, :, :, None]  # (B, S, Kin, 1)
+    dedup = word_event is not None
+    C = Kin * K
+    M = min(C, 4 * K)  # dedup pool: top-M by score, then drop hash dups
+
+    def gather_prev(x):
+        return jnp.take_along_axis(
+            x, src_flat[:, :, None], axis=1
+        ).reshape(B, S, Kin, K)
+
+    def step(carry, inputs):
+        emit_t, t = inputs  # (B, S), scalar
+        alpha_prev, hash_prev = carry
+        ap = gather_prev(alpha_prev)
+        cand = (ap + w).reshape(B, S, C)
+        if not dedup:
+            vals, idx = jax.lax.top_k(cand, K)
+        else:
+            hp = gather_prev(hash_prev)
+            ev = word_event[:, :, :, None].astype(jnp.uint32)
+            ch = jnp.where(ev > 0, hp * HASH_MULT + ev, hp).reshape(B, S, C)
+            vals_m, idx_m = jax.lax.top_k(cand, M)  # score-ordered pool
+            h_m = jnp.take_along_axis(ch, idx_m, axis=-1)  # (B, S, M)
+            eq = h_m[..., :, None] == h_m[..., None, :]  # (B, S, M, M)
+            earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
+            dup = jnp.any(eq & earlier, axis=-1)  # a better same-hash cand
+            vals_m = jnp.where(dup, NEG_INF, vals_m)
+            vals, sel = jax.lax.top_k(vals_m, K)
+            idx = jnp.take_along_axis(idx_m, sel, axis=-1)
+            hash_new = jnp.take_along_axis(h_m, sel, axis=-1)
+        alpha_new = vals + emit_t[:, :, None]
+        active = (t < frame_lengths)[:, None, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        if dedup:
+            hash_out = jnp.where(active, hash_new, hash_prev)
+        else:
+            hash_out = hash_prev
+        return (alpha_out, hash_out), idx.astype(jnp.int32)
+
+    alpha0 = jnp.concatenate(
+        [
+            (graph.start + emit[:, 0, :])[:, :, None],
+            jnp.full((B, S, K - 1), NEG_INF, dtype=jnp.float32),
+        ],
+        axis=2,
+    )
+    if state0_hash is None:
+        hash0 = jnp.zeros((B, S, K), dtype=jnp.uint32)
+    else:
+        hash0 = jnp.broadcast_to(state0_hash[:, :, None], (B, S, K)).astype(
+            jnp.uint32
+        )
+    (alpha_T, _hash_T), backptrs = jax.lax.scan(
+        step,
+        (alpha0, hash0),
+        (jnp.moveaxis(emit[:, 1:, :], 1, 0), t_iota[1:]),
+    )
+    return alpha_T + graph.final[:, :, None], backptrs
+
+
+def nbest_word_events(garrs: dict):
+    """Per-arc word-emission events for determinized N-best decoding.
+
+    An arc emits its destination's word when it crosses into a new word
+    instance; silence/epsilon instances (word < 0) emit nothing. Returns
+    ``(word_event (B, S, Kin) int32 — word index + 1 or 0,
+    state0_hash (B, S) uint32 — hash after the word begun at frame 0)``.
+    """
+    in_src = garrs["in_src"]
+    inst = garrs["state_instance"]
+    word = garrs["state_word"]
+    b = np.arange(in_src.shape[0])[:, None, None]
+    src_inst = inst[b, in_src]  # (B, S, Kin)
+    crosses = src_inst != inst[:, :, None]
+    event = np.where(
+        crosses & (word[:, :, None] >= 0), word[:, :, None] + 1, 0
+    ).astype(np.int32)
+    state0_hash = np.where(word >= 0, word + 1, 0).astype(np.uint32)
+    return event, state0_hash
+
+
+def nbest_backtrace_host(
+    garrs: dict,
+    final_scores: np.ndarray,  # (B, S, K)
+    backptrs: np.ndarray,  # (T-1, B, S, K) int32
+    frame_lengths: np.ndarray,
+    K: int,
+):
+    """Host backtrace of the K-best scan: (paths (B, K, T) int32,
+    scores (B, K)). Ranks beyond the number of finite-score paths carry
+    NEG_INF scores and copies of the best path."""
+    in_src = garrs["in_src"]
+    T = backptrs.shape[0] + 1
+    B, S, _ = final_scores.shape
+    paths = np.zeros((B, K, T), dtype=np.int32)
+    scores = np.full((B, K), NEG_INF, dtype=np.float32)
+    for b in range(B):
+        L = int(frame_lengths[b])
+        flat = final_scores[b].reshape(-1)  # (S*K,)
+        order = np.argsort(-flat)[:K]
+        for rank, p in enumerate(order):
+            s, r = int(p) // K, int(p) % K
+            sc = flat[p]
+            if sc <= NEG_INF / 2 and rank > 0:
+                paths[b, rank] = paths[b, 0]
+                continue
+            scores[b, rank] = sc
+            paths[b, rank, L - 1 :] = s
+            for t in range(L - 1, 0, -1):
+                idx = int(backptrs[t - 1, b, s, r])
+                j, r = idx // K, idx % K
+                s = int(in_src[b, s, j])
+                paths[b, rank, t - 1] = s
+        if L < T:
+            paths[b, :, L:] = paths[b, :, L - 1 : L]
+    return paths, scores

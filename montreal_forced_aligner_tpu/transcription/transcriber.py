@@ -19,8 +19,10 @@ from __future__ import annotations
 import logging
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,12 +46,41 @@ logger = logging.getLogger("mfa_tpu")
 LN10 = math.log(10.0)
 
 
+@partial(jax.jit, static_argnames=("acoustic_scale", "K"))
+def _emit_and_nbest(
+    ff, frame_lengths, graph, W, gconsts, acoustic_scale, K,
+    word_event, state0_hash,
+):
+    """Emission selection + determinized K-best Viterbi in one device
+    program (the N-best analogue of ``align.aligner._emit_and_align``)."""
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_nbest_device
+
+    ll = gmm_loglikes(ff, W, gconsts)
+    P = gconsts.shape[0]
+    onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)
+    emit = jnp.einsum(
+        "btp,bsp->bts",
+        ll,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return viterbi_nbest_device(
+        emit, frame_lengths, graph, acoustic_scale=acoustic_scale, K=K,
+        word_event=word_event, state0_hash=state0_hash,
+    )
+
+
 @dataclass
 class TranscriptionResult:
     utterance_id: int
     text: str
     words: List[CtmInterval]
     log_likelihood: float
+    # N-best alternatives (text, total path score), best first; populated
+    # when decoding with nbest > 1 (the lattice/rescoring path)
+    alternatives: Optional[List[Tuple[str, float]]] = None
 
 
 class DecodingGraphCompiler:
@@ -215,9 +246,20 @@ class Transcriber:
         return self._graph
 
     def transcribe_corpus(
-        self, corpus: Corpus
+        self,
+        corpus: Corpus,
+        nbest: int = 1,
+        rescore_lm: Optional[ArpaModel] = None,
+        rescore_weight: float = 1.0,
     ) -> Dict[int, TranscriptionResult]:
-        """Decode every utterance against the shared graph."""
+        """Decode every utterance against the shared graph.
+
+        With ``nbest > 1`` the K-best Viterbi kernel produces rank-ordered
+        hypotheses (the reference's lattice, ``--lattice_beam``); passing
+        ``rescore_lm`` replaces the decoding LM's contribution with the
+        bigger model's on each hypothesis and re-ranks (the reference's
+        ``kalpy.lm.rescore`` / ConstArpaLm lattice rescoring,
+        ``transcription/multiprocessing.py`` CarpaLmRescore)."""
         from montreal_forced_aligner_tpu.align.aligner import (
             _final_feats,
             _emit_and_align,
@@ -277,30 +319,94 @@ class Transcriber:
             B = len(batch)
             garrs = batch_graphs([graph] * B)
             bgraph = ship_graph_to_device(garrs)
-            state_path, scores = _emit_and_align(
-                ff,
-                jnp.asarray(flens),
-                bgraph,
-                al._device_gmm[0],
-                al._device_gmm[1],
-                self.acoustic_scale,
-            )
-            sp = np.asarray(state_path)
-            scores_h = np.asarray(scores)
-            _ph, word_f, inst_f, _ts = extract_frame_labels_host(garrs, sp)
+            if nbest <= 1:
+                state_path, scores = _emit_and_align(
+                    ff,
+                    jnp.asarray(flens),
+                    bgraph,
+                    al._device_gmm[0],
+                    al._device_gmm[1],
+                    self.acoustic_scale,
+                )
+                sp = np.asarray(state_path)[:, None]  # (B, 1, T)
+                scores_h = np.asarray(scores)[:, None]
+            else:
+                from montreal_forced_aligner_tpu.ops.viterbi import (
+                    nbest_backtrace_host,
+                    nbest_word_events,
+                )
+
+                word_event, state0_hash = nbest_word_events(garrs)
+                fscores, bps = _emit_and_nbest(
+                    ff,
+                    jnp.asarray(flens),
+                    bgraph,
+                    al._device_gmm[0],
+                    al._device_gmm[1],
+                    self.acoustic_scale,
+                    nbest,
+                    jnp.asarray(word_event),
+                    jnp.asarray(state0_hash),
+                )
+                sp, scores_h = nbest_backtrace_host(
+                    garrs, np.asarray(fscores), np.asarray(bps), flens, nbest
+                )
             for row, i in enumerate(batch):
                 utt = corpus.utterances[i]
                 Lf = int(flens[row])
-                words = self._decode_words(
-                    word_f[row, :Lf], inst_f[row, :Lf], utt.begin, fs
-                )
+                # hypotheses per rank, deduped by word sequence
+                hyps: List[Tuple[str, float, List[CtmInterval]]] = []
+                seen = set()
+                for r in range(sp.shape[1]):
+                    if scores_h[row, r] <= -1e29:
+                        continue
+                    _ph, word_f, inst_f, _ts = extract_frame_labels_host(
+                        garrs, sp[:, r]
+                    )
+                    words = self._decode_words(
+                        word_f[row, :Lf], inst_f[row, :Lf], utt.begin, fs
+                    )
+                    text = " ".join(w.label for w in words)
+                    if text in seen:
+                        continue
+                    seen.add(text)
+                    hyps.append((text, float(scores_h[row, r]), words))
+                if rescore_lm is not None and len(hyps) > 1:
+                    hyps = self._rescore_hypotheses(
+                        hyps, rescore_lm, rescore_weight
+                    )
+                if not hyps:
+                    hyps = [("", float(scores_h[row, 0]), [])]
+                best_text, best_score, best_words = hyps[0]
                 results[i] = TranscriptionResult(
                     utterance_id=i,
-                    text=" ".join(w.label for w in words),
-                    words=words,
-                    log_likelihood=float(scores_h[row]),
+                    text=best_text,
+                    words=best_words,
+                    log_likelihood=best_score,
+                    alternatives=[(t, s) for t, s, _w in hyps]
+                    if sp.shape[1] > 1
+                    else None,
                 )
         return results
+
+    def _rescore_hypotheses(
+        self,
+        hyps: List[Tuple[str, float, List[CtmInterval]]],
+        rescore_lm: ArpaModel,
+        rescore_weight: float,
+    ) -> List[Tuple[str, float, List[CtmInterval]]]:
+        """Swap the decoding LM's score for the rescoring LM's on each
+        hypothesis and re-rank (exact N-best equivalent of lattice LM
+        rescoring: subtract G_small, add G_big)."""
+        builder_scale = 1.0  # DecodingGraphCompiler default lm_scale
+        rescored = []
+        for text, score, words in hyps:
+            seq = text.split()
+            old_lm = builder_scale * self.lm.sentence_log_prob(seq) * LN10
+            new_lm = rescore_weight * rescore_lm.sentence_log_prob(seq) * LN10
+            rescored.append((text, score - old_lm + new_lm, words))
+        rescored.sort(key=lambda h: -h[1])
+        return rescored
 
     def _decode_words(self, word_f, inst_f, offset, fs) -> List[CtmInterval]:
         words: List[CtmInterval] = []

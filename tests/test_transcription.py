@@ -69,3 +69,28 @@ def test_phone_lm_training(tmp_path):
     seen = lm.sentence_log_prob(["sil", "aa", "bb", "aa", "sil"])
     shuffled = lm.sentence_log_prob(["bb", "sil", "sil", "aa", "bb"])
     assert seen > shuffled
+
+
+def test_nbest_and_lm_rescoring(transcriber_setup):
+    tr, corpus = transcriber_setup
+    results = tr.transcribe_corpus(corpus, nbest=8)
+    alts = results[0].alternatives
+    assert alts is not None and len(alts) >= 2
+    # rank 0 is the 1-best and scores are descending
+    assert alts[0][0] == results[0].text == "ab a"
+    scores = [s for _t, s in alts]
+    assert scores == sorted(scores, reverse=True)
+    assert len({t for t, _s in alts}) == len(alts)
+
+    # rescoring with an LM that strongly prefers a competitor must re-rank
+    competitor = alts[1][0]
+    rescore_lm, _ = train_lm_from_texts([competitor] * 20, order=3)
+    rescored = tr.transcribe_corpus(
+        corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=200.0
+    )
+    assert rescored[0].text == competitor
+    # with negligible weight on the new LM, acoustics keep the original best
+    kept = tr.transcribe_corpus(
+        corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=1e-6
+    )
+    assert kept[0].text == "ab a"

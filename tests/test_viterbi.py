@@ -133,3 +133,57 @@ def test_viterbi_linear_chain_forced():
         emit_b, jnp.asarray(np.array([T], np.int32)), graph, acoustic_scale=1.0
     )
     np.testing.assert_array_equal(np.asarray(paths)[0], truth)
+
+
+def test_kbest_viterbi_matches_enumeration():
+    """K-best kernel vs exhaustive path enumeration on a small graph."""
+    from itertools import product
+
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        nbest_backtrace_host,
+        viterbi_nbest_device,
+    )
+
+    rng = np.random.RandomState(11)
+    S, K_arc, T = 6, 3, 5
+    in_src, in_weight, start, final = random_graph(rng, S, K_arc)
+    emit = (-rng.rand(T, S) * 4).astype(np.float32)
+    # best arc weight per (prev, cur) pair for state-sequence scoring
+    W = np.full((S, S), NEG_INF, np.float32)
+    for s in range(S):
+        for k in range(K_arc):
+            W[in_src[s, k], s] = max(W[in_src[s, k], s], in_weight[s, k])
+
+    scored = []
+    for path in product(range(S), repeat=T):
+        sc = start[path[0]] + emit[0, path[0]]
+        for t in range(1, T):
+            sc += W[path[t - 1], path[t]] + emit[t, path[t]]
+        sc += final[path[-1]]
+        if sc > NEG_INF / 2:
+            scored.append((float(sc), path))
+    scored.sort(key=lambda x: -x[0])
+
+    graph, emit_b = make_batched(
+        [(in_src, in_weight, start, final)], S, K_arc, T, [emit], [T]
+    )
+    fscores, bps = viterbi_nbest_device(
+        emit_b, jnp.asarray(np.array([T], np.int32)), graph,
+        acoustic_scale=1.0, K=8,
+    )
+    paths, scores = nbest_backtrace_host(
+        {"in_src": np.asarray(graph.in_src)},
+        np.asarray(fscores), np.asarray(bps), np.array([T]), 8,
+    )
+    # dedup kernel output by state sequence (parallel/duplicate arcs can
+    # surface the same sequence at a lower rank)
+    seen, dedup = set(), []
+    for r in range(8):
+        key = tuple(paths[0, r, :T].tolist())
+        if key in seen or scores[0, r] <= NEG_INF / 2:
+            continue
+        seen.add(key)
+        dedup.append((float(scores[0, r]), key))
+    for i in range(min(4, len(dedup), len(scored))):
+        assert abs(dedup[i][0] - scored[i][0]) < 1e-3, i
+        assert dedup[i][1] == scored[i][1], i
