@@ -87,7 +87,16 @@ class DecodingGraphCompiler:
     """Builds a shared dense decoding graph: bigram LM over the vocabulary
     with per-word HMM chains and optional silence at word boundaries
     (the reference's HCLG composition, ``transcription/multiprocessing.py:451``,
-    realized as a dense state lattice)."""
+    realized as a dense state lattice).
+
+    Context-dependent (triphone) models are handled exactly: word HMMs are
+    expanded per distinct cross-word left/right context via the alignment
+    compiler's pdf-tuple-merged branches (the C transducer of HCLG), and
+    word-to-word arcs only connect context-consistent branch pairs. Optional
+    inter-word silence gets one contexted copy per (source word, final
+    phone)."""
+
+    EPS = 0
 
     def __init__(
         self,
@@ -95,34 +104,30 @@ class DecodingGraphCompiler:
         lexicon: Lexicon,
         lm: ArpaModel,
         lm_scale: float = 1.0,
-        max_states: int = 6000,
+        max_states: int = 12000,
     ):
         self.compiler = align_compiler
         self.lexicon = lexicon
         self.lm = lm
         self.lm_scale = lm_scale
         self.max_states = max_states
-        if align_compiler.tree.N != 1:
-            raise NotImplementedError(
-                "dense decoding currently supports monophone models; "
-                "context-dependent decode graphs land with band-pruned decode"
-            )
 
     def build(self):
         lex = self.lexicon
         lm = self.lm
         g = _GraphBuilder()
         comp = self.compiler
+        EPS = self.EPS
         sil = lex.phone_id(lex.silence_phone, None)
         vocab = [w for w in lm.vocab if w in lex.words]
         if not vocab:
             raise ValueError("no LM words found in the lexicon")
 
-        word_entries: Dict[int, List[Tuple[int, float]]] = {}
-        word_exits: Dict[int, List[Tuple[int, float, int, float]]] = {}
+        # pronunciations + cross-word context inventories
+        prons: Dict[int, List[Tuple[List[int], float, float]]] = {}
+        first_phones, last_phones = set(), set()
         for w_idx, word in enumerate(vocab):
-            entries = []
-            exits = []
+            rows = []
             for pron in lex.words[word]:
                 if lex.position_dependent:
                     pids = lex.pronunciation_phone_ids(pron.phones)
@@ -135,61 +140,104 @@ class DecodingGraphCompiler:
                     if pron.silence_after_probability is not None
                     else lex.silence_probability
                 )
-                entry, p_exits = comp._expand_pronunciation(g, pids, w_idx)
-                entries.append((entry, pron_lp))
-                for s, wgt, tid in p_exits:
-                    exits.append((s, wgt, tid, p_sil))
-            word_entries[w_idx] = entries
-            word_exits[w_idx] = exits
+                rows.append((pids, pron_lp, p_sil))
+                first_phones.add(pids[0])
+                last_phones.add(pids[-1])
+            prons[w_idx] = rows
+        left_all = sorted({EPS, sil} | last_phones)
+        right_all = sorted({EPS, sil} | first_phones)
+
+        # word branches: (branch, pron_lp, p_sil, first, last) per context pair
+        word_branches: Dict[int, List[Tuple[dict, float, float, int, int]]] = {}
+        for w_idx in range(len(vocab)):
+            rows = []
+            for pids, pron_lp, p_sil in prons[w_idx]:
+                for br in comp._expand_variant(
+                    g, pids, w_idx, left_all, right_all
+                ):
+                    rows.append((br, pron_lp, p_sil, pids[0], pids[-1]))
+            word_branches[w_idx] = rows
             if len(g.state_pdf) > self.max_states:
                 raise ValueError(
                     f"decoding graph exceeds {self.max_states} states; "
                     "vocabulary too large for dense decode"
                 )
 
-        # one optional-silence instance per source word (shared over targets)
-        sil_exits_per_word: Dict[int, List[Tuple[int, float, int]]] = {}
-        for w_idx in range(len(vocab)):
-            entry, s_exits = comp._expand_phone_standalone(g, sil)
-            for s, wgt, tid, p_sil in word_exits[w_idx]:
-                g.add_arc(s, entry, wgt + math.log(max(p_sil, 1e-5)), tid)
-            sil_exits_per_word[w_idx] = s_exits
-        # initial silence
-        init_sil_entry, init_sil_exits = comp._expand_phone_standalone(g, sil)
-        g.add_start(init_sil_entry, math.log(lex.initial_silence_probability))
+        # optional-silence copies per (source word, final phone): keeps the
+        # LM word history through silence and the silence phone's context
+        sil_rights = sorted({EPS} | first_phones)
+        sil_copies: Dict[Tuple[int, int], list] = {}
+        for u_idx in range(len(vocab)):
+            for last in {r[4] for r in word_branches[u_idx]}:
+                sil_copies[(u_idx, last)] = comp._expand_single(
+                    g, sil, -1, last, sil_rights
+                )
+        init_sil = comp._expand_single(g, sil, -1, EPS, sorted(first_phones))
 
-        # LM transitions
+        def entries_for(v_idx: int, left_ctx: int, first_allowed):
+            """Branch entries of word v compatible with the given left
+            context and (optionally) a right-set constraint on first phone."""
+            for br, pron_lp, _ps, first, _last in word_branches[v_idx]:
+                if left_ctx not in br["lset"]:
+                    continue
+                if first_allowed is not None and first not in first_allowed:
+                    continue
+                yield br["entry"], pron_lp
+
+        # start wiring
         start_lp = math.log(1.0 - lex.initial_silence_probability)
+        for rs, sentry, _sexits in init_sil:
+            g.add_start(sentry, math.log(lex.initial_silence_probability))
         for v_idx, v in enumerate(vocab):
             lm_lp = self.lm_scale * lm.log_prob(v, ("<s>",)) * LN10
-            for entry, pron_lp in word_entries[v_idx]:
+            for entry, pron_lp in entries_for(v_idx, EPS, None):
                 g.add_start(entry, start_lp + lm_lp + pron_lp)
-                for s, wgt, tid in init_sil_exits:
-                    g.add_arc(s, entry, wgt + lm_lp + pron_lp, tid)
-        for u_idx, u in enumerate(vocab):
-            for v_idx, v in enumerate(vocab):
-                lm_lp = self.lm_scale * lm.log_prob(v, (u,)) * LN10
-                for entry, pron_lp in word_entries[v_idx]:
-                    # skip-silence path
-                    for s, wgt, tid, p_sil in word_exits[u_idx]:
-                        g.add_arc(
-                            s,
-                            entry,
-                            wgt
-                            + math.log(max(1.0 - p_sil, 1e-5))
-                            + lm_lp
-                            + pron_lp,
-                            tid,
-                        )
-                    # through-silence path
-                    for s, wgt, tid in sil_exits_per_word[u_idx]:
+            for rs, _sentry, sexits in init_sil:
+                for entry, pron_lp in entries_for(v_idx, sil, rs):
+                    for s, wgt, tid in sexits:
                         g.add_arc(s, entry, wgt + lm_lp + pron_lp, tid)
-            # finals
+
+        # word-to-word / word-to-silence / finals
+        for u_idx, u in enumerate(vocab):
             eos_lp = self.lm_scale * lm.log_prob("</s>", (u,)) * LN10
-            for s, wgt, tid, p_sil in word_exits[u_idx]:
-                g.add_final(s, wgt + math.log(max(1.0 - p_sil, 1e-5)) + eos_lp, tid)
-            for s, wgt, tid in sil_exits_per_word[u_idx]:
-                g.add_final(s, wgt + eos_lp, tid)
+            lm_cache = {
+                v_idx: self.lm_scale * lm.log_prob(v, (u,)) * LN10
+                for v_idx, v in enumerate(vocab)
+            }
+            for br, _plp, p_sil, _first, last in word_branches[u_idx]:
+                rset = br["rset"]
+                skip_lp = math.log(max(1.0 - p_sil, 1e-5))
+                sil_lp = math.log(max(p_sil, 1e-5))
+                for s, wgt, tid in br["exits"]:
+                    if EPS in rset:
+                        g.add_final(s, wgt + skip_lp + eos_lp, tid)
+                    if sil in rset:
+                        for _rs, sentry, _se in sil_copies[(u_idx, last)]:
+                            g.add_arc(s, sentry, wgt + sil_lp, tid)
+                    for v_idx in range(len(vocab)):
+                        for entry, pron_lp in entries_for(v_idx, last, rset):
+                            g.add_arc(
+                                s,
+                                entry,
+                                wgt + skip_lp + lm_cache[v_idx] + pron_lp,
+                                tid,
+                            )
+            # out of this word's silence copies
+            for (su_idx, last), groups in sil_copies.items():
+                if su_idx != u_idx:
+                    continue
+                for rs, _sentry, sexits in groups:
+                    for s, wgt, tid in sexits:
+                        if EPS in rs:
+                            g.add_final(s, wgt + eos_lp, tid)
+                        for v_idx in range(len(vocab)):
+                            for entry, pron_lp in entries_for(v_idx, sil, rs):
+                                g.add_arc(
+                                    s,
+                                    entry,
+                                    wgt + lm_cache[v_idx] + pron_lp,
+                                    tid,
+                                )
 
         graph = g.finish(vocab)
         return graph, vocab

@@ -85,3 +85,23 @@ def test_triphone_model_aligns(tri_setup, tmp_path):
             if i == len(full) - 1 or full[i + 1][0] != ph:
                 errors.append(abs(p.end - e))
     assert np.median(errors) < 0.03
+
+
+def test_triphone_transcription(tri_setup):
+    """Context-dependent decode graph: transcribing with the triphone model
+    must recover the transcripts (exercises cross-word context branches in
+    DecodingGraphCompiler)."""
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    tmp, corpus_dir, dict_path, model, _tri, _truths = tri_setup
+    model_path = tmp / "tri_decode.zip"
+    model.save(model_path)
+    tr = Transcriber(model_path, dict_path, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    results = tr.transcribe_corpus(corpus)
+    metrics = tr.evaluate(corpus, results)
+    assert metrics["wer"] <= 0.15, metrics
+    # N-best with the triphone graph stays consistent at rank 0
+    nb = tr.transcribe_corpus(corpus, nbest=4)
+    for i in results:
+        assert nb[i].alternatives[0][0] == nb[i].text
