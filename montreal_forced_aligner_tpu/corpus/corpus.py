@@ -56,6 +56,18 @@ class Corpus:
     def num_utterances(self) -> int:
         return len(self.utterances)
 
+    def subset(self, utterance_ids) -> "Corpus":
+        """A new Corpus holding the given utterances (re-numbered 0..n-1);
+        speakers are restricted to those present."""
+        import dataclasses
+
+        utts = [
+            dataclasses.replace(self.utterances[i], id=new_id)
+            for new_id, i in enumerate(utterance_ids)
+        ]
+        speakers = sorted({u.speaker for u in utts})
+        return Corpus(utterances=utts, speakers=speakers, files=dict(self.files))
+
     @property
     def speaker_index(self) -> Dict[str, int]:
         return {s: i for i, s in enumerate(self.speakers)}

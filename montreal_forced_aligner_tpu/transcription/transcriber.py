@@ -343,6 +343,7 @@ class Transcriber:
         )
         results: Dict[int, TranscriptionResult] = {}
         fs = al.frame_shift
+        prepared = []
         for batch in batches:
             wave_list = [waves[i] for i in batch]
             L = _round_up(max(len(w) for w in wave_list), 16000)
@@ -367,6 +368,14 @@ class Transcriber:
             B = len(batch)
             garrs = batch_graphs([graph] * B)
             bgraph = ship_graph_to_device(garrs)
+            prepared.append((batch, flens, garrs, bgraph, ff))
+
+        if al.model.uses_fmllr and al.model.alignment_model is not None:
+            prepared = self._fmllr_decode_feats(
+                prepared, corpus, speaker_index
+            )
+
+        for batch, flens, garrs, bgraph, ff in prepared:
             if nbest <= 1:
                 state_path, scores = _emit_and_align(
                     ff,
@@ -435,6 +444,111 @@ class Transcriber:
                     if sp.shape[1] > 1
                     else None,
                 )
+        return results
+
+    def _fmllr_decode_feats(self, prepared, corpus: Corpus, speaker_index):
+        """Two-pass SAT decoding: first-pass decode with the
+        speaker-independent alignment model, per-speaker fMLLR from the
+        first-pass labels (silence-weighted), then adapted features for the
+        final decode (reference ``transcription/transcriber.py:1120-1198``
+        InitialFmllr/FinalFmllr decode functions)."""
+        from montreal_forced_aligner_tpu.align.aligner import _emit_and_align
+        from montreal_forced_aligner_tpu.ops.feats import (
+            apply_per_speaker_transform,
+        )
+        from montreal_forced_aligner_tpu.ops.transforms import (
+            accumulate_fmllr_stats,
+            estimate_speaker_fmllr,
+        )
+
+        al = self.aligner
+        num_speakers = len(corpus.speakers)
+        ali_tm, ali_gmm = al.model.alignment_model
+        W1, _ = ali_gmm.flatten_for_device()
+        W1 = jnp.asarray(W1)
+        gc1 = jnp.asarray(ali_gmm.gconsts)
+        gmm = al.model.gmm
+        means = jnp.asarray(gmm.get_means())
+        iv = jnp.asarray(gmm.inv_vars)
+        gc = jnp.asarray(gmm.gconsts)
+        miv = jnp.asarray(gmm.means_invvars)
+        sil_pdfs = al._silence_pdfs()
+
+        D = gmm.dim
+        K = np.zeros((num_speakers, D, D + 1))
+        G = np.zeros((num_speakers, D, D + 1, D + 1))
+        beta = np.zeros(num_speakers)
+        firstpass = []
+        for batch, flens, garrs, bgraph, ff in prepared:
+            state_path, _sc = _emit_and_align(
+                ff, jnp.asarray(flens), bgraph, W1, gc1, self.acoustic_scale
+            )
+            sp = np.asarray(state_path)
+            b = np.arange(sp.shape[0])[:, None]
+            frame_pdf = garrs["state_pdf"][b, sp]
+            weight = (~np.isin(frame_pdf, sil_pdfs)).astype(np.float32)
+            spk_idx = np.array(
+                [speaker_index[corpus.utterances[i].speaker] for i in batch],
+                np.int32,
+            )
+            out = accumulate_fmllr_stats(
+                ff,
+                jnp.asarray(flens),
+                jnp.asarray(frame_pdf),
+                jnp.asarray(spk_idx),
+                jnp.asarray(weight),
+                means,
+                iv,
+                gc,
+                miv,
+                num_speakers,
+            )
+            firstpass.append((spk_idx, out))
+        for _spk, (k, g, bta) in firstpass:
+            K += np.asarray(k)
+            G += np.asarray(g)
+            beta += np.asarray(bta)
+        transforms = estimate_speaker_fmllr(
+            K, G, beta, min_count=al.config.fmllr_min_count
+        )
+        trans_j = jnp.asarray(transforms)
+        out_prepared = []
+        for (batch, flens, garrs, bgraph, ff), (spk_idx, _o) in zip(
+            prepared, firstpass
+        ):
+            adapted = apply_per_speaker_transform(
+                ff, jnp.asarray(spk_idx), trans_j
+            )
+            out_prepared.append((batch, flens, garrs, bgraph, adapted))
+        return out_prepared
+
+    def transcribe_corpus_per_speaker(
+        self, corpus: Corpus, lm_order: int = 3, **kwargs
+    ) -> Dict[int, TranscriptionResult]:
+        """Decode each speaker's utterances against an LM trained on that
+        speaker's own transcripts (the reference's per-speaker-LM
+        transcription check, ``PerSpeakerDecodeFunction``,
+        ``transcription/multiprocessing.py:1454``; used by
+        ``mfa validate --test_transcriptions``)."""
+        results: Dict[int, TranscriptionResult] = {}
+        by_speaker: Dict[str, List[int]] = {}
+        for utt in corpus.utterances:
+            by_speaker.setdefault(utt.speaker, []).append(utt.id)
+        for speaker, utt_ids in by_speaker.items():
+            texts = [
+                " ".join(
+                    self.aligner.tokenizer.tokenize(corpus.utterances[i].text)
+                )
+                for i in utt_ids
+            ]
+            self.lm, _ = train_lm_from_texts(texts, order=lm_order)
+            self._graph = None  # rebuild for this speaker's LM
+            sub = corpus.subset(utt_ids)
+            sub_results = self.transcribe_corpus(sub, **kwargs)
+            for local_id, res in sub_results.items():
+                orig = utt_ids[local_id]
+                res.utterance_id = orig
+                results[orig] = res
         return results
 
     def _rescore_hypotheses(

@@ -137,3 +137,26 @@ def test_checkpoint_resume(tmp_path):
     )
     tri_trainer = ta2.trainers["triphone"]
     assert tri_trainer.iteration_log == []  # no EM iterations ran on resume
+
+
+def test_sat_two_pass_transcription(full_train):
+    """fMLLR two-pass decoding with the SAT model + per-speaker-LM check."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    tmp, corpus_dir, dict_path, _ta, final, _truths = full_train
+    model_path = tmp / "sat_decode.zip"
+    final.save(model_path)
+    assert final.uses_fmllr and final.alignment_model is not None
+    tr = Transcriber(model_path, dict_path, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    results = tr.transcribe_corpus(corpus)  # exercises _fmllr_decode_feats
+    metrics = tr.evaluate(corpus, results)
+    assert metrics["wer"] <= 0.2, metrics
+
+    per_spk = tr.transcribe_corpus_per_speaker(corpus)
+    assert set(per_spk) == {u.id for u in corpus.utterances}
+    m2 = Transcriber(model_path, dict_path, batch_size=4).evaluate(
+        corpus, per_spk
+    )
+    assert m2["wer"] <= 0.2, m2
