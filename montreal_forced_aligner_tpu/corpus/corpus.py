@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 from montreal_forced_aligner_tpu.io.textgrid import TextGrid
 from montreal_forced_aligner_tpu.io.wav import read_wave
 
-AUDIO_EXTENSIONS = {".wav", ".flac"}
+AUDIO_EXTENSIONS = {".wav", ".flac", ".mp3", ".opus"}
 TRANSCRIPT_EXTENSIONS = {".lab", ".txt"}
 
 

@@ -83,8 +83,9 @@ def read_wave(
     end: Optional[float] = None,
     channel: int = 0,
 ) -> WaveData:
-    """Read a (segment of a) WAV or FLAC file; selects one channel."""
-    if str(path).lower().endswith(".flac"):
+    """Read a (segment of a) WAV/FLAC/MP3/Opus file; selects one channel."""
+    lower = str(path).lower()
+    if lower.endswith(".flac"):
         from montreal_forced_aligner_tpu.io.flac import decode_flac
 
         st = decode_flac(path)
@@ -94,6 +95,16 @@ def read_wave(
             samples = samples[:, 0]
         sample_rate = st.sample_rate
         num_channels = st.num_channels
+    elif lower.endswith(".mp3") or lower.endswith(".opus"):
+        from montreal_forced_aligner_tpu.io.codecs import decode_mp3, decode_opus
+
+        pcm, sample_rate = (
+            decode_mp3(path) if lower.endswith(".mp3") else decode_opus(path)
+        )
+        num_channels = pcm.shape[1]
+        samples = pcm.astype(np.float32)
+        if num_channels == 1:
+            samples = samples[:, 0]
     else:
         with open(path, "rb") as f:
             data = f.read()

@@ -122,3 +122,35 @@ def test_flac_native_matches_python(reference_data_dir, monkeypatch):
         return  # no toolchain: both runs used the Python path
     assert st_native.md5_ok is True
     assert np.array_equal(st_native.samples, st_py.samples)
+
+
+def test_mp3_and_opus_decoding(reference_data_dir, tmp_path):
+    """MP3 (libmpg123) and Ogg Opus (libopus) decode via system codecs, and
+    the corpus scanner picks both formats up."""
+    import shutil
+
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.wav import read_wave
+
+    mp3 = reference_data_dir / "wav" / "common_voice_en_22058264.mp3"
+    opus = reference_data_dir / "wav" / "13697_11991_000000.opus"
+    wav = read_wave(mp3)
+    assert wav.sample_rate == 48000
+    assert 3.5 < wav.duration < 5.0
+    assert float(np.abs(wav.samples).max()) > 100  # real audio, not silence
+    wav2 = read_wave(opus)
+    assert wav2.sample_rate == 48000
+    assert 14.0 < wav2.duration < 16.0
+    assert float(np.abs(wav2.samples).max()) > 100
+
+    spk = tmp_path / "codec_corpus" / "spk"
+    spk.mkdir(parents=True)
+    for src in (mp3, opus):
+        shutil.copy(src, spk / src.name)
+        (spk / src.name).with_suffix(".lab").write_text("hello world")
+    corpus = Corpus.load(tmp_path / "codec_corpus")
+    assert corpus.num_utterances == 2
+    lens = corpus.load_audio_parallel(16000)
+    assert abs(len(lens[0]) / 16000 - wav2.duration) < 0.01 or abs(
+        len(lens[0]) / 16000 - wav.duration
+    ) < 0.01
