@@ -222,9 +222,12 @@ def version_cli():
               help="Scale factor on per-stage iteration counts (quick runs)")
 @click.option("--working_directory", type=click.Path(), default=None,
               help="Stage checkpoints for resume")
+@click.option("--position_dependent_phones/--no_position_dependent_phones",
+              default=True, show_default=True,
+              help="Word-position phone variants (_B/_E/_I/_S), MFA default")
 def train_cli(corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, num_iterations_scale,
-              working_directory):
+              working_directory, position_dependent_phones):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -243,6 +246,7 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
         batch_size=batch_size, working_directory=working_directory,
+        position_dependent_phones=position_dependent_phones,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -66,7 +66,7 @@ class TrainableAligner:
         recipe: Optional[List[StageConfig]] = None,
         base_config: Optional[TrainerConfig] = None,
         batch_size: int = 16,
-        position_dependent_phones: bool = False,
+        position_dependent_phones: bool = True,
         working_directory=None,
     ):
         self.corpus = Corpus.load(corpus_directory)
