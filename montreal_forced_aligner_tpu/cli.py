@@ -225,9 +225,12 @@ def version_cli():
 @click.option("--position_dependent_phones/--no_position_dependent_phones",
               default=True, show_default=True,
               help="Word-position phone variants (_B/_E/_I/_S), MFA default")
+@click.option("--features_on_host/--features_on_device", default=False,
+              show_default=True,
+              help="Keep feature batches in host RAM (large corpora)")
 def train_cli(corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, num_iterations_scale,
-              working_directory, position_dependent_phones):
+              working_directory, position_dependent_phones, features_on_host):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -247,6 +250,7 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
         corpus_directory, dictionary_path, recipe=recipe,
         batch_size=batch_size, working_directory=working_directory,
         position_dependent_phones=position_dependent_phones,
+        features_on_host=features_on_host,
     )
     final = ta.train()
     ta.export_model(output_model_path)

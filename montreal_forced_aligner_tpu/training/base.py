@@ -94,6 +94,7 @@ class TrainingPipeline:
         uses_deltas: bool = True,
         lda_mat: Optional[np.ndarray] = None,
         use_pitch: bool = False,
+        features_on_host: bool = False,
     ):
         self.corpus = corpus
         self.lexicon = lexicon
@@ -102,6 +103,10 @@ class TrainingPipeline:
         self.uses_deltas = uses_deltas
         self.lda_mat = lda_mat
         self.use_pitch = use_pitch
+        # big-corpus mode: keep feature batches in host RAM instead of HBM;
+        # device ops transfer per step (trades HBM residency for PCIe
+        # traffic — the reference's ark-files-on-disk analogue)
+        self.features_on_host = features_on_host
         self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
         self.batches: List[FeatureBatch] = []
         self.graphs: List[CompiledGraph] = []
@@ -146,6 +151,10 @@ class TrainingPipeline:
                 self.mfcc_config,
                 self.mfcc_config.num_frames(L),
             )
+            if self.features_on_host:
+                # eager fetch bounds the HBM peak to one batch
+                feats_dev = np.asarray(feats_dev)
+                sums = np.asarray(sums)
             stash.append((batch, feats_dev, flens, sums))
         for batch, _f, flens, sums in stash:
             sums = np.asarray(sums)
@@ -165,7 +174,7 @@ class TrainingPipeline:
                 np.int32,
             )
             mean_rows = self._spk_mean[spk_idx]
-            raw = _normalize_raw(feats_dev, jnp.asarray(mean_rows))
+            raw = _normalize_raw(jnp.asarray(feats_dev), jnp.asarray(mean_rows))
             if self.use_pitch:
                 from montreal_forced_aligner_tpu.ops.pitch import (
                     pitch_for_mfcc_frames,
@@ -189,6 +198,9 @@ class TrainingPipeline:
                 None if self.lda_mat is None else jnp.asarray(self.lda_mat),
                 self.uses_deltas,
             )
+            if self.features_on_host:
+                raw = np.asarray(raw)
+                final = np.asarray(final)
             self.batches.append(
                 FeatureBatch(
                     utt_indices=batch,
@@ -214,7 +226,8 @@ class TrainingPipeline:
         lda_j = None if lda_mat is None else jnp.asarray(lda_mat)
         for fb in self.batches:
             final = _finalize_features(
-                fb.raw, jnp.asarray(fb.frame_lengths), lda_j, uses_deltas
+                jnp.asarray(fb.raw), jnp.asarray(fb.frame_lengths), lda_j,
+                uses_deltas,
             )
             if speaker_transforms is not None:
                 from montreal_forced_aligner_tpu.ops.feats import (
@@ -226,7 +239,7 @@ class TrainingPipeline:
                     jnp.asarray(fb.speaker_idx),
                     jnp.asarray(speaker_transforms),
                 )
-            fb.feats = final
+            fb.feats = np.asarray(final) if self.features_on_host else final
             fb.frame_pdf = None
             fb.frame_tid = None
 

@@ -68,6 +68,7 @@ class TrainableAligner:
         batch_size: int = 16,
         position_dependent_phones: bool = True,
         working_directory=None,
+        features_on_host: bool = False,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.lexicon = Lexicon.load(
@@ -79,6 +80,7 @@ class TrainableAligner:
         self.working_directory = (
             Path(working_directory) if working_directory else None
         )
+        self.features_on_host = features_on_host
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
 
@@ -149,7 +151,8 @@ class TrainableAligner:
 
     def train(self) -> AcousticModel:
         pipeline = TrainingPipeline(
-            self.corpus, self.lexicon, batch_size=self.batch_size
+            self.corpus, self.lexicon, batch_size=self.batch_size,
+            features_on_host=self.features_on_host,
         )
         pipeline.prepare_features()
         topo = None

@@ -173,3 +173,31 @@ def test_training_with_pitch(tmp_path):
     assert len(results) == corpus.num_utterances
     labels = [p.label for p in results[0].phones if p.label not in ("sil", "spn")]
     assert len(labels) >= 2
+
+
+def test_features_on_host_matches_device(tmp_path):
+    """Host-resident feature batches (big-corpus mode) must reproduce the
+    device-resident training trajectory."""
+    corpus_dir, _truths = make_training_corpus(tmp_path, n_utts=4)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    lexicon = Lexicon.load(dict_path, position_dependent=False)
+    logs = []
+    for on_host in (False, True):
+        corpus = Corpus.load(corpus_dir)
+        pipeline = TrainingPipeline(
+            corpus, lexicon, batch_size=4, features_on_host=on_host
+        )
+        pipeline.prepare_features()
+        if on_host:
+            assert all(isinstance(fb.feats, np.ndarray) for fb in pipeline.batches)
+            assert all(isinstance(fb.raw, np.ndarray) for fb in pipeline.batches)
+        trainer = MonophoneTrainer(
+            lexicon,
+            TrainerConfig(num_iterations=3, max_gaussians=20, boost_silence=1.0),
+        )
+        trainer.train(pipeline)
+        logs.append([e["loglike_per_frame"] for e in trainer.iteration_log])
+    np.testing.assert_allclose(logs[0], logs[1], rtol=1e-5)
