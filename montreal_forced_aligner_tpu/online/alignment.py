@@ -21,6 +21,10 @@ from montreal_forced_aligner_tpu.graph.compiler import batch_graphs, ship_graph_
 from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
 from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs, extract_frame_labels_host
 
+# frames above which align_utterance_online switches to the checkpointed
+# chunked Viterbi (10 ms frames: 60000 ~= 10 minutes)
+LONG_UTTERANCE_FRAMES = 60000
+
 
 def align_utterance_online(
     aligner,
@@ -66,23 +70,41 @@ def align_utterance_online(
         feats, jnp.asarray(flens), jnp.asarray(mean[None].astype(np.float32)), lda
     )
     garrs = batch_graphs([graph])
-    bgraph = ship_graph_to_device(garrs)
-    band_out = band_from_arcs(garrs)
-    band, limits = (None, None)
-    if band_out is not None:
-        band_np, lb, ub = band_out
-        band, limits = jnp.asarray(band_np), (lb, ub)
-    state_path, scores = _emit_and_align(
-        ff,
-        jnp.asarray(flens),
-        bgraph,
-        aligner._device_gmm[0],
-        aligner._device_gmm[1],
-        aligner.config.acoustic_scale,
-        band=band,
-        band_limits=limits,
-    )
-    sp = np.asarray(state_path)
+    Lf0 = int(flens[0])
+    # beyond ~10 min a single utterance's O(T*S) backpointers + emissions
+    # stop fitting HBM: switch to the exact checkpointed chunked kernel
+    if Lf0 > LONG_UTTERANCE_FRAMES:
+        from montreal_forced_aligner_tpu.ops.long_viterbi import (
+            viterbi_align_long,
+        )
+
+        path, score = viterbi_align_long(
+            np.asarray(ff[0, :Lf0]),
+            garrs,
+            aligner._device_gmm[0],
+            aligner._device_gmm[1],
+            acoustic_scale=aligner.config.acoustic_scale,
+        )
+        sp = path[None]
+        scores = np.array([score], np.float32)
+    else:
+        bgraph = ship_graph_to_device(garrs)
+        band_out = band_from_arcs(garrs)
+        band, limits = (None, None)
+        if band_out is not None:
+            band_np, lb, ub = band_out
+            band, limits = jnp.asarray(band_np), (lb, ub)
+        state_path, scores = _emit_and_align(
+            ff,
+            jnp.asarray(flens),
+            bgraph,
+            aligner._device_gmm[0],
+            aligner._device_gmm[1],
+            aligner.config.acoustic_scale,
+            band=band,
+            band_limits=limits,
+        )
+        sp = np.asarray(state_path)
     phone_f, word_f, inst_f, _ts = extract_frame_labels_host(garrs, sp)
     utt = Utterance(
         id=utterance_id,

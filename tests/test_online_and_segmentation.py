@@ -76,3 +76,24 @@ def test_trainable_tokenizer():
     assert tok.tokenize("2") == "two"
     out = tok.tokenize("dog3")
     assert out == "dog three"
+
+
+def test_online_long_utterance_routing(tmp_path, monkeypatch):
+    """Long utterances route through the chunked kernel and produce the same
+    alignment as the batched path."""
+    from helpers import build_synthetic_model, synth_wave
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    import montreal_forced_aligner_tpu.online.alignment as oa
+
+    wave = synth_wave()
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=1))
+    ref = oa.align_utterance_online(al, wave, "ab a")
+    monkeypatch.setattr(oa, "LONG_UTTERANCE_FRAMES", 50)  # force chunked path
+    long_res = oa.align_utterance_online(al, wave, "ab a")
+    assert [p.label for p in long_res.phones] == [p.label for p in ref.phones]
+    for a, b in zip(long_res.phones, ref.phones):
+        assert abs(a.begin - b.begin) < 1e-6 and abs(a.end - b.end) < 1e-6

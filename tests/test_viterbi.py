@@ -187,3 +187,56 @@ def test_kbest_viterbi_matches_enumeration():
     for i in range(min(4, len(dedup), len(scored))):
         assert abs(dedup[i][0] - scored[i][0]) < 1e-3, i
         assert dedup[i][1] == scored[i][1], i
+
+
+def test_long_viterbi_matches_batched():
+    """Checkpointed chunked Viterbi == the batched kernel on a real-style
+    alignment problem (synthetic model + tone audio)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_synthetic_model, synth_wave
+
+    import jax.numpy as jnp
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+        _emit_and_align,
+        _final_feats,
+        _mfcc_and_sums,
+    )
+    from montreal_forced_aligner_tpu.graph.compiler import (
+        batch_graphs,
+        ship_graph_to_device,
+    )
+    from montreal_forced_aligner_tpu.ops.long_viterbi import viterbi_align_long
+    from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
+
+    tmp = Path(__import__("tempfile").mkdtemp())
+    wave = synth_wave()
+    model_path, dict_path = build_synthetic_model(tmp, wave=wave)
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=1))
+    graph = al.compiler.compile(al.tokenizer.tokenize("ab a"))
+    garrs = batch_graphs([graph])
+    bgraph = ship_graph_to_device(garrs)
+    padded, lens = pad_waves_for_mfcc([wave], al.mfcc_config, len(wave))
+    T = al.mfcc_config.num_frames(int(lens[0]))
+    feats, _ = _mfcc_and_sums(
+        jnp.asarray(padded), jnp.asarray([T]), al.mfcc_config,
+        al.mfcc_config.num_frames(int(lens[0])),
+    )
+    mean = feats[0, :T].mean(axis=0)
+    ff = _final_feats(feats, jnp.asarray([T]), mean[None], None)
+    W, gc = al._device_gmm
+
+    sp_batch, score_batch = _emit_and_align(
+        ff, jnp.asarray([T]), bgraph, W, gc, 0.1
+    )
+    sp_batch = np.asarray(sp_batch)[0, :T]
+
+    path, score = viterbi_align_long(
+        np.asarray(ff[0, :T]), garrs, W, gc, acoustic_scale=0.1, chunk=37
+    )
+    assert abs(score - float(score_batch[0])) < 1e-2
+    np.testing.assert_array_equal(path, sp_batch)
