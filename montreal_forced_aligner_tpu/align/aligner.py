@@ -211,6 +211,8 @@ class PretrainedAligner:
         rules_path=None,
     ):
         self.config = config or AlignerConfig()
+        self.model_path = acoustic_model_path
+        self.dictionary_path = dictionary_path
         self.model = AcousticModel.load(acoustic_model_path)
         if not self.model.phone_table:
             self.model.phone_table = reconstruct_phone_table(

@@ -338,16 +338,20 @@ class AlignmentGraphCompiler:
         return self._expand_plan(g, plan, phone, word_idx)
 
     def _expand_pronunciation(
-        self, g: _GraphBuilder, pids: Sequence[int], word_idx: int
+        self, g: _GraphBuilder, pids: Sequence[int], word_idx: int,
+        boundary_ctx: int = 0,
     ):
         """Simple within-variant chain with interior context only (used by
-        the dense decoding-graph builder; monophone-exact)."""
+        the LVCSR decoding-graph builder; monophone-exact). ``boundary_ctx``
+        is the assumed cross-word context phone for the first/last phone
+        (silence is the usual choice — its leaves are well trained and
+        word boundaries border silence more often than any other phone)."""
         entry = None
         prev_exits = []
         n = len(pids)
         for k, phone in enumerate(pids):
-            l = pids[k - 1] if k > 0 else 0
-            r = pids[k + 1] if k < n - 1 else 0
+            l = pids[k - 1] if k > 0 else boundary_ctx
+            r = pids[k + 1] if k < n - 1 else boundary_ctx
             plan = self._phone_plan(self._window(l, phone, r))
             p_entry, p_exits = self._expand_plan(g, plan, phone, word_idx)
             if entry is None:

@@ -1,0 +1,355 @@
+"""Large-vocabulary decoding: two-level time-synchronous DP.
+
+The exact dense decoder (``transcriber.DecodingGraphCompiler``) materializes
+every LM transition as a graph arc — O(V^2) arcs — which caps it at a few
+hundred words. The reference scales past this with HCLG beam search
+(``LatticeFasterDecoder``; graph build ``transcription/multiprocessing.py:451``),
+whose graph stays small because the LM keeps its *backoff structure*. This
+module is the TPU-native counterpart: instead of beam-pruned token passing
+over a composed FST, each frame runs
+
+1. a band-sparse max-plus step over all word-HMM blocks at once (word
+   interiors are contiguous state ranges, so intra-word arcs live in a
+   narrow band — the same kernel shape as forced alignment), and
+2. a *backoff LM junction* in closed form: per-word exit scores via a
+   padded gather + max, one global backoff maximum, seen-bigram updates via
+   a (V, Kb) gather, and word entry via a per-entry-state gather —
+   O(S + V*Kb) work per frame instead of O(V^2).
+
+Optional inter-word silence is absorbed into each word block (exit ->
+silence -> exit'), which preserves the LM word history with no extra
+machinery. The DP is exact over this graph — no beam, nothing pruned.
+
+Context dependency: word-internal triphone windows (boundary phones see
+phone 0 across word edges). The small-vocabulary dense path keeps exact
+cross-word context; this approximation matches common production decoders.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montreal_forced_aligner_tpu.graph.compiler import _GraphBuilder, _safe_log
+from montreal_forced_aligner_tpu.language_modeling.ngram import ArpaModel
+from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
+
+LN10 = math.log(10.0)
+
+
+@dataclass
+class LvcsrGraph:
+    """Host arrays for the two-level decoder (single shared graph)."""
+
+    words: List[str]
+    # HMM substrate
+    state_pdf: np.ndarray  # (S,)
+    state_word: np.ndarray  # (S,) word index (-1 for inter/initial silence)
+    state_phone: np.ndarray  # (S,)
+    band: np.ndarray  # (S, D) intra-word arcs
+    lb: int = 0
+    ub: int = 0
+    band_bp_offsets: Optional[np.ndarray] = None
+    start: Optional[np.ndarray] = None  # (S,)
+    # junction arrays; U = V + 1 sources (words + initial-silence row V)
+    exit_idx: Optional[np.ndarray] = None  # (U, E)
+    exit_w: Optional[np.ndarray] = None  # (U, E)
+    entry_idx: Optional[np.ndarray] = None  # (Ne,) entry state per slot
+    entry_word: Optional[np.ndarray] = None  # (Ne,)
+    entry_w: Optional[np.ndarray] = None  # (Ne,)
+    # LM (all scaled: lm_scale * log10 * LN10)
+    p1: Optional[np.ndarray] = None  # (V,) unigram
+    bo: Optional[np.ndarray] = None  # (U,) backoff weight of each history
+    big_pred: Optional[np.ndarray] = None  # (V, Kb) predecessor source index
+    big_w: Optional[np.ndarray] = None  # (V, Kb) seen-bigram log-prob
+    eos: Optional[np.ndarray] = None  # (U,) end-of-sentence LM weight
+
+    @property
+    def num_states(self) -> int:
+        return len(self.state_pdf)
+
+
+class LvcsrGraphCompiler:
+    """Builds an :class:`LvcsrGraph` from lexicon + backoff bigram LM."""
+
+    def __init__(self, align_compiler, lexicon, lm: ArpaModel,
+                 lm_scale: float = 1.0):
+        self.comp = align_compiler
+        self.lexicon = lexicon
+        self.lm = lm
+        self.lm_scale = lm_scale
+
+    def _word_block(self, g: _GraphBuilder, pids, w_idx, p_sil, sil):
+        """One pronunciation chain + optional trailing silence; returns
+        (entry_state, [(exit_state, weight, tid), ...])."""
+        comp = self.comp
+        entry, chain_exits = comp._expand_pronunciation(
+            g, pids, w_idx, boundary_ctx=sil
+        )
+        exits = [
+            (s, w + _safe_log(max(1.0 - p_sil, 1e-5)), tid)
+            for s, w, tid in chain_exits
+        ]
+        # trailing optional silence (word index kept = silence convention -1)
+        splan_entry, sexits = comp._expand_phone_standalone(g, sil, -1)
+        for s, w, tid in chain_exits:
+            g.add_arc(s, splan_entry, w + _safe_log(max(p_sil, 1e-5)), tid)
+        exits.extend(sexits)
+        return entry, exits
+
+    def build(self) -> LvcsrGraph:
+        from montreal_forced_aligner_tpu.graph.compiler import batch_graphs
+        from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+
+        lex = self.lexicon
+        lm = self.lm
+        comp = self.comp
+        g = _GraphBuilder()
+        sil = lex.phone_id(lex.silence_phone, None)
+        vocab = [w for w in lm.vocab if w in lex.words]
+        if not vocab:
+            raise ValueError("no LM words found in the lexicon")
+        V = len(vocab)
+
+        entries: List[Tuple[int, int, float]] = []  # (state, word, weight)
+        exits: List[List[Tuple[int, float, int]]] = []
+        for w_idx, word in enumerate(vocab):
+            wexits: List[Tuple[int, float, int]] = []
+            for pron in lex.words[word]:
+                if lex.position_dependent:
+                    pids = lex.pronunciation_phone_ids(pron.phones)
+                else:
+                    pids = [lex.phone_id(p, None) for p in pron.phones]
+                prob = pron.probability if pron.probability is not None else 1.0
+                pron_lp = math.log(max(min(prob, 1.0), 1e-5))
+                p_sil = (
+                    pron.silence_after_probability
+                    if pron.silence_after_probability is not None
+                    else lex.silence_probability
+                )
+                entry, p_exits = self._word_block(g, pids, w_idx, p_sil, sil)
+                entries.append((entry, w_idx, pron_lp))
+                wexits.extend(p_exits)
+            exits.append(wexits)
+        # initial silence = source row V with <s> LM state
+        init_entry, init_exits = comp._expand_phone_standalone(g, sil, -1)
+        exits.append(init_exits)
+
+        graph = g.finish(vocab)
+        garrs = batch_graphs([graph])
+        band_out = band_from_arcs(garrs)
+        if band_out is None:
+            raise ValueError("word-internal arcs exceed band buckets")
+        band_np, lb, ub = band_out
+        S = graph.num_states
+
+        # start vector: initial silence, or straight into a first word
+        start = np.full(S, NEG_INF, np.float32)
+        start[init_entry] = _safe_log(lex.initial_silence_probability)
+        scale = self.lm_scale * LN10
+        start_lp = _safe_log(1.0 - lex.initial_silence_probability)
+        for st, w_idx, pron_lp in entries:
+            lm_lp = scale * lm.log_prob(vocab[w_idx], ("<s>",))
+            start[st] = max(start[st], start_lp + lm_lp + pron_lp)
+
+        U = V + 1
+        E = max(len(e) for e in exits)
+        exit_idx = np.zeros((U, E), np.int32)
+        exit_w = np.full((U, E), NEG_INF, np.float32)
+        for u, ex in enumerate(exits):
+            for j, (s, w, _tid) in enumerate(ex):
+                exit_idx[u, j] = s
+                exit_w[u, j] = w
+
+        entry_idx = np.asarray([e[0] for e in entries], np.int32)
+        entry_word = np.asarray([e[1] for e in entries], np.int32)
+        entry_w = np.asarray([e[2] for e in entries], np.float32)
+
+        # LM arrays. log_prob is log10; junction uses natural log, pre-scaled
+        word_index = {w: i for i, w in enumerate(vocab)}
+        p1 = np.asarray(
+            [scale * lm.log_prob(v, ()) for v in vocab], np.float32
+        )
+        bo = np.zeros(U, np.float32)
+        eos = np.zeros(U, np.float32)
+        for u, w in enumerate(vocab + ["<s>"]):
+            bo[u] = scale * lm.ngrams[1].get((w,), (0.0, 0.0))[1]
+            eos[u] = scale * lm.log_prob("</s>", (w,))
+        # seen bigrams (u -> v)
+        preds: Dict[int, List[Tuple[int, float]]] = {v: [] for v in range(V)}
+        if lm.order >= 2:
+            for key, (lp, _b) in lm.ngrams[2].items():
+                hist, w = key[0], key[1]
+                if w not in word_index:
+                    continue
+                u = word_index.get(hist, V if hist == "<s>" else None)
+                if u is None:
+                    continue
+                preds[word_index[w]].append((u, scale * lp))
+        Kb = max(1, max(len(p) for p in preds.values()))
+        big_pred = np.zeros((V, Kb), np.int32)
+        big_w = np.full((V, Kb), NEG_INF, np.float32)
+        for v, plist in preds.items():
+            for k, (u, wgt) in enumerate(plist):
+                big_pred[v, k] = u
+                big_w[v, k] = wgt
+
+        return LvcsrGraph(
+            words=vocab,
+            state_pdf=garrs["state_pdf"][0],
+            state_word=garrs["state_word"][0],
+            state_phone=garrs["state_phone"][0],
+            band=band_np[0],
+            lb=lb,
+            ub=ub,
+            start=start,
+            exit_idx=exit_idx,
+            exit_w=exit_w,
+            entry_idx=entry_idx,
+            entry_word=entry_word,
+            entry_w=entry_w,
+            p1=p1,
+            bo=bo,
+            big_pred=big_pred,
+            big_w=big_w,
+            eos=eos,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Device DP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("lb", "ub"))
+def lvcsr_decode_device(
+    emit: jnp.ndarray,  # (B, T, S) pre-scaled emission log-likes
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    entry_idx: jnp.ndarray,  # (Ne,)
+    entry_word: jnp.ndarray,
+    entry_w: jnp.ndarray,
+    p1: jnp.ndarray,
+    bo: jnp.ndarray,
+    big_pred: jnp.ndarray,  # (V, Kb)
+    big_w: jnp.ndarray,
+    lb: int,
+    ub: int,
+):
+    """Forward pass; returns per-frame junction/band records for backtrace.
+
+    Outputs (stacked over T-1): band_bp (B,S) uint8, junc_won (B,S) bool,
+    ent_src (B,V) int8 (-1 = backoff), exit_arg (B,U) uint8, bo_arg (B,) i32
+    plus final alpha (B,S).
+    """
+    B, T, S = emit.shape
+    D = lb + ub + 1
+    U, E = exit_idx.shape
+    V = p1.shape[0]
+    band_cols = [band[:, j] for j in range(D)]
+    t_iota = jnp.arange(T)
+    exit_flat = exit_idx.reshape(-1)  # (U*E,)
+
+    def junction(alpha_prev):
+        ex = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, U, E) + exit_w
+        exit_arg = jnp.argmax(ex, axis=2).astype(jnp.uint8)
+        exit_u = jnp.max(ex, axis=2)  # (B, U)
+        bo_sc = exit_u + bo
+        bo_arg = jnp.argmax(bo_sc, axis=1).astype(jnp.int32)
+        BO = jnp.take_along_axis(bo_sc, bo_arg[:, None], axis=1)[:, 0]
+        big = jnp.take(exit_u, big_pred.reshape(-1), axis=1).reshape(
+            B, V, big_pred.shape[1]
+        ) + big_w
+        big_best = jnp.max(big, axis=2)
+        big_arg = jnp.argmax(big, axis=2).astype(jnp.int8)
+        bo_path = BO[:, None] + p1
+        use_bo = bo_path >= big_best
+        ent_v = jnp.maximum(bo_path, big_best)  # (B, V)
+        ent_src = jnp.where(use_bo, jnp.int8(-1), big_arg)
+        return ent_v, ent_src, exit_arg, bo_arg
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs
+        # intra-word band max
+        ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
+        m = jnp.full_like(alpha_prev, NEG_INF)
+        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+        for j in range(D):
+            d = j - lb
+            c = ap[:, ub - d : ub - d + S] + band_cols[j]
+            take = c > m
+            m = jnp.where(take, c, m)
+            bp = jnp.where(take, jnp.uint8(j), bp)
+        # LM junction (word exit -> entry between frames)
+        ent_v, ent_src, exit_arg, bo_arg = junction(alpha_prev)
+        entry_cand = (
+            jnp.take(ent_v, entry_word, axis=1) + entry_w
+        )  # (B, Ne)
+        m2 = m.at[:, entry_idx].max(entry_cand)
+        junc_won = m2 > m
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        return alpha_out, (bp, junc_won, ent_src, exit_arg, bo_arg)
+
+    alpha0 = start[None] + emit[:, 0]
+    alpha_T, recs = jax.lax.scan(
+        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    )
+    return alpha_T, recs
+
+
+def lvcsr_backtrace_host(
+    graph: LvcsrGraph,
+    alpha_T: np.ndarray,  # (B, S)
+    recs,  # stacked step records
+    frame_lengths: np.ndarray,
+) -> List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]:
+    """Per-utterance (state_path (T,), score, word events).
+
+    Word events are (frame, word) pairs marking each LM-junction crossing —
+    the decoder's equivalent of lattice word output arcs, which makes
+    consecutive repeats of the same word unambiguous."""
+    band_bp, junc_won, ent_src, exit_arg, bo_arg = [np.asarray(r) for r in recs]
+    B, S = alpha_T.shape
+    T = band_bp.shape[0] + 1
+    entry_slot = {int(s): i for i, s in enumerate(graph.entry_idx)}
+    out = []
+    for b in range(B):
+        L = int(frame_lengths[b])
+        # final: best word exit + eos
+        ex = alpha_T[b][graph.exit_idx] + graph.exit_w  # (U, E)
+        ex_best = ex.max(axis=1) + graph.eos
+        u = int(np.argmax(ex_best))
+        score = float(ex_best[u])
+        s = int(graph.exit_idx[u, int(np.argmax(ex[u]))])
+        path = np.zeros(T, np.int32)
+        path[L - 1 :] = s
+        events: List[Tuple[int, int]] = []
+        for t in range(L - 1, 0, -1):
+            r = t - 1  # records index for transition (t-1) -> t
+            if junc_won[r, b, s] and s in entry_slot:
+                slot = entry_slot[s]
+                v = int(graph.entry_word[slot])
+                events.append((t, v))
+                k = int(ent_src[r, b, v])
+                src_u = int(bo_arg[r, b]) if k < 0 else int(graph.big_pred[v, k])
+                s = int(graph.exit_idx[src_u, int(exit_arg[r, b, src_u])])
+            else:
+                s = s - (int(band_bp[r, b, s]) - graph.lb)
+            path[t - 1] = s
+        w0 = int(graph.state_word[path[0]])
+        if w0 >= 0:
+            events.append((0, w0))
+        events.reverse()
+        out.append((path, score, events))
+    return out

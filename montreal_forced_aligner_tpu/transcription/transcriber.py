@@ -46,6 +46,24 @@ logger = logging.getLogger("mfa_tpu")
 LN10 = math.log(10.0)
 
 
+@partial(jax.jit, static_argnames=("acoustic_scale",))
+def _lvcsr_emissions(ff, state_pdf, W, gconsts, acoustic_scale):
+    """(B, T, S) pre-scaled emissions for the LVCSR state substrate."""
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
+
+    ll = gmm_loglikes(ff, W, gconsts)
+    P = gconsts.shape[0]
+    onehot = jax.nn.one_hot(state_pdf, P, dtype=ll.dtype)  # (S, P)
+    emit = jnp.einsum(
+        "btp,sp->bts",
+        ll,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return acoustic_scale * emit
+
+
 @partial(jax.jit, static_argnames=("acoustic_scale", "K"))
 def _emit_and_nbest(
     ff, frame_lengths, graph, W, gconsts, acoustic_scale, K,
@@ -271,6 +289,7 @@ class Transcriber:
         self.acoustic_scale = acoustic_scale
         self._graph = None
         self._vocab = None
+        self._lvcsr = None
 
     def train_lm_from_corpus(self, corpus: Corpus) -> ArpaModel:
         texts = []
@@ -280,17 +299,44 @@ class Transcriber:
         self.lm, _counter = train_lm_from_texts(texts, order=self.lm_order)
         return self.lm
 
+    # above this vocabulary size the dense graph's O(V^2) LM wiring loses to
+    # the backoff-junction decoder (which also gives up exact cross-word
+    # context); below it, exact dense wins
+    LVCSR_WORD_THRESHOLD = 150
+
     def _ensure_graph(self):
-        if self._graph is None:
-            builder = DecodingGraphCompiler(
-                self.aligner.compiler, self.aligner.lexicon, self.lm
+        if self._graph is None and self._lvcsr is None:
+            vocab_size = sum(
+                1 for w in self.lm.vocab if w in self.aligner.lexicon.words
             )
-            self._graph, self._vocab = builder.build()
-            logger.info(
-                "decoding graph: %d states over %d words",
-                self._graph.num_states,
-                len(self._vocab),
-            )
+            try:
+                if vocab_size > self.LVCSR_WORD_THRESHOLD:
+                    raise ValueError("vocabulary too large for dense decode")
+                builder = DecodingGraphCompiler(
+                    self.aligner.compiler, self.aligner.lexicon, self.lm
+                )
+                self._graph, self._vocab = builder.build()
+                logger.info(
+                    "decoding graph: %d states over %d words (exact dense)",
+                    self._graph.num_states,
+                    len(self._vocab),
+                )
+            except ValueError:
+                # vocabulary too large for the dense graph: switch to the
+                # two-level backoff-junction decoder (transcription/lvcsr.py)
+                from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                    LvcsrGraphCompiler,
+                )
+
+                self._lvcsr = LvcsrGraphCompiler(
+                    self.aligner.compiler, self.aligner.lexicon, self.lm
+                ).build()
+                self._vocab = self._lvcsr.words
+                logger.info(
+                    "LVCSR decoding graph: %d states over %d words",
+                    self._lvcsr.num_states,
+                    len(self._vocab),
+                )
         return self._graph
 
     def transcribe_corpus(
@@ -366,14 +412,20 @@ class Transcriber:
                 feats, jnp.asarray(flens), jnp.asarray(mean_rows), lda
             )
             B = len(batch)
-            garrs = batch_graphs([graph] * B)
-            bgraph = ship_graph_to_device(garrs)
+            if graph is not None:
+                garrs = batch_graphs([graph] * B)
+                bgraph = ship_graph_to_device(garrs)
+            else:
+                garrs = bgraph = None  # LVCSR mode
             prepared.append((batch, flens, garrs, bgraph, ff))
 
         if al.model.uses_fmllr and al.model.alignment_model is not None:
             prepared = self._fmllr_decode_feats(
                 prepared, corpus, speaker_index
             )
+
+        if self._lvcsr is not None:
+            return self._transcribe_prepared_lvcsr(prepared, corpus, fs)
 
         for batch, flens, garrs, bgraph, ff in prepared:
             if nbest <= 1:
@@ -446,6 +498,70 @@ class Transcriber:
                 )
         return results
 
+    # -- LVCSR path ----------------------------------------------------------
+
+    def _lvcsr_decode(self, ff, flens, W, gconsts):
+        """Run the two-level decoder on one feature batch; returns the host
+        backtraces [(path, score, events)] per row."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_backtrace_host,
+            lvcsr_decode_device,
+        )
+
+        g = self._lvcsr
+        alpha_T, recs = lvcsr_decode_device(
+            _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
+                             self.acoustic_scale),
+            jnp.asarray(flens),
+            jnp.asarray(g.band),
+            jnp.asarray(g.start),
+            jnp.asarray(g.exit_idx),
+            jnp.asarray(g.exit_w),
+            jnp.asarray(g.entry_idx),
+            jnp.asarray(g.entry_word),
+            jnp.asarray(g.entry_w),
+            jnp.asarray(g.p1),
+            jnp.asarray(g.bo),
+            jnp.asarray(g.big_pred),
+            jnp.asarray(g.big_w),
+            g.lb,
+            g.ub,
+        )
+        return lvcsr_backtrace_host(g, np.asarray(alpha_T), recs, flens)
+
+    def _transcribe_prepared_lvcsr(self, prepared, corpus: Corpus, fs):
+        g = self._lvcsr
+        al = self.aligner
+        results: Dict[int, TranscriptionResult] = {}
+        for batch, flens, _garrs, _bg, ff in prepared:
+            traces = self._lvcsr_decode(
+                ff, flens, al._device_gmm[0], al._device_gmm[1]
+            )
+            for row, i in enumerate(batch):
+                utt = corpus.utterances[i]
+                path, score, events = traces[row]
+                L = int(flens[row])
+                words: List[CtmInterval] = []
+                wf = g.state_word[path[:L]]
+                for e_idx, (t0, v) in enumerate(events):
+                    t1 = events[e_idx + 1][0] if e_idx + 1 < len(events) else L
+                    span = np.nonzero(wf[t0:t1] == v)[0]
+                    end = t0 + (int(span[-1]) + 1 if len(span) else t1 - t0)
+                    words.append(
+                        CtmInterval(
+                            utt.begin + t0 * fs,
+                            utt.begin + end * fs,
+                            g.words[v],
+                        )
+                    )
+                results[i] = TranscriptionResult(
+                    utterance_id=i,
+                    text=" ".join(w.label for w in words),
+                    words=words,
+                    log_likelihood=score,
+                )
+        return results
+
     def _fmllr_decode_feats(self, prepared, corpus: Corpus, speaker_index):
         """Two-pass SAT decoding: first-pass decode with the
         speaker-independent alignment model, per-speaker fMLLR from the
@@ -480,12 +596,17 @@ class Transcriber:
         beta = np.zeros(num_speakers)
         firstpass = []
         for batch, flens, garrs, bgraph, ff in prepared:
-            state_path, _sc = _emit_and_align(
-                ff, jnp.asarray(flens), bgraph, W1, gc1, self.acoustic_scale
-            )
-            sp = np.asarray(state_path)
-            b = np.arange(sp.shape[0])[:, None]
-            frame_pdf = garrs["state_pdf"][b, sp]
+            if self._lvcsr is not None:
+                traces = self._lvcsr_decode(ff, flens, W1, gc1)
+                sp = np.stack([t[0] for t in traces])
+                frame_pdf = self._lvcsr.state_pdf[sp]
+            else:
+                state_path, _sc = _emit_and_align(
+                    ff, jnp.asarray(flens), bgraph, W1, gc1, self.acoustic_scale
+                )
+                sp = np.asarray(state_path)
+                b = np.arange(sp.shape[0])[:, None]
+                frame_pdf = garrs["state_pdf"][b, sp]
             weight = (~np.isin(frame_pdf, sil_pdfs)).astype(np.float32)
             spk_idx = np.array(
                 [speaker_index[corpus.utterances[i].speaker] for i in batch],
@@ -543,6 +664,7 @@ class Transcriber:
             ]
             self.lm, _ = train_lm_from_texts(texts, order=lm_order)
             self._graph = None  # rebuild for this speaker's LM
+            self._lvcsr = None
             sub = corpus.subset(utt_ids)
             sub_results = self.transcribe_corpus(sub, **kwargs)
             for local_id, res in sub_results.items():

@@ -94,3 +94,67 @@ def test_nbest_and_lm_rescoring(transcriber_setup):
         corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=1e-6
     )
     assert kept[0].text == "ab a"
+
+
+def test_lvcsr_matches_dense_decoder(transcriber_setup, monkeypatch):
+    """The backoff-junction LVCSR decoder must reproduce the exact dense
+    decoder's output on a vocabulary both can handle."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription import transcriber as tmod
+
+    tr, corpus = transcriber_setup
+    dense = tr.transcribe_corpus(corpus)
+
+    tr2 = tmod.Transcriber(
+        tr.aligner.model_path, tr.aligner.dictionary_path, lm=tr.lm,
+        batch_size=4,
+    )
+    # force the LVCSR path by making the dense builder refuse
+    monkeypatch.setattr(
+        tmod.DecodingGraphCompiler,
+        "build",
+        lambda self: (_ for _ in ()).throw(ValueError("forced")),
+    )
+    lv = tr2.transcribe_corpus(corpus)
+    assert tr2._lvcsr is not None
+    for i in dense:
+        assert lv[i].text == dense[i].text
+        assert abs(lv[i].log_likelihood - dense[i].log_likelihood) < 1e-1
+        assert len(lv[i].words) == len(dense[i].words)
+        for a, b in zip(lv[i].words, dense[i].words):
+            assert a.label == b.label
+            assert abs(a.begin - b.begin) < 0.011
+
+
+def test_lvcsr_large_vocabulary(tmp_path):
+    """A vocabulary too large for the dense graph auto-routes to the LVCSR
+    decoder and still recovers the transcript."""
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    rng = np.random.RandomState(7)
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    # grow the dictionary far past the dense-decoder state budget
+    extra_words = []
+    with open(dict_path, "a") as f:
+        for j in range(600):
+            w = f"junk{j}"
+            pron = " ".join(rng.choice(["aa", "bb"], rng.randint(4, 8)))
+            f.write(f"{w}\t{pron}\n")
+            extra_words.append(w)
+    texts = ["ab a"] * 20 + [" ".join(extra_words[i : i + 5]) for i in range(0, 600, 5)]
+    from montreal_forced_aligner_tpu.language_modeling.ngram import (
+        train_lm_from_texts,
+    )
+
+    lm, _ = train_lm_from_texts(texts, order=2)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    results = tr.transcribe_corpus(corpus)
+    assert tr._lvcsr is not None, "expected LVCSR routing"
+    assert len(tr._vocab) > 500
+    assert results[0].text == "ab a"
+    assert [w.label for w in results[0].words] == ["ab", "a"]
+    assert abs(results[0].words[0].begin - 0.40) < 0.05

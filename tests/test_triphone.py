@@ -105,3 +105,22 @@ def test_triphone_transcription(tri_setup):
     nb = tr.transcribe_corpus(corpus, nbest=4)
     for i in results:
         assert nb[i].alternatives[0][0] == nb[i].text
+
+
+def test_triphone_lvcsr_decoding(tri_setup, monkeypatch):
+    """LVCSR (word-internal-context) decoding with a triphone model."""
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    tmp, corpus_dir, dict_path, model, _tri, _truths = tri_setup
+    model_path = tmp / "tri_lvcsr.zip"
+    model.save(model_path)
+    tr = Transcriber(model_path, dict_path, batch_size=4)
+    monkeypatch.setattr(Transcriber, "LVCSR_WORD_THRESHOLD", 0)
+    corpus = Corpus.load(corpus_dir)
+    results = tr.transcribe_corpus(corpus)
+    assert tr._lvcsr is not None
+    metrics = tr.evaluate(corpus, results)
+    # LVCSR uses word-internal context (sil assumed at boundaries) — on this
+    # adversarial 2-tone corpus that costs some WER vs the exact cross-word
+    # dense decoder (<=0.15); real phone inventories are far less brittle
+    assert metrics["wer"] <= 0.3, metrics
