@@ -330,7 +330,9 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
         )
 
         tr = Transcriber(acoustic_model_path, dictionary_path)
-        results = tr.transcribe_corpus(corpus)
+        # per-speaker LMs, matching the reference's validation decode
+        # (PerSpeakerDecodeFunction, transcription/multiprocessing.py:1454)
+        results = tr.transcribe_corpus_per_speaker(corpus)
         metrics = tr.evaluate(corpus, results)
         click.echo(
             f"Transcription check: WER {metrics['wer']:.4f} over "

@@ -406,3 +406,46 @@ def test_whisper_wrapper_gating(tmp_path):
     if found_transformers():
         with pytest.raises(FileNotFoundError):
             WhisperTranscriber(tmp_path / "nonexistent_model")
+
+
+def test_cli_transcribe_and_validate_e2e(tmp_path):
+    """CLI smoke: transcribe (incl. --nbest + rescoring) and
+    validate --test_transcriptions (per-speaker LMs)."""
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.language_modeling.ngram import (
+        train_lm_from_texts,
+    )
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    out = tmp_path / "hyp"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["transcribe", str(corpus_dir), str(dict_path), str(model_path),
+         str(out), "--evaluate"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "WER: 0.0000" in r.output
+    assert (out / "spk1" / "utt1.lab").read_text().strip() == "ab a"
+
+    lm_path = tmp_path / "big.arpa"
+    lm, _ = train_lm_from_texts(["ab a"] * 5 + ["a b"], order=3)
+    lm.write(lm_path)
+    r = runner.invoke(
+        cli,
+        ["transcribe", str(corpus_dir), str(dict_path), str(model_path),
+         str(out), "--nbest", "4", "--rescore_lm_path", str(lm_path)],
+    )
+    assert r.exit_code == 0, r.output
+
+    r = runner.invoke(
+        cli,
+        ["validate", str(corpus_dir), str(dict_path),
+         "--acoustic_model_path", str(model_path), "--test_transcriptions"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "Transcription check: WER 0.0" in r.output
