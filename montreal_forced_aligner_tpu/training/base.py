@@ -80,6 +80,7 @@ class FeatureBatch:
     frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
     frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host
     state_path: Optional[np.ndarray] = None  # (B, T) int32 host
+    align_scores: Optional[np.ndarray] = None  # (B,) Viterbi scores
 
 
 class TrainingPipeline:
@@ -242,6 +243,20 @@ class TrainingPipeline:
             fb.feats = np.asarray(final) if self.features_on_host else final
             fb.frame_pdf = None
             fb.frame_tid = None
+
+    def utterance_loglikes(self) -> Dict[int, float]:
+        """Per-utterance alignment log-likelihood per frame from the most
+        recent realignment (reference stores these per utterance,
+        ``alignment/mixins.py:305-358``)."""
+        out: Dict[int, float] = {}
+        for fb in self.batches:
+            if fb.align_scores is None:
+                continue
+            for row, i in enumerate(fb.utt_indices):
+                L = int(fb.frame_lengths[row])
+                if L > 0:
+                    out[i] = float(fb.align_scores[row]) / L
+        return out
 
     def set_subset(self, utt_indices: Optional[set]) -> None:
         """Restrict training to a subset by zeroing the effective frame

@@ -128,12 +128,13 @@ class ViterbiEmTrainer:
                     band=fb.band, band_limits=fb.band_limits,
                 )
             pending.append((fb, out))
-        for fb, (state_path, _scores) in pending:
+        for fb, (state_path, scores) in pending:
             sp = np.asarray(state_path)
             b = np.arange(sp.shape[0])[:, None]
             fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
             fb.frame_tid = frame_tids_host(fb.garrs, sp, fb.frame_lengths)
             fb.state_path = sp
+            fb.align_scores = np.asarray(scores)
 
     def _accumulate(self, pipeline: TrainingPipeline) -> GmmAccumulators:
         W, _ = self.gmm.flatten_for_device()

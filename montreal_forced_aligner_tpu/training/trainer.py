@@ -149,12 +149,47 @@ class TrainableAligner:
         self.trainers[stage.name] = trainer
         return trainer, model
 
+    def filter_training_utterances(self, pipeline) -> set:
+        """Utterances unusable for training: empty transcript or nothing but
+        OOVs (reference ``acoustic_modeling/trainer.py:324``)."""
+        excluded = set()
+        for utt in self.corpus.utterances:
+            tokens = pipeline.tokenizer.tokenize(utt.text)
+            if not any(t in self.lexicon.words for t in tokens):
+                excluded.add(utt.id)
+        if excluded:
+            logger.info(
+                "excluding %d utterances with empty/OOV-only transcripts",
+                len(excluded),
+            )
+        return excluded
+
+    def quality_check_subset(self, pipeline, z_threshold: float = -3.0) -> None:
+        """Drop alignment outliers from later stages: utterances whose
+        alignment log-likelihood/frame z-score is below ``z_threshold``
+        (reference ``quality_check_subset``, ``trainer.py:516``)."""
+        lls = pipeline.utterance_loglikes()
+        if len(lls) < 10:
+            return
+        vals = np.asarray(list(lls.values()))
+        mean, std = vals.mean(), vals.std()
+        if std <= 1e-6:
+            return
+        bad = {i for i, v in lls.items() if (v - mean) / std < z_threshold}
+        if bad:
+            logger.info(
+                "quality check: excluding %d outlier utterances "
+                "(loglike z < %.1f)", len(bad), z_threshold,
+            )
+            self._excluded |= bad
+
     def train(self) -> AcousticModel:
         pipeline = TrainingPipeline(
             self.corpus, self.lexicon, batch_size=self.batch_size,
             features_on_host=self.features_on_host,
         )
         pipeline.prepare_features()
+        self._excluded = self.filter_training_utterances(pipeline)
         topo = None
         lda_mat = None
         model = None
@@ -163,13 +198,17 @@ class TrainableAligner:
             select_training_subset,
         )
 
+        all_ids = {u.id for u in self.corpus.utterances}
         for stage in self.recipe:
             logger.info("=== stage %s (%s) ===", stage.name, stage.kind)
             if stage.kind != "pron_prob":
                 if stage.subset and stage.subset < self.corpus.num_utterances:
                     subset = select_training_subset(self.corpus, stage.subset)
+                    subset -= self._excluded
                     pipeline.set_subset(subset)
                     logger.info("subset: %d utterances", len(subset))
+                elif self._excluded:
+                    pipeline.set_subset(all_ids - self._excluded)
                 else:
                     pipeline.set_subset(None)
                 if prev_trainer is not None:
@@ -213,6 +252,7 @@ class TrainableAligner:
                     lda_mat = trainer.lda_mat
                 continue
             model = trainer.train(pipeline)
+            self.quality_check_subset(pipeline)
             self._save_checkpoint(stage.name, trainer, model)
             self.models[stage.name] = model
             self.trainers[stage.name] = trainer

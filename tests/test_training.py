@@ -201,3 +201,41 @@ def test_features_on_host_matches_device(tmp_path):
         trainer.train(pipeline)
         logs.append([e["loglike_per_frame"] for e in trainer.iteration_log])
     np.testing.assert_allclose(logs[0], logs[1], rtol=1e-5)
+
+
+def test_training_filters_unusable_utterances(tmp_path):
+    """OOV-only/empty transcripts are excluded (filter_training_utterances)
+    and training proceeds on the rest."""
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+    from montreal_forced_aligner_tpu.training.trainer import (
+        StageConfig,
+        TrainableAligner,
+    )
+
+    corpus_dir, _truths = make_training_corpus(tmp_path, n_utts=4)
+    bad_dir = corpus_dir / "spk0"
+    rng = np.random.RandomState(0)
+    write_wave(bad_dir / "oovutt.wav", rng.randn(SR).astype(np.float32) * 100, SR)
+    (bad_dir / "oovutt.lab").write_text("zzzunknown qqq")
+    write_wave(bad_dir / "emptyutt.wav", rng.randn(SR).astype(np.float32) * 100, SR)
+    (bad_dir / "emptyutt.lab").write_text("")
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    ta = TrainableAligner(
+        corpus_dir,
+        dict_path,
+        recipe=[StageConfig("monophone", "mono", 3, 20)],
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4,
+        position_dependent_phones=False,
+    )
+    model = ta.train()
+    # the empty transcript is dropped at corpus load; the OOV-only one is
+    # excluded by filter_training_utterances
+    assert ta.corpus.num_utterances == 5
+    assert len(ta._excluded) == 1
+    assert model.gmm.num_pdfs > 0
+    lls = [e["loglike_per_frame"] for e in ta.trainers["monophone"].iteration_log]
+    assert all(np.isfinite(v) for v in lls)
