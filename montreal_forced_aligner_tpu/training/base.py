@@ -12,7 +12,7 @@ the reference's filesystem data plane (per-job feats/cmvn ark files,
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -22,7 +22,6 @@ import numpy as np
 
 from montreal_forced_aligner_tpu.align.aligner import (
     _mfcc_and_sums,
-    _resample,
     _round_up,
 )
 from montreal_forced_aligner_tpu.corpus.corpus import Corpus
@@ -39,8 +38,6 @@ from montreal_forced_aligner_tpu.ops.feats import compute_deltas, splice_frames,
 from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, pad_waves_for_mfcc
 from montreal_forced_aligner_tpu.ops.viterbi import (
     BatchedGraph,
-    extract_frame_labels_host,
-    frame_tids_host,
     viterbi_align_batch,
 )
 

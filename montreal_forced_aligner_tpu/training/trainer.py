@@ -15,7 +15,7 @@ alignments the previous stage left cached on the pipeline batches).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Dict, List, Optional
 

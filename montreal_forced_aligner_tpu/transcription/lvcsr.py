@@ -20,17 +20,19 @@ Optional inter-word silence is absorbed into each word block (exit ->
 silence -> exit'), which preserves the LM word history with no extra
 machinery. The DP is exact over this graph — no beam, nothing pruned.
 
-Context dependency: word-internal triphone windows (boundary phones see
-phone 0 across word edges). The small-vocabulary dense path keeps exact
-cross-word context; this approximation matches common production decoders.
+Context dependency: word-internal triphone windows, with silence assumed
+as the cross-word context at word edges (silence leaves are well trained
+and word boundaries border silence more often than any other phone). The
+small-vocabulary dense path keeps exact cross-word context; see ROADMAP.md
+for the context-classed junction that removes this approximation.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
