@@ -81,11 +81,12 @@ class LvcsrGraphCompiler:
     """Builds an :class:`LvcsrGraph` from lexicon + backoff bigram LM."""
 
     def __init__(self, align_compiler, lexicon, lm: ArpaModel,
-                 lm_scale: float = 1.0):
+                 lm_scale: float = 1.0, word_insertion_penalty: float = 0.0):
         self.comp = align_compiler
         self.lexicon = lexicon
         self.lm = lm
         self.lm_scale = lm_scale
+        self.word_insertion_penalty = word_insertion_penalty
 
     def _word_block(self, g: _GraphBuilder, pids, w_idx, p_sil, sil):
         """One pronunciation chain + optional trailing silence; returns
@@ -129,7 +130,10 @@ class LvcsrGraphCompiler:
                 else:
                     pids = [lex.phone_id(p, None) for p in pron.phones]
                 prob = pron.probability if pron.probability is not None else 1.0
-                pron_lp = math.log(max(min(prob, 1.0), 1e-5))
+                pron_lp = (
+                    math.log(max(min(prob, 1.0), 1e-5))
+                    - self.word_insertion_penalty
+                )
                 p_sil = (
                     pron.silence_after_probability
                     if pron.silence_after_probability is not None

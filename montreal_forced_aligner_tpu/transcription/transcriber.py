@@ -123,12 +123,14 @@ class DecodingGraphCompiler:
         lm: ArpaModel,
         lm_scale: float = 1.0,
         max_states: int = 12000,
+        word_insertion_penalty: float = 0.0,
     ):
         self.compiler = align_compiler
         self.lexicon = lexicon
         self.lm = lm
         self.lm_scale = lm_scale
         self.max_states = max_states
+        self.word_insertion_penalty = word_insertion_penalty
 
     def build(self):
         lex = self.lexicon
@@ -152,7 +154,10 @@ class DecodingGraphCompiler:
                 else:
                     pids = [lex.phone_id(p, None) for p in pron.phones]
                 prob = pron.probability if pron.probability is not None else 1.0
-                pron_lp = math.log(max(min(prob, 1.0), 1e-5))
+                pron_lp = (
+                    math.log(max(min(prob, 1.0), 1e-5))
+                    - self.word_insertion_penalty
+                )
                 p_sil = (
                     pron.silence_after_probability
                     if pron.silence_after_probability is not None
@@ -273,7 +278,13 @@ class Transcriber:
         lm_order: int = 3,
         acoustic_scale: float = 1.0 / 12,
         batch_size: int = 16,
+        lm_scale: float = 1.0,
+        word_insertion_penalty: float = 0.0,
     ):
+        """``lm_scale`` and ``word_insertion_penalty`` mirror the reference's
+        ``--language_model_weight`` / ``--word_insertion_penalties``
+        (``transcription/transcriber.py:1021``); the penalty is charged per
+        word entry in natural-log space."""
         from montreal_forced_aligner_tpu.align.aligner import (
             AlignerConfig,
             PretrainedAligner,
@@ -287,6 +298,8 @@ class Transcriber:
         self.lm = lm
         self.lm_order = lm_order
         self.acoustic_scale = acoustic_scale
+        self.lm_scale = lm_scale
+        self.word_insertion_penalty = word_insertion_penalty
         self._graph = None
         self._vocab = None
         self._lvcsr = None
@@ -313,7 +326,9 @@ class Transcriber:
                 if vocab_size > self.LVCSR_WORD_THRESHOLD:
                     raise ValueError("vocabulary too large for dense decode")
                 builder = DecodingGraphCompiler(
-                    self.aligner.compiler, self.aligner.lexicon, self.lm
+                    self.aligner.compiler, self.aligner.lexicon, self.lm,
+                    lm_scale=self.lm_scale,
+                    word_insertion_penalty=self.word_insertion_penalty,
                 )
                 self._graph, self._vocab = builder.build()
                 logger.info(
@@ -329,7 +344,9 @@ class Transcriber:
                 )
 
                 self._lvcsr = LvcsrGraphCompiler(
-                    self.aligner.compiler, self.aligner.lexicon, self.lm
+                    self.aligner.compiler, self.aligner.lexicon, self.lm,
+                    lm_scale=self.lm_scale,
+                    word_insertion_penalty=self.word_insertion_penalty,
                 ).build()
                 self._vocab = self._lvcsr.words
                 logger.info(
@@ -682,7 +699,7 @@ class Transcriber:
         """Swap the decoding LM's score for the rescoring LM's on each
         hypothesis and re-rank (exact N-best equivalent of lattice LM
         rescoring: subtract G_small, add G_big)."""
-        builder_scale = 1.0  # DecodingGraphCompiler default lm_scale
+        builder_scale = self.lm_scale
         rescored = []
         for text, score, words in hyps:
             seq = text.split()

@@ -158,3 +158,22 @@ def test_lvcsr_large_vocabulary(tmp_path):
     assert results[0].text == "ab a"
     assert [w.label for w in results[0].words] == ["ab", "a"]
     assert abs(results[0].words[0].begin - 0.40) < 0.05
+
+
+def test_lm_scale_and_insertion_penalty(transcriber_setup):
+    """Decoding knobs: a huge insertion penalty suppresses words; neutral
+    values reproduce the default decode."""
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    tr, corpus = transcriber_setup
+    tr2 = Transcriber(
+        tr.aligner.model_path, tr.aligner.dictionary_path, lm=tr.lm,
+        batch_size=4, lm_scale=1.0, word_insertion_penalty=0.0,
+    )
+    assert tr2.transcribe_corpus(corpus)[0].text == "ab a"
+    tr3 = Transcriber(
+        tr.aligner.model_path, tr.aligner.dictionary_path, lm=tr.lm,
+        batch_size=4, word_insertion_penalty=10000.0,
+    )
+    out = tr3.transcribe_corpus(corpus)[0].text
+    assert len(out.split()) < 2  # words priced out
