@@ -57,6 +57,12 @@ class CompiledGraph:
     final: np.ndarray  # (S,)
     final_tid: np.ndarray  # (S,) exit transition-id used when ending here (0 = none)
     words: List[str] = field(default_factory=list)  # transcript words
+    # (S, K) word index emitted by each incoming arc, -1 = none. Decoding
+    # graphs mark word-entry arcs explicitly so that a consecutive repeat of
+    # the same word with no intervening silence (which re-enters the same
+    # instance and is invisible to instance-crossing inference) still
+    # produces a word event. None for alignment graphs.
+    in_event: Optional[np.ndarray] = None
 
     @property
     def num_states(self) -> int:
@@ -90,6 +96,7 @@ class _GraphBuilder:
         self._jdst: List[int] = []
         self._jw: List[float] = []
         self._jtid: List[int] = []
+        self._jevent: List[int] = []  # word emitted by the arc, -1 = none
         self.start: Dict[int, float] = {}
         self.final: Dict[int, float] = {}
         self.final_tid: Dict[int, int] = {}
@@ -126,11 +133,14 @@ class _GraphBuilder:
 
         return _Len(self.num_states)
 
-    def add_arc(self, src: int, dst: int, weight: float, tid: int = 0) -> None:
+    def add_arc(
+        self, src: int, dst: int, weight: float, tid: int = 0, event: int = -1
+    ) -> None:
         self._jsrc.append(src)
         self._jdst.append(dst)
         self._jw.append(weight)
         self._jtid.append(tid)
+        self._jevent.append(event)
 
     def add_start(self, state: int, weight: float) -> None:
         prev = self.start.get(state, NEG_INF)
@@ -183,6 +193,14 @@ class _GraphBuilder:
         tid_a = np.concatenate(
             self._arc_tid + [np.asarray(self._jtid, np.int32)]
         ).astype(np.int32)
+        n_block = sum(len(a) for a in self._arc_src)
+        ev_a = np.concatenate(
+            [
+                np.full(n_block, -1, np.int32),
+                np.asarray(self._jevent, np.int32),
+            ]
+        )
+        has_events = bool((ev_a >= 0).any())
 
         if len(dst_a):
             order = np.argsort(dst_a, kind="stable")
@@ -194,14 +212,17 @@ class _GraphBuilder:
             in_src = np.zeros((S, K), dtype=np.int32)
             in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
             in_tid = np.zeros((S, K), dtype=np.int32)
+            in_event = np.full((S, K), -1, dtype=np.int32)
             in_src[dst_s, rank] = src_a[order]
             in_weight[dst_s, rank] = w_a[order]
             in_tid[dst_s, rank] = tid_a[order]
+            in_event[dst_s, rank] = ev_a[order]
         else:
             K = 1
             in_src = np.zeros((S, K), dtype=np.int32)
             in_weight = np.full((S, K), NEG_INF, dtype=np.float32)
             in_tid = np.zeros((S, K), dtype=np.int32)
+            in_event = np.full((S, K), -1, dtype=np.int32)
 
         start = np.full(S, NEG_INF, dtype=np.float32)
         for st, w in self.start.items():
@@ -225,6 +246,7 @@ class _GraphBuilder:
             final=final,
             final_tid=final_tid,
             words=words,
+            in_event=in_event if has_events else None,
         )
 
 
@@ -601,8 +623,12 @@ def batch_graphs(graphs: List[CompiledGraph]):
         state_instance=np.full((B, S), -1, dtype=np.int32),
         num_states=np.array([gr.num_states for gr in graphs], dtype=np.int32),
     )
+    if any(gr.in_event is not None for gr in graphs):
+        out["in_event"] = np.full((B, S, K), -1, dtype=np.int32)
     for b, gr in enumerate(graphs):
         s, k = gr.num_states, gr.max_in_arcs
+        if "in_event" in out and gr.in_event is not None:
+            out["in_event"][b, :s, :k] = gr.in_event
         out["in_src"][b, :s, :k] = gr.in_src
         out["in_weight"][b, :s, :k] = gr.in_weight
         out["in_tid"][b, :s, :k] = gr.in_tid

@@ -398,20 +398,30 @@ def viterbi_nbest_device(
 def nbest_word_events(garrs: dict):
     """Per-arc word-emission events for determinized N-best decoding.
 
-    An arc emits its destination's word when it crosses into a new word
-    instance; silence/epsilon instances (word < 0) emit nothing. Returns
-    ``(word_event (B, S, Kin) int32 — word index + 1 or 0,
-    state0_hash (B, S) uint32 — hash after the word begun at frame 0)``.
+    When the graph carries explicit arc events (``in_event``, set by the
+    decoding-graph builder on every word-entry arc) those are authoritative —
+    they correctly fire on a consecutive repeat of the same word with no
+    intervening silence, which re-enters the *same* instance and is invisible
+    to instance-crossing inference. Otherwise an arc emits its destination's
+    word when it crosses into a new word instance; silence/epsilon instances
+    (word < 0) emit nothing. Returns ``(word_event (B, S, Kin) int32 — word
+    index + 1 or 0, state0_hash (B, S) uint32 — hash after the word begun at
+    frame 0)``.
     """
     in_src = garrs["in_src"]
-    inst = garrs["state_instance"]
     word = garrs["state_word"]
-    b = np.arange(in_src.shape[0])[:, None, None]
-    src_inst = inst[b, in_src]  # (B, S, Kin)
-    crosses = src_inst != inst[:, :, None]
-    event = np.where(
-        crosses & (word[:, :, None] >= 0), word[:, :, None] + 1, 0
-    ).astype(np.int32)
+    if "in_event" in garrs:
+        event = np.where(
+            garrs["in_event"] >= 0, garrs["in_event"] + 1, 0
+        ).astype(np.int32)
+    else:
+        inst = garrs["state_instance"]
+        b = np.arange(in_src.shape[0])[:, None, None]
+        src_inst = inst[b, in_src]  # (B, S, Kin)
+        crosses = src_inst != inst[:, :, None]
+        event = np.where(
+            crosses & (word[:, :, None] >= 0), word[:, :, None] + 1, 0
+        ).astype(np.int32)
     state0_hash = np.where(word >= 0, word + 1, 0).astype(np.uint32)
     return event, state0_hash
 
@@ -424,13 +434,19 @@ def nbest_backtrace_host(
     K: int,
 ):
     """Host backtrace of the K-best scan: (paths (B, K, T) int32,
-    scores (B, K)). Ranks beyond the number of finite-score paths carry
-    NEG_INF scores and copies of the best path."""
+    scores (B, K), events (B, K, T) int32). Ranks beyond the number of
+    finite-score paths carry NEG_INF scores and copies of the best path.
+    ``events[t]`` is the word begun by the arc taken into frame t (-1 =
+    none), from the graph's arc events when present (else inferred from
+    instance crossings by the caller)."""
     in_src = garrs["in_src"]
+    in_event = garrs.get("in_event")
     T = backptrs.shape[0] + 1
     B, S, _ = final_scores.shape
     paths = np.zeros((B, K, T), dtype=np.int32)
     scores = np.full((B, K), NEG_INF, dtype=np.float32)
+    events = np.full((B, K, T), -1, dtype=np.int32)
+    state_word = garrs["state_word"]
     for b in range(B):
         L = int(frame_lengths[b])
         flat = final_scores[b].reshape(-1)  # (S*K,)
@@ -440,14 +456,20 @@ def nbest_backtrace_host(
             sc = flat[p]
             if sc <= NEG_INF / 2 and rank > 0:
                 paths[b, rank] = paths[b, 0]
+                events[b, rank] = events[b, 0]
                 continue
             scores[b, rank] = sc
             paths[b, rank, L - 1 :] = s
             for t in range(L - 1, 0, -1):
                 idx = int(backptrs[t - 1, b, s, r])
                 j, r = idx // K, idx % K
+                if in_event is not None:
+                    events[b, rank, t] = in_event[b, s, j]
                 s = int(in_src[b, s, j])
                 paths[b, rank, t - 1] = s
+            # the word (if any) begun at frame 0
+            w0 = int(state_word[b, paths[b, rank, 0]])
+            events[b, rank, 0] = w0
         if L < T:
             paths[b, :, L:] = paths[b, :, L - 1 : L]
-    return paths, scores
+    return paths, scores, events

@@ -76,6 +76,14 @@ class LvcsrGraph:
     def num_states(self) -> int:
         return len(self.state_pdf)
 
+    @property
+    def state0_hash(self) -> np.ndarray:
+        """Word-sequence hash per start state (word entries hash their word;
+        silence starts hash 0). Only states with finite start scores matter."""
+        return np.where(self.state_word >= 0, self.state_word + 1, 0).astype(
+            np.uint32
+        )
+
 
 class LvcsrGraphCompiler:
     """Builds an :class:`LvcsrGraph` from lexicon + backoff bigram LM."""
@@ -312,6 +320,243 @@ def lvcsr_decode_device(
         step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
     )
     return alpha_T, recs
+
+
+# ---------------------------------------------------------------------------
+# K-best (determinized N-best) variant
+# ---------------------------------------------------------------------------
+# The K-best-semiring generalization of the junction decoder: alpha carries
+# the top-K partial-path scores per state, each paired with a rolling hash of
+# the word sequence emitted so far; every merge (band step, word-exit pool,
+# backoff pool, LM-junction entry) deduplicates same-hash candidates, so the
+# K ranks hold K *distinct word sequences* — the LVCSR analogue of the dense
+# path's ``viterbi_nbest_device`` (determinized lattice N-best). Combined
+# with host-side rescoring this is how longer LM context (trigram+) enters:
+# the junction stays bigram-exact, N-best hypotheses are re-ranked under the
+# full LM (reference: lattice determinization + ``lattice-lmrescore``,
+# ``transcription/multiprocessing.py:1002-1117``).
+#
+# Record memory is O(T * B * (S + V) * K) small ints; for very large
+# vocabularies decode in smaller batches.
+
+HASH_MULT = jnp.uint32(1000003)
+
+
+def _dedup_topk(scores: jnp.ndarray, hashes: jnp.ndarray, K: int):
+    """Top-K along the last axis with same-hash suppression.
+
+    Returns ``(vals, hsel, idx)``; ``idx`` indexes the input last axis.
+    Inputs shorter than K are NEG_INF/0 padded (idx then points at the pad).
+    """
+    C = scores.shape[-1]
+    if C < K:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, K - C)]
+        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+        hashes = jnp.pad(hashes, pad, constant_values=0)
+        C = K
+    M = min(C, 4 * K)
+    vals_m, idx_m = jax.lax.top_k(scores, M)
+    h_m = jnp.take_along_axis(hashes, idx_m, axis=-1)
+    eq = h_m[..., :, None] == h_m[..., None, :]
+    earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
+    dup = jnp.any(eq & earlier, axis=-1)  # a better same-hash candidate
+    vals_m = jnp.where(dup, NEG_INF, vals_m)
+    vals, sel = jax.lax.top_k(vals_m, K)
+    idx = jnp.take_along_axis(idx_m, sel, axis=-1)
+    hsel = jnp.take_along_axis(h_m, sel, axis=-1)
+    return vals, hsel, idx
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "K"))
+def lvcsr_nbest_device(
+    emit: jnp.ndarray,  # (B, T, S) pre-scaled emission log-likes
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    state0_hash: jnp.ndarray,  # (S,) uint32
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    entry_idx: jnp.ndarray,  # (Ne,)
+    entry_word: jnp.ndarray,
+    entry_w: jnp.ndarray,
+    p1: jnp.ndarray,
+    bo: jnp.ndarray,
+    big_pred: jnp.ndarray,  # (V, Kb)
+    big_w: jnp.ndarray,
+    lb: int,
+    ub: int,
+    K: int,
+):
+    """K-best forward pass. Returns ``(alpha_T (B,S,K), hist_T (B,S,K)
+    uint32, recs)`` where recs stacks per-frame selection records
+    ``(cand_sel (B,S,K) i16, ent_sel (B,V,K) i16, bo_sel (B,K) i32,
+    exit_sel (B,U,K) i16)`` for :func:`lvcsr_nbest_backtrace_host`."""
+    B, T, S = emit.shape
+    D = lb + ub + 1
+    U, E = exit_idx.shape
+    V, Kb = big_pred.shape
+    band_cols = [band[:, j] for j in range(D)]
+    t_iota = jnp.arange(T)
+    exit_flat = exit_idx.reshape(-1)  # (U*E,)
+    exit_w_flat = exit_w.reshape(-1)[None, :, None]  # (1, U*E, 1)
+    v_hash = (jnp.arange(V, dtype=jnp.uint32) + 1)[None, :, None]
+
+    def junction(alpha_prev, hist_prev):
+        exv = (
+            jnp.take(alpha_prev, exit_flat, axis=1) + exit_w_flat
+        ).reshape(B, U, E * K)
+        exh = jnp.take(hist_prev, exit_flat, axis=1).reshape(B, U, E * K)
+        exit_u, exit_h, exit_sel = _dedup_topk(exv, exh, K)  # (B, U, K)
+
+        bo_sc = (exit_u + bo[None, :, None]).reshape(B, U * K)
+        BO, BO_h, bo_sel = _dedup_topk(bo_sc, exit_h.reshape(B, U * K), K)
+
+        seen_v = jnp.take(exit_u, big_pred.reshape(-1), axis=1).reshape(
+            B, V, Kb, K
+        ) + big_w[None, :, :, None]
+        seen_h = jnp.take(exit_h, big_pred.reshape(-1), axis=1).reshape(
+            B, V, Kb, K
+        )
+        bo_v = BO[:, None, :] + p1[None, :, None]  # (B, V, K)
+        bo_vh = jnp.broadcast_to(BO_h[:, None, :], (B, V, K))
+        cand = jnp.concatenate([seen_v.reshape(B, V, Kb * K), bo_v], axis=-1)
+        ch = jnp.concatenate([seen_h.reshape(B, V, Kb * K), bo_vh], axis=-1)
+        ent_v, ent_hsrc, ent_sel = _dedup_topk(cand, ch, K)  # (B, V, K)
+        ent_h = ent_hsrc * HASH_MULT + v_hash
+
+        entry_cand = (
+            jnp.take(ent_v, entry_word, axis=1) + entry_w[None, :, None]
+        )  # (B, Ne, K)
+        entry_h = jnp.take(ent_h, entry_word, axis=1)
+        return entry_cand, entry_h, ent_sel, bo_sel, exit_sel
+
+    def step(carry, inputs):
+        alpha_prev, hist_prev = carry
+        emit_t, t = inputs
+        # band candidates: (B, S, D*K)
+        ap = jnp.pad(
+            alpha_prev, ((0, 0), (ub, lb), (0, 0)), constant_values=NEG_INF
+        )
+        hp = jnp.pad(hist_prev, ((0, 0), (ub, lb), (0, 0)))
+        bvals, bhash = [], []
+        for j in range(D):
+            d = j - lb
+            bvals.append(ap[:, ub - d : ub - d + S] + band_cols[j][None, :, None])
+            bhash.append(hp[:, ub - d : ub - d + S])
+        cand = jnp.concatenate(bvals, axis=-1)  # (B, S, D*K)
+        chash = jnp.concatenate(bhash, axis=-1)
+        # junction entries scattered onto their (unique) entry states
+        entry_cand, entry_h, ent_sel, bo_sel, exit_sel = junction(
+            alpha_prev, hist_prev
+        )
+        ent_buf = jnp.full((B, S, K), NEG_INF).at[:, entry_idx].set(entry_cand)
+        enth_buf = (
+            jnp.zeros((B, S, K), jnp.uint32).at[:, entry_idx].set(entry_h)
+        )
+        cand = jnp.concatenate([cand, ent_buf], axis=-1)  # (B, S, (D+1)*K)
+        chash = jnp.concatenate([chash, enth_buf], axis=-1)
+        m, hsel, cand_sel = _dedup_topk(cand, chash, K)
+        alpha_new = m + emit_t[:, :, None]
+        active = (t < frame_lengths)[:, None, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        hist_out = jnp.where(active, hsel, hist_prev)
+        recs = (
+            cand_sel.astype(jnp.int16),
+            ent_sel.astype(jnp.int16),
+            bo_sel.astype(jnp.int32),
+            exit_sel.astype(jnp.int16),
+        )
+        return (alpha_out, hist_out), recs
+
+    alpha0 = jnp.concatenate(
+        [
+            (start[None] + emit[:, 0])[:, :, None],
+            jnp.full((B, S, K - 1), NEG_INF),
+        ],
+        axis=2,
+    )
+    hash0 = jnp.concatenate(
+        [
+            jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
+            jnp.zeros((B, S, K - 1), jnp.uint32),
+        ],
+        axis=2,
+    )
+    (alpha_T, hist_T), recs = jax.lax.scan(
+        step, (alpha0, hash0), (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    )
+    return alpha_T, hist_T, recs
+
+
+def lvcsr_nbest_backtrace_host(
+    graph: LvcsrGraph,
+    alpha_T: np.ndarray,  # (B, S, K)
+    hist_T: np.ndarray,  # (B, S, K)
+    recs,  # stacked step records
+    frame_lengths: np.ndarray,
+    nbest: int,
+) -> List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]]:
+    """Per-utterance list of up to ``nbest`` distinct-word-sequence
+    hypotheses, best first: [(state_path (T,), score, word events)]."""
+    cand_sel, ent_sel, bo_sel, exit_sel = [np.asarray(r) for r in recs]
+    B, S, K = alpha_T.shape
+    T = cand_sel.shape[0] + 1
+    D = graph.lb + graph.ub + 1
+    Kb = graph.big_pred.shape[1]
+    entry_slot = {int(s): i for i, s in enumerate(graph.entry_idx)}
+    out: List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]] = []
+    for b in range(B):
+        L = int(frame_lengths[b])
+        # final candidates: every (word exit, rank) + eos, deduped by hash
+        ex = (
+            alpha_T[b][graph.exit_idx]  # (U, E, K)
+            + graph.exit_w[:, :, None]
+            + graph.eos[:, None, None]
+        )
+        exh = hist_T[b][graph.exit_idx]  # (U, E, K)
+        flat = ex.reshape(-1)
+        order = np.argsort(-flat)
+        hyps = []
+        seen_h = set()
+        for p in order:
+            if len(hyps) >= nbest or flat[p] <= NEG_INF / 2:
+                break
+            h = int(exh.reshape(-1)[p])
+            if h in seen_h:
+                continue
+            seen_h.add(h)
+            u, e, r = np.unravel_index(int(p), ex.shape)
+            hyps.append((float(flat[p]), int(graph.exit_idx[u, e]), int(r)))
+        traces = []
+        for score, s, r in hyps:
+            path = np.zeros(T, np.int32)
+            path[L - 1 :] = s
+            events: List[Tuple[int, int]] = []
+            for t in range(L - 1, 0, -1):
+                val = int(cand_sel[t - 1, b, s, r])
+                if val < D * K:
+                    j, r = val // K, val % K
+                    s = s - (j - graph.lb)
+                else:
+                    er = val - D * K  # rank within the entry list
+                    v = int(graph.entry_word[entry_slot[s]])
+                    events.append((t, v))
+                    val2 = int(ent_sel[t - 1, b, v, er])
+                    if val2 < Kb * K:
+                        u, r2 = int(graph.big_pred[v, val2 // K]), val2 % K
+                    else:
+                        flat_bo = int(bo_sel[t - 1, b, val2 - Kb * K])
+                        u, r2 = flat_bo // K, flat_bo % K
+                    val3 = int(exit_sel[t - 1, b, u, r2])
+                    s, r = int(graph.exit_idx[u, val3 // K]), val3 % K
+                path[t - 1] = s
+            w0 = int(graph.state_word[path[0]])
+            if w0 >= 0:
+                events.append((0, w0))
+            events.reverse()
+            traces.append((path, score, events))
+        out.append(traces)
+    return out
 
 
 def lvcsr_backtrace_host(

@@ -218,7 +218,9 @@ class DecodingGraphCompiler:
             for rs, _sentry, sexits in init_sil:
                 for entry, pron_lp in entries_for(v_idx, sil, rs):
                     for s, wgt, tid in sexits:
-                        g.add_arc(s, entry, wgt + lm_lp + pron_lp, tid)
+                        g.add_arc(
+                            s, entry, wgt + lm_lp + pron_lp, tid, event=v_idx
+                        )
 
         # word-to-word / word-to-silence / finals
         for u_idx, u in enumerate(vocab):
@@ -244,6 +246,7 @@ class DecodingGraphCompiler:
                                 entry,
                                 wgt + skip_lp + lm_cache[v_idx] + pron_lp,
                                 tid,
+                                event=v_idx,
                             )
             # out of this word's silence copies
             for (su_idx, last), groups in sil_copies.items():
@@ -260,6 +263,7 @@ class DecodingGraphCompiler:
                                     entry,
                                     wgt + lm_cache[v_idx] + pron_lp,
                                     tid,
+                                    event=v_idx,
                                 )
 
         graph = g.finish(vocab)
@@ -442,7 +446,9 @@ class Transcriber:
             )
 
         if self._lvcsr is not None:
-            return self._transcribe_prepared_lvcsr(prepared, corpus, fs)
+            return self._transcribe_prepared_lvcsr(
+                prepared, corpus, fs, nbest, rescore_lm, rescore_weight
+            )
 
         for batch, flens, garrs, bgraph, ff in prepared:
             if nbest <= 1:
@@ -456,6 +462,12 @@ class Transcriber:
                 )
                 sp = np.asarray(state_path)[:, None]  # (B, 1, T)
                 scores_h = np.asarray(scores)[:, None]
+                _ph1, wf1, if1, _ts1 = extract_frame_labels_host(
+                    garrs, sp[:, 0]
+                )
+                events_h = self._path_events_1best(garrs, sp[:, 0], wf1, if1)[
+                    :, None
+                ]
             else:
                 from montreal_forced_aligner_tpu.ops.viterbi import (
                     nbest_backtrace_host,
@@ -474,7 +486,7 @@ class Transcriber:
                     jnp.asarray(word_event),
                     jnp.asarray(state0_hash),
                 )
-                sp, scores_h = nbest_backtrace_host(
+                sp, scores_h, events_h = nbest_backtrace_host(
                     garrs, np.asarray(fscores), np.asarray(bps), flens, nbest
                 )
             for row, i in enumerate(batch):
@@ -489,8 +501,13 @@ class Transcriber:
                     _ph, word_f, inst_f, _ts = extract_frame_labels_host(
                         garrs, sp[:, r]
                     )
+                    ev_row = events_h[row, r, :Lf]
+                    if nbest > 1 and "in_event" not in garrs:
+                        ev_row = self._events_from_instances(
+                            word_f[row, :Lf], inst_f[row, :Lf]
+                        )
                     words = self._decode_words(
-                        word_f[row, :Lf], inst_f[row, :Lf], utt.begin, fs
+                        word_f[row, :Lf], ev_row, utt.begin, fs
                     )
                     text = " ".join(w.label for w in words)
                     if text in seen:
@@ -546,36 +563,99 @@ class Transcriber:
         )
         return lvcsr_backtrace_host(g, np.asarray(alpha_T), recs, flens)
 
-    def _transcribe_prepared_lvcsr(self, prepared, corpus: Corpus, fs):
+    def _lvcsr_nbest_decode(self, ff, flens, W, gconsts, nbest):
+        """K-best junction decode on one feature batch; returns per-row
+        hypothesis lists [(path, score, events)], best first."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_nbest_backtrace_host,
+            lvcsr_nbest_device,
+        )
+
         g = self._lvcsr
+        alpha_T, hist_T, recs = lvcsr_nbest_device(
+            _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
+                             self.acoustic_scale),
+            jnp.asarray(flens),
+            jnp.asarray(g.band),
+            jnp.asarray(g.start),
+            jnp.asarray(g.state0_hash),
+            jnp.asarray(g.exit_idx),
+            jnp.asarray(g.exit_w),
+            jnp.asarray(g.entry_idx),
+            jnp.asarray(g.entry_word),
+            jnp.asarray(g.entry_w),
+            jnp.asarray(g.p1),
+            jnp.asarray(g.bo),
+            jnp.asarray(g.big_pred),
+            jnp.asarray(g.big_w),
+            g.lb,
+            g.ub,
+            nbest,
+        )
+        return lvcsr_nbest_backtrace_host(
+            g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, nbest
+        )
+
+    def _lvcsr_words(
+        self, path, events, L: int, begin: float, fs
+    ) -> List[CtmInterval]:
+        g = self._lvcsr
+        words: List[CtmInterval] = []
+        wf = g.state_word[path[:L]]
+        for e_idx, (t0, v) in enumerate(events):
+            t1 = events[e_idx + 1][0] if e_idx + 1 < len(events) else L
+            span = np.nonzero(wf[t0:t1] == v)[0]
+            end = t0 + (int(span[-1]) + 1 if len(span) else t1 - t0)
+            words.append(
+                CtmInterval(begin + t0 * fs, begin + end * fs, g.words[v])
+            )
+        return words
+
+    def _transcribe_prepared_lvcsr(
+        self,
+        prepared,
+        corpus: Corpus,
+        fs,
+        nbest: int = 1,
+        rescore_lm: Optional[ArpaModel] = None,
+        rescore_weight: float = 1.0,
+    ):
         al = self.aligner
         results: Dict[int, TranscriptionResult] = {}
         for batch, flens, _garrs, _bg, ff in prepared:
-            traces = self._lvcsr_decode(
-                ff, flens, al._device_gmm[0], al._device_gmm[1]
-            )
+            if nbest <= 1:
+                rows = [
+                    [trace]
+                    for trace in self._lvcsr_decode(
+                        ff, flens, al._device_gmm[0], al._device_gmm[1]
+                    )
+                ]
+            else:
+                rows = self._lvcsr_nbest_decode(
+                    ff, flens, al._device_gmm[0], al._device_gmm[1], nbest
+                )
             for row, i in enumerate(batch):
                 utt = corpus.utterances[i]
-                path, score, events = traces[row]
                 L = int(flens[row])
-                words: List[CtmInterval] = []
-                wf = g.state_word[path[:L]]
-                for e_idx, (t0, v) in enumerate(events):
-                    t1 = events[e_idx + 1][0] if e_idx + 1 < len(events) else L
-                    span = np.nonzero(wf[t0:t1] == v)[0]
-                    end = t0 + (int(span[-1]) + 1 if len(span) else t1 - t0)
-                    words.append(
-                        CtmInterval(
-                            utt.begin + t0 * fs,
-                            utt.begin + end * fs,
-                            g.words[v],
-                        )
+                hyps: List[Tuple[str, float, List[CtmInterval]]] = []
+                for path, score, events in rows[row]:
+                    words = self._lvcsr_words(path, events, L, utt.begin, fs)
+                    hyps.append(
+                        (" ".join(w.label for w in words), score, words)
                     )
+                if rescore_lm is not None and len(hyps) > 1:
+                    hyps = self._rescore_hypotheses(
+                        hyps, rescore_lm, rescore_weight
+                    )
+                best_text, best_score, best_words = hyps[0]
                 results[i] = TranscriptionResult(
                     utterance_id=i,
-                    text=" ".join(w.label for w in words),
-                    words=words,
-                    log_likelihood=score,
+                    text=best_text,
+                    words=best_words,
+                    log_likelihood=best_score,
+                    alternatives=[(t, s) for t, s, _w in hyps]
+                    if len(hyps) > 1
+                    else None,
                 )
         return results
 
@@ -709,31 +789,57 @@ class Transcriber:
         rescored.sort(key=lambda h: -h[1])
         return rescored
 
-    def _decode_words(self, word_f, inst_f, offset, fs) -> List[CtmInterval]:
+    def _path_events_1best(self, garrs, sp, word_f, inst_f) -> np.ndarray:
+        """(B, T) word-entry events for densified 1-best paths. The densified
+        kernel loses arc identity, so events are inferred from the states:
+        word-entry states have only word-entry arcs plus their self-loop
+        (left-to-right HMMs have no internal back arcs), so any move into one
+        begins a word. A one-state word's immediate no-silence repeat is
+        indistinguishable from its self-loop here and stays merged (the
+        ``nbest > 1`` path resolves it exactly via per-arc events)."""
+        B, T = sp.shape
+        if "in_event" in garrs:
+            is_entry = (garrs["in_event"] >= 0).any(axis=2)  # (B, S)
+            b = np.arange(B)[:, None]
+            entry_f = is_entry[b, sp]
+            moved = np.ones((B, T), bool)
+            moved[:, 1:] = sp[:, 1:] != sp[:, :-1]
+            fire = entry_f & moved
+        else:
+            fire = np.zeros((B, T), bool)
+            fire[:, 1:] = inst_f[:, 1:] != inst_f[:, :-1]
+            fire[:, 0] = True
+        fire[:, 0] = True
+        return np.where(fire & (word_f >= 0), word_f, -1).astype(np.int32)
+
+    def _events_from_instances(self, word_f, inst_f) -> np.ndarray:
+        """Instance-crossing word events for graphs without arc events."""
+        fire = np.empty(len(word_f), bool)
+        fire[0] = True
+        fire[1:] = inst_f[1:] != inst_f[:-1]
+        return np.where(fire & (word_f >= 0), word_f, -1).astype(np.int32)
+
+    def _decode_words(self, word_f, events, offset, fs) -> List[CtmInterval]:
+        """Per-frame word labels + word-entry events → word CTM intervals.
+        A new interval starts at every event; frames continuing the same
+        word with no event extend the current interval (a word's interior
+        instance crossings fire no event)."""
         words: List[CtmInterval] = []
-        L = len(word_f)
-        boundaries = np.flatnonzero(np.diff(inst_f)) + 1
-        seg_starts = np.concatenate([[0], boundaries])
-        seg_ends = np.concatenate([boundaries, [L]])
-        cur_word = None
-        for s0, s1 in zip(seg_starts, seg_ends):
-            widx = int(word_f[s0])
-            if widx < 0:
-                cur_word = None
+        cur: Optional[CtmInterval] = None
+        cur_w = -1
+        for t in range(len(word_f)):
+            w = int(word_f[t])
+            if w < 0:
+                cur = None
                 continue
-            label = self._vocab[widx]
-            begin = offset + s0 * fs
-            end = offset + s1 * fs
-            if (
-                cur_word is not None
-                and cur_word.label == label
-                and abs(cur_word.end - begin) < 1e-6
-                and int(word_f[s0 - 1]) == widx
-            ):
-                cur_word.end = end
+            if cur is not None and cur_w == w and events[t] < 0:
+                cur.end = offset + (t + 1) * fs
             else:
-                cur_word = CtmInterval(begin, end, label)
-                words.append(cur_word)
+                cur = CtmInterval(
+                    offset + t * fs, offset + (t + 1) * fs, self._vocab[w]
+                )
+                words.append(cur)
+                cur_w = w
         return words
 
     def evaluate(

@@ -89,11 +89,12 @@ def test_nbest_and_lm_rescoring(transcriber_setup):
         corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=200.0
     )
     assert rescored[0].text == competitor
-    # with negligible weight on the new LM, acoustics keep the original best
+    # rescoring with the decoding LM itself at the decoding scale is a no-op
     kept = tr.transcribe_corpus(
-        corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=1e-6
+        corpus, nbest=8, rescore_lm=tr.lm, rescore_weight=tr.lm_scale
     )
     assert kept[0].text == "ab a"
+    assert [t for t, _s in kept[0].alternatives] == [t for t, _s in alts]
 
 
 def test_lvcsr_matches_dense_decoder(transcriber_setup, monkeypatch):
@@ -158,6 +159,56 @@ def test_lvcsr_large_vocabulary(tmp_path):
     assert results[0].text == "ab a"
     assert [w.label for w in results[0].words] == ["ab", "a"]
     assert abs(results[0].words[0].begin - 0.40) < 0.05
+
+
+def test_lvcsr_nbest_and_rescoring(transcriber_setup, monkeypatch):
+    """The K-best junction decoder yields distinct, rank-ordered hypotheses
+    agreeing with the dense K-best path, and rescoring re-ranks them."""
+    from montreal_forced_aligner_tpu.transcription import transcriber as tmod
+
+    tr, corpus = transcriber_setup
+    dense = tr.transcribe_corpus(corpus, nbest=8)
+
+    tr2 = tmod.Transcriber(
+        tr.aligner.model_path, tr.aligner.dictionary_path, lm=tr.lm,
+        batch_size=4,
+    )
+    monkeypatch.setattr(
+        tmod.DecodingGraphCompiler,
+        "build",
+        lambda self: (_ for _ in ()).throw(ValueError("forced")),
+    )
+    lv = tr2.transcribe_corpus(corpus, nbest=8)
+    assert tr2._lvcsr is not None
+    alts = lv[0].alternatives
+    assert alts is not None and len(alts) >= 2
+    assert alts[0][0] == lv[0].text == dense[0].text == "ab a"
+    scores = [s for _t, s in alts]
+    assert scores == sorted(scores, reverse=True)
+    assert len({t for t, _s in alts}) == len(alts)
+    # 1-best and runner-up agree with the dense decoder's ranking
+    dense_alts = dense[0].alternatives
+    assert alts[1][0] == dense_alts[1][0]
+    assert abs(alts[0][1] - dense_alts[0][1]) < 0.2
+    # each hypothesis carries its own word timing; best matches dense words
+    for a, b in zip(lv[0].words, dense[0].words):
+        assert a.label == b.label
+        assert abs(a.begin - b.begin) < 0.011
+
+    # rescoring with an LM preferring the runner-up re-ranks (trigram+
+    # context enters the LVCSR decoder through exactly this path)
+    competitor = alts[1][0]
+    rescore_lm, _ = train_lm_from_texts([competitor] * 20, order=3)
+    rescored = tr2.transcribe_corpus(
+        corpus, nbest=8, rescore_lm=rescore_lm, rescore_weight=200.0
+    )
+    assert rescored[0].text == competitor
+    # rescoring with the decoding LM itself at the decoding scale is a no-op
+    kept = tr2.transcribe_corpus(
+        corpus, nbest=8, rescore_lm=tr2.lm, rescore_weight=tr2.lm_scale
+    )
+    assert kept[0].text == "ab a"
+    assert [t for t, _s in kept[0].alternatives] == [t for t, _s in alts]
 
 
 def test_lm_scale_and_insertion_penalty(transcriber_setup):

@@ -171,8 +171,11 @@ def test_kbest_viterbi_matches_enumeration():
         emit_b, jnp.asarray(np.array([T], np.int32)), graph,
         acoustic_scale=1.0, K=8,
     )
-    paths, scores = nbest_backtrace_host(
-        {"in_src": np.asarray(graph.in_src)},
+    paths, scores, _events = nbest_backtrace_host(
+        {
+            "in_src": np.asarray(graph.in_src),
+            "state_word": np.asarray(graph.state_word),
+        },
         np.asarray(fscores), np.asarray(bps), np.array([T]), 8,
     )
     # dedup kernel output by state sequence (parallel/duplicate arcs can
