@@ -414,21 +414,38 @@ class AlignmentGraphCompiler:
         word_idx: int,
         left_ctxs: Sequence[int],
         rights: Sequence[int],
+        group_lefts: bool = False,
     ) -> List[dict]:
         """Expand a pronunciation variant for every needed cross-word
         context. Returns branches: dicts with keys
         ``lset`` (left contexts served), ``entry``, ``rset`` (right contexts
         served), ``exits``.
+
+        ``group_lefts`` merges single-phone instances whose plans agree for
+        every right context (fewer states; used by the LVCSR cross-word
+        builder). Alignment/training graphs keep per-left instances so the
+        state ordering — and hence EM tie-breaking — is unchanged.
         """
         n = len(pids)
         branches: List[dict] = []
         if n == 1:
+            lgroups1: Dict[tuple, List[int]] = {}
             for l in left_ctxs:
+                key = (
+                    tuple(
+                        self._phone_plan(self._window(l, pids[0], r))["key"]
+                        for r in rights
+                    )
+                    if group_lefts
+                    else l
+                )
+                lgroups1.setdefault(key, []).append(l)
+            for ls in lgroups1.values():
                 for rs, entry, exits in self._expand_single(
-                    g, pids[0], word_idx, l, rights
+                    g, pids[0], word_idx, ls[0], rights
                 ):
                     branches.append(
-                        dict(lset=frozenset([l]), entry=entry, rset=rs, exits=exits)
+                        dict(lset=frozenset(ls), entry=entry, rset=rs, exits=exits)
                     )
             return branches
         # group left contexts by the initial phone's plan

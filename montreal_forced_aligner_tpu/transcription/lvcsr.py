@@ -89,12 +89,17 @@ class LvcsrGraphCompiler:
     """Builds an :class:`LvcsrGraph` from lexicon + backoff bigram LM."""
 
     def __init__(self, align_compiler, lexicon, lm: ArpaModel,
-                 lm_scale: float = 1.0, word_insertion_penalty: float = 0.0):
+                 lm_scale: float = 1.0, word_insertion_penalty: float = 0.0,
+                 cross_word: Optional[bool] = None):
         self.comp = align_compiler
         self.lexicon = lexicon
         self.lm = lm
         self.lm_scale = lm_scale
         self.word_insertion_penalty = word_insertion_penalty
+        # exact cross-word context matters only for context-dependent trees
+        self.cross_word = (
+            align_compiler.tree.N == 3 if cross_word is None else cross_word
+        )
 
     def _word_block(self, g: _GraphBuilder, pids, w_idx, p_sil, sil):
         """One pronunciation chain + optional trailing silence; returns
@@ -114,7 +119,19 @@ class LvcsrGraphCompiler:
         exits.extend(sexits)
         return entry, exits
 
-    def build(self) -> LvcsrGraph:
+    def build(self):
+        """Returns an :class:`LvcsrXwGraph` (cross-word-exact) for triphone
+        trees, else an :class:`LvcsrGraph` (word-internal context). Falls
+        back to word-internal if the cross-word expansion exceeds the band
+        buckets."""
+        if self.cross_word:
+            try:
+                return self._build_cross_word()
+            except ValueError:
+                pass
+        return self.build_word_internal()
+
+    def build_word_internal(self) -> LvcsrGraph:
         from montreal_forced_aligner_tpu.graph.compiler import batch_graphs
         from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
 
@@ -320,6 +337,462 @@ def lvcsr_decode_device(
         step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
     )
     return alpha_T, recs
+
+
+# ---------------------------------------------------------------------------
+# Cross-word triphone context (context-classed junction)
+# ---------------------------------------------------------------------------
+# With a triphone tree, the pdfs of a word's first/last phone depend on the
+# neighboring word. The word-internal LvcsrGraph assumes silence at word
+# boundaries; this variant is exact: word HMMs are expanded per cross-word
+# context group (the C transducer, same machinery as the dense decoder's
+# ``_expand_variant``), and the junction is factored through context classes:
+#
+#   exit side   "cells" (word u, presented phone p, right-group rg): the best
+#               score over u's exit states that assume a next-first-phone in
+#               rg and present p (= u's last phone, or silence after the
+#               absorbed trailing-silence block) to the next word,
+#   entry side  slots (word v, left-group lset, first phone f): entered from
+#               any cell with p in lset and f in rg.
+#
+# Per frame: cell pooling O(cells * exits), one backoff segment-max over
+# (P x RG), a masked (P x RG x F) reduction, and per-slot gathers over seen
+# bigrams — O(cells + slots * preds), never O(V^2).
+
+
+@dataclass
+class LvcsrXwGraph:
+    """Host arrays for the cross-word (context-exact) junction decoder."""
+
+    words: List[str]
+    state_pdf: np.ndarray  # (S,)
+    state_word: np.ndarray  # (S,)
+    state_phone: np.ndarray  # (S,)
+    band: np.ndarray  # (S, D)
+    lb: int
+    ub: int
+    start: np.ndarray  # (S,)
+    # cells
+    cell_exit_idx: np.ndarray  # (Nc, Em)
+    cell_exit_w: np.ndarray  # (Nc, Em)
+    bo_cell: np.ndarray  # (Nc,) backoff weight of each cell's history
+    cell_seg: np.ndarray  # (Nc,) = p * RG + rg
+    rg_mask: np.ndarray  # (RG, F) bool: right-group contains first-phone f
+    num_p: int  # P presented-phone classes
+    # entry slots
+    entry_state: np.ndarray  # (Ne,)
+    entry_word: np.ndarray  # (Ne,)
+    entry_w: np.ndarray  # (Ne,) pronunciation log-prob - insertion penalty
+    ebo_idx: np.ndarray  # (Ne, Lm) flat p*F + f backoff sources
+    ebo_pad: np.ndarray  # (Ne, Lm) 0 / NEG_INF padding
+    p1e: np.ndarray  # (Ne,) scaled unigram of the slot's word
+    se_cell: np.ndarray  # (Ne, Q) seen-bigram source cell per candidate
+    se_w: np.ndarray  # (Ne, Q) scaled bigram log-prob (NEG_INF pad)
+    # finals
+    fin_state: np.ndarray  # (Nf,)
+    fin_w: np.ndarray  # (Nf,) exit weight + scaled eos
+
+    @property
+    def num_states(self) -> int:
+        return len(self.state_pdf)
+
+
+def _build_cross_word(self) -> LvcsrXwGraph:
+    """Cross-word-context LVCSR graph (see module notes above). Bound as
+    ``LvcsrGraphCompiler._build_cross_word``."""
+    from montreal_forced_aligner_tpu.graph.compiler import batch_graphs
+    from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+
+    lex, lm, comp = self.lexicon, self.lm, self.comp
+    g = _GraphBuilder()
+    sil = lex.phone_id(lex.silence_phone, None)
+    EPS = 0
+    scale = self.lm_scale * LN10
+    vocab = [w for w in lm.vocab if w in lex.words]
+    if not vocab:
+        raise ValueError("no LM words found in the lexicon")
+    V = len(vocab)
+    word_index = {w: i for i, w in enumerate(vocab)}
+
+    prons: List[List[Tuple[List[int], float, float]]] = []
+    first_phones, last_phones = set(), set()
+    for word in vocab:
+        rows = []
+        for pron in lex.words[word]:
+            if lex.position_dependent:
+                pids = lex.pronunciation_phone_ids(pron.phones)
+            else:
+                pids = [lex.phone_id(p, None) for p in pron.phones]
+            prob = pron.probability if pron.probability is not None else 1.0
+            pron_lp = (
+                math.log(max(min(prob, 1.0), 1e-5))
+                - self.word_insertion_penalty
+            )
+            p_sil = (
+                pron.silence_after_probability
+                if pron.silence_after_probability is not None
+                else lex.silence_probability
+            )
+            rows.append((pids, pron_lp, p_sil))
+            first_phones.add(pids[0])
+            last_phones.add(pids[-1])
+        prons.append(rows)
+    fclasses = sorted(first_phones)
+    F = len(fclasses)
+    f_index = {p: i for i, p in enumerate(fclasses)}
+    pclasses = sorted(last_phones | {sil})
+    P = len(pclasses)
+    p_index = {p: i for i, p in enumerate(pclasses)}
+    lefts_all = sorted({EPS, sil} | last_phones)
+    rights_all = sorted({EPS, sil} | first_phones)
+    sil_rights = sorted({EPS} | first_phones)
+
+    rg_sets: Dict[frozenset, int] = {}
+
+    def rg_of(rset) -> int:
+        key = frozenset(rset) & first_phones
+        if not key:
+            return -1
+        return rg_sets.setdefault(key, len(rg_sets))
+
+    # (u_row, p_idx, rg) -> [(state, weight)]; u_row V = initial silence <s>
+    cell_map: Dict[Tuple[int, int, int], List[Tuple[int, float]]] = {}
+
+    def add_exits(u_row, p_phone, rset, exits, extra_w=0.0):
+        rg = rg_of(rset)
+        if rg < 0:
+            return
+        lst = cell_map.setdefault((u_row, p_index[p_phone], rg), [])
+        for s, w, _tid in exits:
+            lst.append((s, w + extra_w))
+
+    finals: List[Tuple[int, float, int]] = []  # (state, weight, u_row)
+    # entry slots: (state, word, f_idx, entry_w, lset)
+    entries: List[Tuple[int, int, int, float, frozenset]] = []
+    for w_idx in range(V):
+        for pids, pron_lp, p_sil in prons[w_idx]:
+            skip_lp = _safe_log(max(1.0 - p_sil, 1e-5))
+            sil_lp = _safe_log(max(p_sil, 1e-5))
+            branches = comp._expand_variant(
+                g, pids, w_idx, lefts_all, rights_all, group_lefts=True
+            )
+            seen_entry = set()
+            for br in branches:
+                if br["entry"] not in seen_entry:
+                    seen_entry.add(br["entry"])
+                    entries.append(
+                        (br["entry"], w_idx, f_index[pids[0]], pron_lp,
+                         br["lset"])
+                    )
+            sil_groups = comp._expand_single(g, sil, -1, pids[-1], sil_rights)
+            # distinct exit groups (n>=2 branches share their exits object)
+            exit_groups = {
+                id(br["exits"]): (br["rset"], br["exits"]) for br in branches
+            }
+            for rset, exits in exit_groups.values():
+                add_exits(w_idx, pids[-1], rset, exits, extra_w=skip_lp)
+                if EPS in rset:
+                    finals.extend((s, w + skip_lp, w_idx) for s, w, _t in exits)
+                if sil in rset:
+                    for _srs, sentry, _sx in sil_groups:
+                        for s, w, tid in exits:
+                            g.add_arc(s, sentry, w + sil_lp, tid)
+            for srs, _sentry, sexits in sil_groups:
+                add_exits(w_idx, sil, srs, sexits)
+                if EPS in srs:
+                    finals.extend((s, w, w_idx) for s, w, _t in sexits)
+
+    # initial silence (history <s> = row V)
+    init_groups = comp._expand_single(g, sil, -1, EPS, sil_rights)
+    p_init = lex.initial_silence_probability
+    for srs, sentry, sexits in init_groups:
+        g.add_start(sentry, _safe_log(p_init))
+        add_exits(V, sil, srs, sexits)
+        if EPS in srs:
+            finals.extend((s, w, V) for s, w, _t in sexits)
+
+    graph = g.finish(vocab)
+    garrs = batch_graphs([graph])
+    band_out = band_from_arcs(garrs)
+    if band_out is None:
+        raise ValueError("cross-word arcs exceed band buckets")
+    band_np, lb, ub = band_out
+    S = graph.num_states
+
+    start = np.full(S, NEG_INF, np.float32)
+    start[:] = graph.start
+    start_lp = _safe_log(1.0 - p_init)
+    for st, w_idx, _f, pron_lp, lset in entries:
+        if EPS in lset:
+            lm_lp = scale * lm.log_prob(vocab[w_idx], ("<s>",))
+            start[st] = max(start[st], start_lp + lm_lp + pron_lp)
+
+    # LM rows
+    bo_row = np.zeros(V + 1, np.float32)
+    eos_row = np.zeros(V + 1, np.float32)
+    for u, w in enumerate(vocab + ["<s>"]):
+        bo_row[u] = scale * lm.ngrams[1].get((w,), (0.0, 0.0))[1]
+        eos_row[u] = scale * lm.log_prob("</s>", (w,))
+    p1 = np.asarray([scale * lm.log_prob(v, ()) for v in vocab], np.float32)
+
+    # cells
+    RG = max(1, len(rg_sets))
+    cell_keys = sorted(cell_map)
+    Nc = len(cell_keys)
+    Em = max(len(v) for v in cell_map.values())
+    cell_exit_idx = np.zeros((Nc, Em), np.int32)
+    cell_exit_w = np.full((Nc, Em), NEG_INF, np.float32)
+    bo_cell = np.zeros(Nc, np.float32)
+    cell_seg = np.zeros(Nc, np.int32)
+    cell_lookup: Dict[Tuple[int, int, int], int] = {}
+    for c, key in enumerate(cell_keys):
+        u_row, p_idx, rg = key
+        cell_lookup[key] = c
+        for j, (s, w) in enumerate(cell_map[key]):
+            cell_exit_idx[c, j] = s
+            cell_exit_w[c, j] = w
+        bo_cell[c] = bo_row[u_row]
+        cell_seg[c] = p_idx * RG + rg
+    rg_mask = np.zeros((RG, F), bool)
+    for key, rg in rg_sets.items():
+        for ph in key:
+            rg_mask[rg, f_index[ph]] = True
+
+    # per-word cell index (u_row -> cells) for seen-bigram candidates
+    cells_of: Dict[int, List[int]] = {}
+    for key, c in cell_lookup.items():
+        cells_of.setdefault(key[0], []).append(c)
+
+    # seen-bigram predecessors per word
+    preds: Dict[int, List[Tuple[int, float]]] = {v: [] for v in range(V)}
+    if lm.order >= 2:
+        for key, (lp, _b) in lm.ngrams[2].items():
+            hist, w = key[0], key[1]
+            if w not in word_index:
+                continue
+            u = word_index.get(hist, V if hist == "<s>" else None)
+            if u is None:
+                continue
+            preds[word_index[w]].append((u, scale * lp))
+
+    Ne = len(entries)
+    entry_state = np.asarray([e[0] for e in entries], np.int32)
+    if len(np.unique(entry_state)) != Ne:
+        raise ValueError("entry states are not unique")
+    entry_word = np.asarray([e[1] for e in entries], np.int32)
+    entry_w = np.asarray([e[3] for e in entries], np.float32)
+    p1e = p1[entry_word]
+    # backoff source classes per slot
+    ebo_lists = []
+    se_lists: List[List[Tuple[int, float]]] = []
+    for st, w_idx, f_idx, _plp, lset in entries:
+        pcl = sorted(p_index[p] for p in lset if p in p_index)
+        if not pcl:  # unreachable via junction (e.g. EPS-only left group)
+            pcl = [0]
+            ebo_lists.append(([], f_idx))
+        else:
+            ebo_lists.append((pcl, f_idx))
+        cand: List[Tuple[int, float]] = []
+        pset = set(pcl)
+        for u, lp in preds[w_idx]:
+            for c in cells_of.get(u, []):
+                _u, p_idx2, rg = cell_keys[c]
+                if p_idx2 in pset and rg_mask[rg, f_idx]:
+                    cand.append((c, lp))
+        se_lists.append(cand)
+    Lm = max(1, max(len(p) for p, _f in ebo_lists))
+    ebo_idx = np.zeros((Ne, Lm), np.int32)
+    ebo_pad = np.full((Ne, Lm), NEG_INF, np.float32)
+    for e, (pcl, f_idx) in enumerate(ebo_lists):
+        for j, p_idx2 in enumerate(pcl):
+            ebo_idx[e, j] = p_idx2 * F + f_idx
+            ebo_pad[e, j] = 0.0
+    Q = max(1, max(len(c) for c in se_lists))
+    se_cell = np.zeros((Ne, Q), np.int32)
+    se_w = np.full((Ne, Q), NEG_INF, np.float32)
+    for e, cand in enumerate(se_lists):
+        for j, (c, lp) in enumerate(cand):
+            se_cell[e, j] = c
+            se_w[e, j] = lp
+
+    fin_state = np.asarray([f[0] for f in finals], np.int32)
+    fin_w = np.asarray(
+        [w + eos_row[u] for _s, w, u in finals], np.float32
+    )
+
+    return LvcsrXwGraph(
+        words=vocab,
+        state_pdf=garrs["state_pdf"][0],
+        state_word=garrs["state_word"][0],
+        state_phone=garrs["state_phone"][0],
+        band=band_np[0],
+        lb=lb,
+        ub=ub,
+        start=start,
+        cell_exit_idx=cell_exit_idx,
+        cell_exit_w=cell_exit_w,
+        bo_cell=bo_cell,
+        cell_seg=cell_seg,
+        rg_mask=rg_mask,
+        num_p=P,
+        entry_state=entry_state,
+        entry_word=entry_word,
+        entry_w=entry_w,
+        ebo_idx=ebo_idx,
+        ebo_pad=ebo_pad,
+        p1e=p1e,
+        se_cell=se_cell,
+        se_w=se_w,
+        fin_state=fin_state,
+        fin_w=fin_w,
+    )
+
+
+LvcsrGraphCompiler._build_cross_word = _build_cross_word
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "P"))
+def lvcsr_xw_decode_device(
+    emit: jnp.ndarray,  # (B, T, S) pre-scaled emissions
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    cell_exit_idx: jnp.ndarray,  # (Nc, Em)
+    cell_exit_w: jnp.ndarray,
+    bo_cell: jnp.ndarray,  # (Nc,)
+    cell_seg: jnp.ndarray,  # (Nc,)
+    rg_mask: jnp.ndarray,  # (RG, F) bool
+    entry_state: jnp.ndarray,  # (Ne,)
+    entry_w: jnp.ndarray,
+    ebo_idx: jnp.ndarray,  # (Ne, Lm)
+    ebo_pad: jnp.ndarray,
+    p1e: jnp.ndarray,  # (Ne,)
+    se_cell: jnp.ndarray,  # (Ne, Q)
+    se_w: jnp.ndarray,
+    lb: int,
+    ub: int,
+    P: int,
+):
+    """Forward pass of the cross-word junction decoder. Returns final alpha
+    plus per-frame records for :func:`lvcsr_xw_backtrace_host`."""
+    B, T, S = emit.shape
+    D = lb + ub + 1
+    Nc, Em = cell_exit_idx.shape
+    RG, F = rg_mask.shape
+    Ne = entry_state.shape[0]
+    band_cols = [band[:, j] for j in range(D)]
+    t_iota = jnp.arange(T)
+    exit_flat = cell_exit_idx.reshape(-1)
+    iota_c = jnp.arange(Nc, dtype=jnp.int32)
+
+    def junction(alpha_prev):
+        exv = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, Nc, Em)
+        exv = exv + cell_exit_w
+        cell_arg = jnp.argmax(exv, axis=2).astype(jnp.uint8)
+        EX = jnp.max(exv, axis=2)  # (B, Nc)
+        # backoff: segment max over (p, rg) cells, then mask-reduce to (P,F)
+        BOc = EX + bo_cell
+        BO2 = jnp.full((B, P * RG), NEG_INF).at[:, cell_seg].max(BOc)
+        winner = jnp.where(BOc >= BO2[:, cell_seg], iota_c, -1)
+        BO2arg = (
+            jnp.full((B, P * RG), -1, jnp.int32).at[:, cell_seg].max(winner)
+        )
+        BO2r = BO2.reshape(B, P, RG)
+        brf = jnp.where(
+            rg_mask[None, None], BO2r[:, :, :, None], NEG_INF
+        )  # (B, P, RG, F)
+        BOF = jnp.max(brf, axis=2)  # (B, P, F)
+        BOFarg = jnp.argmax(brf, axis=2).astype(jnp.uint8)
+        ent_bo_c = BOF.reshape(B, P * F)[:, ebo_idx.reshape(-1)].reshape(
+            B, Ne, -1
+        ) + ebo_pad
+        ent_bo = jnp.max(ent_bo_c, axis=2) + p1e
+        ent_l = jnp.argmax(ent_bo_c, axis=2).astype(jnp.uint8)
+        se = EX[:, se_cell.reshape(-1)].reshape(B, Ne, -1) + se_w
+        ent_seen = jnp.max(se, axis=2)
+        ent_q = jnp.argmax(se, axis=2).astype(jnp.int32)
+        use_seen = ent_seen >= ent_bo
+        ent = jnp.maximum(ent_seen, ent_bo) + entry_w
+        ent_src = jnp.where(use_seen, ent_q, -1)
+        return ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs
+        ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
+        m = jnp.full_like(alpha_prev, NEG_INF)
+        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+        for j in range(D):
+            d = j - lb
+            c = ap[:, ub - d : ub - d + S] + band_cols[j]
+            take = c > m
+            m = jnp.where(take, c, m)
+            bp = jnp.where(take, jnp.uint8(j), bp)
+        ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg = junction(alpha_prev)
+        m2 = m.at[:, entry_state].max(ent)
+        junc_won = m2 > m
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        return alpha_out, (bp, junc_won, ent_src, ent_l, cell_arg, BOFarg,
+                           BO2arg)
+
+    alpha0 = start[None] + emit[:, 0]
+    alpha_T, recs = jax.lax.scan(
+        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    )
+    return alpha_T, recs
+
+
+def lvcsr_xw_backtrace_host(
+    graph: LvcsrXwGraph,
+    alpha_T: np.ndarray,  # (B, S)
+    recs,
+    frame_lengths: np.ndarray,
+) -> List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]:
+    """Per-utterance (state_path (T,), score, word events) — cross-word
+    analogue of :func:`lvcsr_backtrace_host`."""
+    band_bp, junc_won, ent_src, ent_l, cell_arg, BOFarg, BO2arg = [
+        np.asarray(r) for r in recs
+    ]
+    B, S = alpha_T.shape
+    T = band_bp.shape[0] + 1
+    RG, F = graph.rg_mask.shape
+    entry_slot = {int(s): i for i, s in enumerate(graph.entry_state)}
+    out = []
+    for b in range(B):
+        L = int(frame_lengths[b])
+        fin = alpha_T[b][graph.fin_state] + graph.fin_w
+        k = int(np.argmax(fin))
+        score = float(fin[k])
+        s = int(graph.fin_state[k])
+        path = np.zeros(T, np.int32)
+        path[L - 1 :] = s
+        events: List[Tuple[int, int]] = []
+        for t in range(L - 1, 0, -1):
+            r = t - 1
+            if junc_won[r, b, s] and s in entry_slot:
+                e = entry_slot[s]
+                events.append((t, int(graph.entry_word[e])))
+                q = int(ent_src[r, b, e])
+                if q >= 0:
+                    cell = int(graph.se_cell[e, q])
+                else:
+                    pf = int(graph.ebo_idx[e, int(ent_l[r, b, e])])
+                    p, f = pf // F, pf % F
+                    rg = int(BOFarg[r, b, p, f])
+                    cell = int(BO2arg[r, b, p * RG + rg])
+                s = int(
+                    graph.cell_exit_idx[cell, int(cell_arg[r, b, cell])]
+                )
+            else:
+                s = s - (int(band_bp[r, b, s]) - graph.lb)
+            path[t - 1] = s
+        w0 = int(graph.state_word[path[0]])
+        if w0 >= 0:
+            events.append((0, w0))
+        events.reverse()
+        out.append((path, score, events))
+    return out
 
 
 # ---------------------------------------------------------------------------

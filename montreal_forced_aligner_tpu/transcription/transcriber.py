@@ -307,6 +307,7 @@ class Transcriber:
         self._graph = None
         self._vocab = None
         self._lvcsr = None
+        self._lvcsr_wi = None  # word-internal companion for N-best
 
     def train_lm_from_corpus(self, corpus: Corpus) -> ArpaModel:
         texts = []
@@ -538,11 +539,40 @@ class Transcriber:
         """Run the two-level decoder on one feature batch; returns the host
         backtraces [(path, score, events)] per row."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            LvcsrXwGraph,
             lvcsr_backtrace_host,
             lvcsr_decode_device,
+            lvcsr_xw_backtrace_host,
+            lvcsr_xw_decode_device,
         )
 
         g = self._lvcsr
+        if isinstance(g, LvcsrXwGraph):
+            alpha_T, recs = lvcsr_xw_decode_device(
+                _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
+                                 self.acoustic_scale),
+                jnp.asarray(flens),
+                jnp.asarray(g.band),
+                jnp.asarray(g.start),
+                jnp.asarray(g.cell_exit_idx),
+                jnp.asarray(g.cell_exit_w),
+                jnp.asarray(g.bo_cell),
+                jnp.asarray(g.cell_seg),
+                jnp.asarray(g.rg_mask),
+                jnp.asarray(g.entry_state),
+                jnp.asarray(g.entry_w),
+                jnp.asarray(g.ebo_idx),
+                jnp.asarray(g.ebo_pad),
+                jnp.asarray(g.p1e),
+                jnp.asarray(g.se_cell),
+                jnp.asarray(g.se_w),
+                g.lb,
+                g.ub,
+                g.num_p,
+            )
+            return lvcsr_xw_backtrace_host(
+                g, np.asarray(alpha_T), recs, flens
+            )
         alpha_T, recs = lvcsr_decode_device(
             _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
                              self.acoustic_scale),
@@ -565,13 +595,31 @@ class Transcriber:
 
     def _lvcsr_nbest_decode(self, ff, flens, W, gconsts, nbest):
         """K-best junction decode on one feature batch; returns per-row
-        hypothesis lists [(path, score, events)], best first."""
+        hypothesis lists [(path, score, events)], best first.
+
+        The K-best semiring is implemented for the word-internal-context
+        junction; with a cross-word graph, N-best falls back to a
+        word-internal companion graph (context approximation only affects
+        the alternates' acoustic scores, not the rescoring machinery)."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            LvcsrXwGraph,
             lvcsr_nbest_backtrace_host,
             lvcsr_nbest_device,
         )
 
         g = self._lvcsr
+        if isinstance(g, LvcsrXwGraph):
+            if self._lvcsr_wi is None:
+                from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                    LvcsrGraphCompiler,
+                )
+
+                self._lvcsr_wi = LvcsrGraphCompiler(
+                    self.aligner.compiler, self.aligner.lexicon, self.lm,
+                    lm_scale=self.lm_scale,
+                    word_insertion_penalty=self.word_insertion_penalty,
+                ).build_word_internal()
+            g = self._lvcsr_wi
         alpha_T, hist_T, recs = lvcsr_nbest_device(
             _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
                              self.acoustic_scale),
@@ -592,14 +640,14 @@ class Transcriber:
             g.ub,
             nbest,
         )
-        return lvcsr_nbest_backtrace_host(
+        rows = lvcsr_nbest_backtrace_host(
             g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, nbest
         )
+        return rows, g
 
     def _lvcsr_words(
-        self, path, events, L: int, begin: float, fs
+        self, g, path, events, L: int, begin: float, fs
     ) -> List[CtmInterval]:
-        g = self._lvcsr
         words: List[CtmInterval] = []
         wf = g.state_word[path[:L]]
         for e_idx, (t0, v) in enumerate(events):
@@ -624,6 +672,7 @@ class Transcriber:
         results: Dict[int, TranscriptionResult] = {}
         for batch, flens, _garrs, _bg, ff in prepared:
             if nbest <= 1:
+                g_used = self._lvcsr
                 rows = [
                     [trace]
                     for trace in self._lvcsr_decode(
@@ -631,7 +680,7 @@ class Transcriber:
                     )
                 ]
             else:
-                rows = self._lvcsr_nbest_decode(
+                rows, g_used = self._lvcsr_nbest_decode(
                     ff, flens, al._device_gmm[0], al._device_gmm[1], nbest
                 )
             for row, i in enumerate(batch):
@@ -639,7 +688,9 @@ class Transcriber:
                 L = int(flens[row])
                 hyps: List[Tuple[str, float, List[CtmInterval]]] = []
                 for path, score, events in rows[row]:
-                    words = self._lvcsr_words(path, events, L, utt.begin, fs)
+                    words = self._lvcsr_words(
+                        g_used, path, events, L, utt.begin, fs
+                    )
                     hyps.append(
                         (" ".join(w.label for w in words), score, words)
                     )
@@ -762,6 +813,7 @@ class Transcriber:
             self.lm, _ = train_lm_from_texts(texts, order=lm_order)
             self._graph = None  # rebuild for this speaker's LM
             self._lvcsr = None
+            self._lvcsr_wi = None
             sub = corpus.subset(utt_ids)
             sub_results = self.transcribe_corpus(sub, **kwargs)
             for local_id, res in sub_results.items():

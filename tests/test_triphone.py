@@ -108,19 +108,40 @@ def test_triphone_transcription(tri_setup):
 
 
 def test_triphone_lvcsr_decoding(tri_setup, monkeypatch):
-    """LVCSR (word-internal-context) decoding with a triphone model."""
+    """LVCSR decoding with a triphone model: the context-classed cross-word
+    junction must reproduce the exact dense decoder's transcripts; the
+    word-internal fallback stays available and close."""
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        LvcsrGraphCompiler,
+        LvcsrXwGraph,
+    )
     from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
 
     tmp, corpus_dir, dict_path, model, _tri, _truths = tri_setup
     model_path = tmp / "tri_lvcsr.zip"
     model.save(model_path)
-    tr = Transcriber(model_path, dict_path, batch_size=4)
-    monkeypatch.setattr(Transcriber, "LVCSR_WORD_THRESHOLD", 0)
     corpus = Corpus.load(corpus_dir)
+
+    dense_tr = Transcriber(model_path, dict_path, batch_size=4)
+    dense = dense_tr.transcribe_corpus(corpus)
+    assert dense_tr._lvcsr is None  # small vocab used the dense graph
+
+    tr = Transcriber(model_path, dict_path, lm=dense_tr.lm, batch_size=4)
+    monkeypatch.setattr(Transcriber, "LVCSR_WORD_THRESHOLD", 0)
     results = tr.transcribe_corpus(corpus)
-    assert tr._lvcsr is not None
-    metrics = tr.evaluate(corpus, results)
-    # LVCSR uses word-internal context (sil assumed at boundaries) — on this
-    # adversarial 2-tone corpus that costs some WER vs the exact cross-word
-    # dense decoder (<=0.15); real phone inventories are far less brittle
+    assert isinstance(tr._lvcsr, LvcsrXwGraph)
+    for i in dense:
+        assert results[i].text == dense[i].text
+        assert abs(results[i].log_likelihood - dense[i].log_likelihood) < 0.1
+        for a, b in zip(results[i].words, dense[i].words):
+            assert a.label == b.label
+            assert abs(a.begin - b.begin) < 0.011
+
+    # word-internal fallback (silence assumed at word boundaries) still
+    # decodes this adversarial 2-tone corpus reasonably
+    tr._lvcsr = LvcsrGraphCompiler(
+        tr.aligner.compiler, tr.aligner.lexicon, tr.lm
+    ).build_word_internal()
+    wi_results = tr.transcribe_corpus(corpus)
+    metrics = tr.evaluate(corpus, wi_results)
     assert metrics["wer"] <= 0.3, metrics
