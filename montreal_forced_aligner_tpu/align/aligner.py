@@ -74,6 +74,25 @@ def _mfcc_and_sums(padded_waves, frame_lengths, cfg, max_frames):
     return feats, sums
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_frames", "num_speakers"))
+def _mfcc_and_spk_stats(
+    padded_waves, frame_lengths, spk_idx, cfg, max_frames, num_speakers
+):
+    """Phase A: MFCC + per-speaker CMVN sums, reduced on device.
+
+    Speaker reduction as a one-hot matmul keeps the whole pipeline async:
+    only one tiny (num_speakers, D) array per device crosses back to the
+    host (vs per-batch per-utterance sums), which matters on
+    remote-attached TPUs where each fetch is a ~0.1 s round trip."""
+    feats = _mfcc_device(padded_waves, cfg, max_frames)
+    mask = frame_mask(frame_lengths, feats.shape[1])[..., None]
+    sums = jnp.where(mask, feats, 0.0).sum(axis=1)  # (B, D)
+    onehot = jax.nn.one_hot(spk_idx, num_speakers, dtype=feats.dtype)
+    spk_sum = jnp.einsum("bs,bd->sd", onehot, sums)
+    spk_cnt = onehot.T @ frame_lengths.astype(feats.dtype)
+    return feats, spk_sum, spk_cnt
+
+
 @jax.jit
 def _final_feats(feats, frame_lengths, mean_rows, lda, pitch=None):
     """CMVN-subtract, optional pitch paste, then deltas or splice+LDA
@@ -465,13 +484,13 @@ class PretrainedAligner:
             for i in range(0, len(order), cfg.batch_size)
         ]
 
-        # phase A: MFCC + per-utterance sums (features stay on device).
-        # All batches are dispatched before any result is fetched so host
-        # padding, tunnel transfers and device compute overlap.
+        # phase A: MFCC + per-speaker CMVN stats, reduced on device. All
+        # batches are dispatched before any result is fetched so host
+        # padding, tunnel transfers, graph compilation and device compute
+        # all overlap; only one tiny stats array per device comes back.
         D = self.mfcc_config.num_coefficients
-        spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
-        spk_count = np.zeros(num_speakers, dtype=np.float64)
         stashes = []
+        dev_totals = {}  # device -> (spk_sum (S,D), spk_cnt (S,)) on device
         import jax as _jax
 
         for bi, batch in enumerate(batches):
@@ -483,12 +502,23 @@ class PretrainedAligner:
                 [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
             )
             max_frames = self.mfcc_config.num_frames(L)
-            feats_dev, sums = _mfcc_and_sums(
+            spk_idx = np.array(
+                [speaker_index[corpus.utterances[i].speaker] for i in batch],
+                np.int32,
+            )
+            feats_dev, bsum, bcnt = _mfcc_and_spk_stats(
                 _jax.device_put(padded, dev),
                 _jax.device_put(flens, dev),
+                _jax.device_put(spk_idx, dev),
                 self.mfcc_config,
                 max_frames,
+                num_speakers,
             )
+            if dev in dev_totals:
+                psum, pcnt = dev_totals[dev]
+                dev_totals[dev] = (psum + bsum, pcnt + bcnt)
+            else:
+                dev_totals[dev] = (bsum, bcnt)
             pitch = None
             if self.use_pitch:
                 from montreal_forced_aligner_tpu.ops.pitch import (
@@ -504,18 +534,9 @@ class PretrainedAligner:
                     flens,
                     max_frames,
                 )
-            stashes.append((batch, feats_dev, flens, sums, pitch))
-
-        stashes = [
-            (batch, feats_dev, flens, np.asarray(sums), pitch)
-            for batch, feats_dev, flens, sums, pitch in stashes
-        ]
-        for batch, _feats, flens, sums, _pitch in stashes:
+            stashes.append((batch, feats_dev, flens, pitch))
             for row, i in enumerate(batch):
                 corpus.utterances[i].num_frames = int(flens[row])
-                sidx = speaker_index[corpus.utterances[i].speaker]
-                spk_sum[sidx] += sums[row]
-                spk_count[sidx] += flens[row]
 
         # host graph compilation overlaps with the in-flight device work
         graphs: List[CompiledGraph] = []
@@ -529,6 +550,11 @@ class PretrainedAligner:
             )
             graphs.append(self.compilers[key].compile(tokens))
 
+        spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
+        spk_count = np.zeros(num_speakers, dtype=np.float64)
+        for bsum, bcnt in dev_totals.values():
+            spk_sum += np.asarray(bsum)
+            spk_count += np.asarray(bcnt)
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
         _logger.debug(
             "align phase A (audio+MFCC+graphs) took %.3fs", _time.time() - _phase_t0
@@ -549,7 +575,7 @@ class PretrainedAligner:
         prepared = []
         from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
 
-        for batch, feats_dev, flens, _sums, pitch in stashes:
+        for batch, feats_dev, flens, pitch in stashes:
             dev = list(feats_dev.devices())[0]
             garrs = batch_graphs([graphs[i] for i in batch])
             graph = ship_graph_to_device(garrs, device=dev)
