@@ -86,6 +86,9 @@ class _GraphBuilder:
         self._phone_vals: List[Tuple[int, int, int, int]] = []  # phone, word, inst, n
         self._tstate_blocks: List[np.ndarray] = []
         self._hmm_blocks: List[np.ndarray] = []
+        # template blocks: (base, phone_col, word_col, inst_col) overriding
+        # the scalar phone/word/instance columns for their state range
+        self._col_blocks: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
         # arc blocks (absolute state indices)
         self._arc_src: List[np.ndarray] = []
         self._arc_dst: List[np.ndarray] = []
@@ -119,6 +122,37 @@ class _GraphBuilder:
             self._arc_dst.append(plan["np_arc_dst"] + base)
             self._arc_w.append(plan["np_arc_w"])
             self._arc_tid.append(plan["np_arc_tid"])
+        self.num_states += n
+        return base
+
+    def add_template(self, tpl: dict, word: int) -> int:
+        """Splice a frozen expansion template (relative state/arc arrays from
+        :meth:`AlignmentGraphCompiler._freeze_template`) in one block append;
+        returns the base state index. State and instance ordering is exactly
+        what replaying the expansion would produce, so downstream
+        tie-breaking (and hence boundaries) is unchanged."""
+        base = self.num_states
+        n = tpl["n"]
+        self._pdf_blocks.append(tpl["pdf"])
+        self._tstate_blocks.append(tpl["tstate"])
+        self._hmm_blocks.append(tpl["hmm"])
+        # per-state phone/word/instance columns for this block
+        wc = tpl["word_cols"]
+        word_col = wc.get(word)
+        if word_col is None:
+            word_col = np.where(tpl["word_rel"] < 0, -1, word).astype(np.int32)
+            wc[word] = word_col
+        self._col_blocks.append(
+            (base, tpl["phone"], word_col, tpl["inst_rel"] + self.num_instances)
+        )
+        self.num_instances += tpl["n_inst"]
+        if len(tpl["arc_src"]):
+            self._arc_src.append(tpl["arc_src"] + base)
+            self._arc_dst.append(tpl["arc_dst"] + base)
+            self._arc_w.append(tpl["arc_w"])
+            self._arc_tid.append(tpl["arc_tid"])
+        # keep _phone_vals aligned with the pdf blocks via an array marker
+        self._phone_vals.append((None, None, None, n))
         self.num_states += n
         return base
 
@@ -172,14 +206,31 @@ class _GraphBuilder:
         )
         counts = np.asarray([v[3] for v in self._phone_vals], np.int32)
         state_phone = np.repeat(
-            np.asarray([v[0] for v in self._phone_vals], np.int32), counts
+            np.asarray(
+                [0 if v[0] is None else v[0] for v in self._phone_vals],
+                np.int32,
+            ),
+            counts,
         )
         state_word = np.repeat(
-            np.asarray([v[1] for v in self._phone_vals], np.int32), counts
+            np.asarray(
+                [0 if v[1] is None else v[1] for v in self._phone_vals],
+                np.int32,
+            ),
+            counts,
         )
         state_instance = np.repeat(
-            np.asarray([v[2] for v in self._phone_vals], np.int32), counts
+            np.asarray(
+                [0 if v[2] is None else v[2] for v in self._phone_vals],
+                np.int32,
+            ),
+            counts,
         )
+        for cb_base, cb_phone, cb_word, cb_inst in self._col_blocks:
+            end = cb_base + len(cb_phone)
+            state_phone[cb_base:end] = cb_phone
+            state_word[cb_base:end] = cb_word
+            state_instance[cb_base:end] = cb_inst
 
         src_a = np.concatenate(
             self._arc_src + [np.asarray(self._jsrc, np.int32)]
@@ -280,6 +331,7 @@ class AlignmentGraphCompiler:
         if tree.N not in (1, 3):
             raise NotImplementedError(f"context width {tree.N} not supported")
         self._phone_cache: Dict[Tuple[int, ...], dict] = {}
+        self._tpl_cache: Dict[tuple, dict] = {}  # frozen expansion templates
 
     def _window(self, left: int, center: int, right: int) -> Tuple[int, ...]:
         if self.tree.N == 1:
@@ -485,6 +537,116 @@ class AlignmentGraphCompiler:
                 branches.append(dict(lset=lset, entry=entry, rset=rs, exits=exits))
         return branches
 
+    # -- expansion templates ---------------------------------------------
+    # compile() is host-side and linear in corpus size; word pronunciations
+    # (and their cross-word context signatures) recur constantly, so each
+    # distinct expansion is performed once into a scratch builder, frozen to
+    # relocatable arrays, and thereafter spliced in with one block append.
+    # The replayed state/instance ordering is identical to direct expansion,
+    # so argmax tie-breaking — and hence every boundary — is unchanged.
+
+    def _freeze_template(self, build_fn):
+        """Run ``build_fn(scratch_builder) -> meta`` and freeze the scratch
+        into a relocatable template dict (state/arc arrays relative to 0)."""
+        sg = _GraphBuilder()
+        meta = build_fn(sg)
+        assert not sg.start and not sg.final and not sg._col_blocks
+        pdf = (
+            np.concatenate(sg._pdf_blocks)
+            if sg._pdf_blocks
+            else np.zeros(0, np.int32)
+        )
+        tstate = (
+            np.concatenate(sg._tstate_blocks)
+            if sg._tstate_blocks
+            else np.zeros(0, np.int32)
+        )
+        hmm = (
+            np.concatenate(sg._hmm_blocks)
+            if sg._hmm_blocks
+            else np.zeros(0, np.int32)
+        )
+        counts = np.asarray([v[3] for v in sg._phone_vals], np.int32)
+        phone = np.repeat(
+            np.asarray([v[0] for v in sg._phone_vals], np.int32), counts
+        )
+        word_rel = np.repeat(
+            np.asarray([v[1] for v in sg._phone_vals], np.int32), counts
+        )
+        inst_rel = np.repeat(
+            np.asarray([v[2] for v in sg._phone_vals], np.int32), counts
+        )
+        arc_src = np.concatenate(
+            sg._arc_src + [np.asarray(sg._jsrc, np.int32)]
+        ).astype(np.int32)
+        arc_dst = np.concatenate(
+            sg._arc_dst + [np.asarray(sg._jdst, np.int32)]
+        ).astype(np.int32)
+        arc_w = np.concatenate(
+            sg._arc_w + [np.asarray(sg._jw, np.float32)]
+        ).astype(np.float32)
+        arc_tid = np.concatenate(
+            sg._arc_tid + [np.asarray(sg._jtid, np.int32)]
+        ).astype(np.int32)
+        return dict(
+            n=sg.num_states,
+            n_inst=sg.num_instances,
+            pdf=pdf,
+            tstate=tstate,
+            hmm=hmm,
+            phone=phone,
+            word_rel=word_rel,
+            inst_rel=inst_rel,
+            arc_src=arc_src,
+            arc_dst=arc_dst,
+            arc_w=arc_w,
+            arc_tid=arc_tid,
+            word_cols={},
+            meta=meta,
+        )
+
+    def expand_variant_cached(
+        self, g: _GraphBuilder, pids, word_idx, left_ctxs, rights
+    ) -> List[dict]:
+        """Template-cached :meth:`_expand_variant` (same branches, spliced
+        from a frozen template)."""
+        key = ("v", tuple(pids), tuple(left_ctxs), tuple(rights))
+        tpl = self._tpl_cache.get(key)
+        if tpl is None:
+            tpl = self._freeze_template(
+                lambda sg: self._expand_variant(sg, pids, 0, left_ctxs, rights)
+            )
+            self._tpl_cache[key] = tpl
+        base = g.add_template(tpl, word_idx)
+        return [
+            dict(
+                lset=b["lset"],
+                entry=b["entry"] + base,
+                rset=b["rset"],
+                exits=[(s + base, w, t) for s, w, t in b["exits"]],
+            )
+            for b in tpl["meta"]
+        ]
+
+    def expand_single_cached(
+        self, g: _GraphBuilder, phone, word_idx, left, rights
+    ):
+        """Template-cached :meth:`_expand_single`."""
+        key = ("s", phone, left, tuple(rights))
+        tpl = self._tpl_cache.get(key)
+        if tpl is None:
+            tpl = self._freeze_template(
+                lambda sg: self._expand_single(
+                    sg, phone, 0 if word_idx >= 0 else -1, left, rights
+                )
+            )
+            self._tpl_cache[key] = tpl
+        base = g.add_template(tpl, word_idx)
+        return [
+            (rs, entry + base, [(s + base, w, t) for s, w, t in exits])
+            for rs, entry, exits in tpl["meta"]
+        ]
+
     # -- utterance compilation ----------------------------------------------
     def compile(self, tokens: Sequence[str]) -> CompiledGraph:
         """Build the alignment graph for a tokenized transcript.
@@ -531,14 +693,14 @@ class AlignmentGraphCompiler:
 
         if W == 0:
             # empty transcript: just one silence
-            for rs, entry, exits in self._expand_single(g, sil, -1, EPS, [EPS]):
+            for rs, entry, exits in self.expand_single_cached(g, sil, -1, EPS, [EPS]):
                 g.add_start(entry, 0.0)
                 for s, w, tid in exits:
                     g.add_final(s, w, tid)
             return g.finish(words)
 
         frontier.append((None, _safe_log(1.0 - p_init), 0, EPS, None))
-        for rs, entry, exits in self._expand_single(g, sil, -1, EPS, starts[0]):
+        for rs, entry, exits in self.expand_single_cached(g, sil, -1, EPS, starts[0]):
             g.add_start(entry, _safe_log(p_init))
             for s, w, tid in exits:
                 frontier.append((s, w, tid, sil, rs))
@@ -563,7 +725,7 @@ class AlignmentGraphCompiler:
                     if pron.silence_after_probability is not None
                     else lex.silence_probability
                 )
-                branches = self._expand_variant(g, pids, w_idx, left_ctxs, rights)
+                branches = self.expand_variant_cached(g, pids, w_idx, left_ctxs, rights)
                 for br in branches:
                     for src, w, tid, l, allowed in frontier:
                         if l not in br["lset"]:
@@ -599,7 +761,7 @@ class AlignmentGraphCompiler:
 
             # optional silence after this word, per distinct left context
             for last_phone, inputs in sil_inputs.items():
-                for rs, sentry, sexits in self._expand_single(
+                for rs, sentry, sexits in self.expand_single_cached(
                     g, sil, -1, last_phone, next_starts
                 ):
                     for s, w, tid in inputs:
