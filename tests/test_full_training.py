@@ -160,3 +160,30 @@ def test_sat_two_pass_transcription(full_train):
         corpus, per_spk
     )
     assert m2["wer"] <= 0.2, m2
+
+
+def test_lvcsr_cross_word_position_dependent(full_train, monkeypatch):
+    """Cross-word LVCSR decoding with a position-dependent SAT model (the
+    real MFA model configuration: _B/_E/_I/_S phones + fMLLR two-pass) must
+    match the exact dense decoder."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.lvcsr import LvcsrXwGraph
+    from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+    tmp, corpus_dir, dict_path, _ta, final, _truths = full_train
+    model_path = tmp / "sat_lvcsr.zip"
+    final.save(model_path)
+    corpus = Corpus.load(corpus_dir)
+
+    dense_tr = Transcriber(model_path, dict_path, batch_size=4)
+    dense = dense_tr.transcribe_corpus(corpus)
+    assert dense_tr._lvcsr is None
+
+    tr = Transcriber(model_path, dict_path, lm=dense_tr.lm, batch_size=4)
+    monkeypatch.setattr(Transcriber, "LVCSR_WORD_THRESHOLD", 0)
+    results = tr.transcribe_corpus(corpus)
+    assert isinstance(tr._lvcsr, LvcsrXwGraph)
+    assert tr.aligner.lexicon.position_dependent
+    for i in dense:
+        assert results[i].text == dense[i].text
+        assert abs(results[i].log_likelihood - dense[i].log_likelihood) < 0.1

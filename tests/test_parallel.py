@@ -1,0 +1,94 @@
+"""Multi-chip data-parallel correctness: the sharded SPMD accumulate step
+on an 8-device CPU mesh must reproduce the single-device computation
+exactly (paths, scores, psum-reduced statistics). This is the pytest
+counterpart of the driver's ``__graft_entry__.dryrun_multichip`` compile
+check (reference behavior: per-job ``AccStatsFunction`` workers + parent
+accumulator summation, ``alignment/multiprocessing.py:576-666``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF, BatchedGraph
+from montreal_forced_aligner_tpu.parallel.data_parallel import (
+    make_sharded_accumulate_step,
+)
+
+
+def _toy_inputs(B=8, T=12, S=6, K=2, P=5, G=3, D=4, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(B, T, D).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+    lens[1::2] = T // 2
+    in_src = np.zeros((B, S, K), np.int32)
+    in_weight = np.full((B, S, K), NEG_INF, np.float32)
+    for s in range(S):
+        in_src[:, s, 0] = s
+        in_weight[:, s, 0] = np.log(0.5)
+        if s > 0:
+            in_src[:, s, 1] = s - 1
+            in_weight[:, s, 1] = np.log(0.5)
+    start = np.full((B, S), NEG_INF, np.float32)
+    start[:, 0] = 0.0
+    final = np.full((B, S), NEG_INF, np.float32)
+    final[:, S - 1] = 0.0
+    graph = BatchedGraph(
+        in_src=jnp.asarray(in_src),
+        in_weight=jnp.asarray(in_weight),
+        in_tid=jnp.zeros((B, S, K), jnp.int32),
+        start=jnp.asarray(start),
+        final=jnp.asarray(final),
+        final_tid=jnp.zeros((B, S), jnp.int32),
+        state_pdf=jnp.asarray(
+            np.tile(rng.randint(0, P, S).astype(np.int32), (B, 1))
+        ),
+        state_phone=jnp.zeros((B, S), jnp.int32),
+        state_word=jnp.zeros((B, S), jnp.int32),
+        state_hmm_pos=jnp.zeros((B, S), jnp.int32),
+        state_tstate=jnp.zeros((B, S), jnp.int32),
+        state_instance=jnp.zeros((B, S), jnp.int32),
+        num_states=jnp.full(B, S, jnp.int32),
+    )
+    miv = rng.randn(P, G, D).astype(np.float32)
+    iv = (0.5 + rng.rand(P, G, D)).astype(np.float32)
+    gconst = rng.randn(P, G).astype(np.float32)
+    return feats, lens, graph, miv, iv, gconst
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+def test_sharded_accumulate_matches_single_device():
+    feats, lens, graph, miv, iv, gconst = _toy_inputs()
+    devs = np.array(jax.devices()[:8])
+    step8 = make_sharded_accumulate_step(Mesh(devs, ("data",)))
+    step1 = make_sharded_accumulate_step(Mesh(devs[:1], ("data",)))
+    args = (
+        jnp.asarray(feats),
+        jnp.asarray(lens),
+        graph,
+        jnp.asarray(miv),
+        jnp.asarray(iv),
+        jnp.asarray(gconst),
+    )
+    p8, s8, occ8, mean8, var8, ll8, nf8 = step8(*args)
+    p1, s1, occ1, mean1, var1, ll1, nf1 = step1(*args)
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), rtol=1e-6)
+    # psum-reduced stats are replicated and equal to the 1-device sums
+    np.testing.assert_allclose(np.asarray(occ8), np.asarray(occ1), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(mean8), np.asarray(mean1), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(var8), np.asarray(var1), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(ll8), float(ll1), rtol=1e-5)
+    assert float(nf8) == float(nf1) == float(lens.sum())
+    # occupancy mass equals the number of aligned frames
+    np.testing.assert_allclose(
+        float(np.asarray(occ8).sum()), float(lens.sum()), rtol=1e-5
+    )
