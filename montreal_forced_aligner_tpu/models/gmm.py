@@ -81,6 +81,34 @@ class DiagGmmSet:
         g = np.where(pad, -np.inf, g)
         self.gconsts = g.astype(np.float32)
 
+    def pad_gauss(self, min_max_gauss: int) -> "DiagGmmSet":
+        """Widen the (padded) gaussian axis to at least ``min_max_gauss``
+        without changing any component. Used by training to keep device
+        array shapes stable across mixup iterations (padding rows carry
+        weight 0 / gconst -inf and never win)."""
+        G = self.max_gauss
+        if G >= min_max_gauss:
+            return self
+        P, D = self.num_pdfs, self.dim
+        extra = min_max_gauss - G
+        return DiagGmmSet(
+            weights=np.pad(self.weights, ((0, 0), (0, extra))),
+            means_invvars=np.pad(
+                self.means_invvars, ((0, 0), (0, extra), (0, 0))
+            ),
+            inv_vars=np.pad(
+                self.inv_vars,
+                ((0, 0), (0, extra), (0, 0)),
+                constant_values=1.0,
+            ),
+            gconsts=np.pad(
+                self.gconsts,
+                ((0, 0), (0, extra)),
+                constant_values=-np.inf,
+            ),
+            num_gauss=self.num_gauss.copy(),
+        )
+
     def get_means(self) -> np.ndarray:
         return self.means_invvars / np.maximum(self.inv_vars, 1e-37)
 

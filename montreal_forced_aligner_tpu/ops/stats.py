@@ -219,7 +219,13 @@ def split_gaussians(
     )
     targets = np.maximum(targets, gmm.num_gauss)  # never shrink here
 
+    # pad the gaussian axis to the next power of two: mixup grows counts a
+    # little every iteration, and without bucketing every jitted kernel that
+    # takes (P, G, ...) model arrays recompiles each iteration (SURVEY §7
+    # hard-part 6). Padding rows carry weight 0 / gconst -inf, so numerics
+    # are unchanged.
     new_max = int(targets.max())
+    new_max = max(int(gmm.max_gauss), 8, 1 << (new_max - 1).bit_length())
     D = gmm.dim
     weights = np.zeros((P, new_max), dtype=np.float64)
     means = np.zeros((P, new_max, D), dtype=np.float64)

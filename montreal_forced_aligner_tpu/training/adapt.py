@@ -56,21 +56,26 @@ class MapAdapter:
         acc = GmmAccumulators.zeros(
             gmm.num_pdfs, gmm.max_gauss, gmm.dim, tm.num_transition_ids
         )
-        pending = []
+        aligned = []
         for fb in pipeline.batches:
             flens_j = jnp.asarray(fb.frame_lengths)
             state_path, _sc = _align_batch(
                 fb.feats, flens_j, fb.graph, Wj, gconsts,
                 self.aligner.config.acoustic_scale,
             )
-            sp = np.asarray(state_path)
+            aligned.append((fb, flens_j, state_path))
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        paths = fetch_all([sp for _fb, _fl, sp in aligned])
+        pending = []
+        for (fb, flens_j, _sp_dev), sp in zip(aligned, paths):
             b = np.arange(sp.shape[0])[:, None]
             frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
             out = _accumulate_batch(
                 fb.feats, flens_j, frame_pdf, Wj, gconsts, gmm.num_pdfs
             )
             pending.append(out)
-        for occ, mean_acc, var_acc, ll in pending:
+        for occ, mean_acc, var_acc, ll in fetch_all(pending):
             acc.add(
                 occ, mean_acc, var_acc,
                 np.zeros(tm.num_transition_ids + 1),

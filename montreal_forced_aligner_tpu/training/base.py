@@ -316,6 +316,18 @@ class TrainingPipeline:
         return mean, var
 
 
+def fetch_all(tree):
+    """Fetch a pytree of device arrays with ONE host sync: start every
+    copy asynchronously, then materialize. On remote-attached TPUs each
+    blocking ``np.asarray`` is a full round trip (~0.1-0.7 s); overlapping
+    them makes an N-array fetch cost ~one round trip."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    for x in leaves:
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 @jax.jit
 def _normalize_raw(feats, mean_rows):
     return feats - mean_rows[:, None, :]
@@ -359,13 +371,20 @@ def _align_batch(
     return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
 
 
-@partial(jax.jit, static_argnames=("alpha",))
-def _equal_align_batch(feats, frame_lengths, graph, alpha: float = 10.0):
+@partial(jax.jit, static_argnames=("alpha", "band_limits"))
+def _equal_align_batch(
+    feats, frame_lengths, graph, alpha: float = 10.0,
+    band=None, band_limits=None,
+):
     """First-pass equal alignment (reference ``MonoAlignEqualFunction``,
     ``monophone.py:37``; Kaldi ``align-equal-compiled``): instead of random
     arc choices, Viterbi against a diagonal position prior
     ``emit[t, s] = -alpha * (t/L - s/S)^2`` which spreads frames evenly over
-    the graph states while honoring graph structure."""
+    the graph states while honoring graph structure. Uses the band-sparse
+    DP when the graph fits a band (the dense O(S^2) step is ~20x more VPU
+    work and dominated monophone initialization)."""
+    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
+
     B, T, _ = feats.shape
     S = graph.state_pdf.shape[1]
     t_pos = (jnp.arange(T)[None, :, None] + 0.5) / jnp.maximum(
@@ -375,9 +394,14 @@ def _equal_align_batch(feats, frame_lengths, graph, alpha: float = 10.0):
         graph.num_states[:, None, None], 1
     )
     emit = -alpha * (t_pos - s_pos) ** 2
-    return viterbi_align_batch(
-        emit.astype(jnp.float32), frame_lengths, graph, acoustic_scale=1.0
-    )
+    emit = emit.astype(jnp.float32)
+    if band is not None and band_limits is not None:
+        lb, ub = band_limits
+        return viterbi_align_batch_band(
+            emit, frame_lengths, band, graph.start, graph.final, lb, ub,
+            acoustic_scale=1.0,
+        )
+    return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=1.0)
 
 
 @partial(jax.jit, static_argnames=("num_pdfs",))

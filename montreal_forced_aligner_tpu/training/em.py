@@ -34,6 +34,7 @@ from montreal_forced_aligner_tpu.training.base import (
     _accumulate_batch,
     _align_batch,
     _equal_align_batch,
+    fetch_all,
 )
 
 logger = logging.getLogger("mfa_tpu")
@@ -120,7 +121,10 @@ class ViterbiEmTrainer:
         for fb in pipeline.batches:
             flens_j = jnp.asarray(fb.frame_lengths)
             if equal:
-                out = _equal_align_batch(fb.feats, flens_j, fb.graph)
+                out = _equal_align_batch(
+                    fb.feats, flens_j, fb.graph,
+                    band=fb.band, band_limits=fb.band_limits,
+                )
             else:
                 out = _align_batch(
                     fb.feats, flens_j, fb.graph, W, gconsts,
@@ -128,13 +132,13 @@ class ViterbiEmTrainer:
                     band=fb.band, band_limits=fb.band_limits,
                 )
             pending.append((fb, out))
-        for fb, (state_path, scores) in pending:
-            sp = np.asarray(state_path)
+        fetched = fetch_all([out for _fb, out in pending])
+        for (fb, _out), (sp, scores) in zip(pending, fetched):
             b = np.arange(sp.shape[0])[:, None]
             fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
             fb.frame_tid = frame_tids_host(fb.garrs, sp, fb.frame_lengths)
             fb.state_path = sp
-            fb.align_scores = np.asarray(scores)
+            fb.align_scores = scores
 
     def _accumulate(self, pipeline: TrainingPipeline) -> GmmAccumulators:
         W, _ = self.gmm.flatten_for_device()
@@ -155,7 +159,8 @@ class ViterbiEmTrainer:
                 self.gmm.num_pdfs,
             )
             pending.append((fb, out))
-        for fb, (occ, mean_acc, var_acc, ll) in pending:
+        fetched = fetch_all([out for _fb, out in pending])
+        for (fb, _out), (occ, mean_acc, var_acc, ll) in zip(pending, fetched):
             tcounts = np.bincount(
                 fb.frame_tid[fb.frame_tid > 0],
                 minlength=self.tm.num_transition_ids + 1,
@@ -181,6 +186,12 @@ class ViterbiEmTrainer:
         cfg = self.config
         self.use_pitch = getattr(pipeline, "use_pitch", False)
         self.initialize(pipeline)
+        if cfg.max_gaussians > self.gmm.total_gauss:
+            # pre-pad the gaussian axis to the first mixup bucket so every
+            # jitted kernel shape is stable from iteration 1 (one compile per
+            # stage instead of one per shape change; matters on slow-compile
+            # remote-attached TPUs)
+            self.gmm = self.gmm.pad_gauss(8)
 
         initial_gaussians = self.gmm.total_gauss
         final_gauss_iter = max(cfg.num_iterations - 10, 1)

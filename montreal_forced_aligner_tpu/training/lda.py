@@ -76,10 +76,12 @@ class LdaTrainer(TriphoneTrainer):
                 num_classes,
             )
             pending.append(out)
-        for c, s, sec in pending:
-            counts += np.asarray(c)
-            sums += np.asarray(s)
-            second += np.asarray(sec)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        for c, s, sec in fetch_all(pending):
+            counts += c
+            sums += s
+            second += sec
         self.lda_mat = estimate_lda(
             counts, sums, second, target_dim=self.lda_dimension
         )
@@ -145,8 +147,10 @@ class LdaTrainer(TriphoneTrainer):
                 miv,
             )
             pending.append(out)
-        for G_mats, beta in pending:
-            G_total += np.asarray(G_mats)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        for G_mats, beta in fetch_all(pending):
+            G_total += G_mats
             beta_total += float(beta)
         M = solve_mllt(G_total, beta_total)
         logger.info(

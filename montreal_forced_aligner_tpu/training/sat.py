@@ -102,10 +102,12 @@ class SatTrainer(TriphoneTrainer):
                 S,
             )
             pending.append(out)
-        for k, g, b in pending:
-            K += np.asarray(k)
-            G += np.asarray(g)
-            beta += np.asarray(b)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        for k, g, b in fetch_all(pending):
+            K += k
+            G += g
+            beta += b
         inc = estimate_speaker_fmllr(K, G, beta, min_count=self.fmllr_min_count)
         if self.speaker_transforms is None:
             self.speaker_transforms = inc
@@ -162,7 +164,10 @@ class SatTrainer(TriphoneTrainer):
                 self.gmm.num_pdfs,
             )
             pending.append((fb, out))
-        for fb, (occ, mean_acc, var_acc, ll) in pending:
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        fetched = fetch_all([out for _fb, out in pending])
+        for (fb, _out), (occ, mean_acc, var_acc, ll) in zip(pending, fetched):
             tcounts = np.bincount(
                 fb.frame_tid[fb.frame_tid > 0],
                 minlength=self.tm.num_transition_ids + 1,

@@ -152,10 +152,12 @@ class TriphoneTrainer(ViterbiEmTrainer):
                 fb.feats, jnp.asarray(fb.frame_lengths), jnp.asarray(ev), E
             )
             pending.append(out)
-        for c, s_, ss in pending:
-            counts += np.asarray(c)
-            sums += np.asarray(s_)
-            sumsqs += np.asarray(ss)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        for c, s_, ss in fetch_all(pending):
+            counts += c
+            sums += s_
+            sumsqs += ss
         for key, eid in event_ids.items():
             l, c, r, cls = key
             stats.add_event(
