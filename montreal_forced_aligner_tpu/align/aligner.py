@@ -89,8 +89,7 @@ def _mfcc_and_spk_stats(
     sums = jnp.where(mask, feats, 0.0).sum(axis=1)  # (B, D)
     onehot = jax.nn.one_hot(spk_idx, num_speakers, dtype=feats.dtype)
     spk_sum = jnp.einsum("bs,bd->sd", onehot, sums)
-    spk_cnt = onehot.T @ frame_lengths.astype(feats.dtype)
-    return feats, spk_sum, spk_cnt
+    return feats, spk_sum
 
 
 @jax.jit
@@ -490,7 +489,8 @@ class PretrainedAligner:
         # all overlap; only one tiny stats array per device comes back.
         D = self.mfcc_config.num_coefficients
         stashes = []
-        dev_totals = {}  # device -> (spk_sum (S,D), spk_cnt (S,)) on device
+        dev_totals = {}  # device -> per-speaker feature sums (S, D) on device
+        spk_count = np.zeros(num_speakers, dtype=np.float64)
         import jax as _jax
 
         for bi, batch in enumerate(batches):
@@ -506,7 +506,7 @@ class PretrainedAligner:
                 [speaker_index[corpus.utterances[i].speaker] for i in batch],
                 np.int32,
             )
-            feats_dev, bsum, bcnt = _mfcc_and_spk_stats(
+            feats_dev, bsum = _mfcc_and_spk_stats(
                 _jax.device_put(padded, dev),
                 _jax.device_put(flens, dev),
                 _jax.device_put(spk_idx, dev),
@@ -514,11 +514,12 @@ class PretrainedAligner:
                 max_frames,
                 num_speakers,
             )
-            if dev in dev_totals:
-                psum, pcnt = dev_totals[dev]
-                dev_totals[dev] = (psum + bsum, pcnt + bcnt)
-            else:
-                dev_totals[dev] = (bsum, bcnt)
+            dev_totals[dev] = (
+                dev_totals[dev] + bsum if dev in dev_totals else bsum
+            )
+            # frame counts accumulate on host in float64 (flens is already
+            # host-side; float32 counts saturate past ~2^24 frames/speaker)
+            np.add.at(spk_count, spk_idx, flens.astype(np.float64))
             pitch = None
             if self.use_pitch:
                 from montreal_forced_aligner_tpu.ops.pitch import (
@@ -551,10 +552,8 @@ class PretrainedAligner:
             graphs.append(self.compilers[key].compile(tokens))
 
         spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
-        spk_count = np.zeros(num_speakers, dtype=np.float64)
-        for bsum, bcnt in dev_totals.values():
+        for bsum in dev_totals.values():
             spk_sum += np.asarray(bsum)
-            spk_count += np.asarray(bcnt)
         spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
         _logger.debug(
             "align phase A (audio+MFCC+graphs) took %.3fs", _time.time() - _phase_t0

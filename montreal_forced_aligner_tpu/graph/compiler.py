@@ -632,7 +632,9 @@ class AlignmentGraphCompiler:
         self, g: _GraphBuilder, phone, word_idx, left, rights
     ):
         """Template-cached :meth:`_expand_single`."""
-        key = ("s", phone, left, tuple(rights))
+        # the frozen word_rel column encodes only the SIGN of word_idx
+        # (word vs silence), so the key must separate the two
+        key = ("s", phone, left, tuple(rights), word_idx >= 0)
         tpl = self._tpl_cache.get(key)
         if tpl is None:
             tpl = self._freeze_template(

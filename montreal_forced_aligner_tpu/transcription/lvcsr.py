@@ -85,6 +85,32 @@ class LvcsrGraph:
         )
 
 
+
+def _lm_rows(lm: ArpaModel, vocab, scale: float):
+    """Scaled LM arrays shared by both junction builders: unigram row,
+    per-history backoff and end-of-sentence rows (row V = the <s>
+    history), and seen-bigram predecessor lists per word."""
+    V = len(vocab)
+    word_index = {w: i for i, w in enumerate(vocab)}
+    p1 = np.asarray([scale * lm.log_prob(v, ()) for v in vocab], np.float32)
+    bo = np.zeros(V + 1, np.float32)
+    eos = np.zeros(V + 1, np.float32)
+    for u, w in enumerate(list(vocab) + ["<s>"]):
+        bo[u] = scale * lm.ngrams[1].get((w,), (0.0, 0.0))[1]
+        eos[u] = scale * lm.log_prob("</s>", (w,))
+    preds: Dict[int, List[Tuple[int, float]]] = {v: [] for v in range(V)}
+    if lm.order >= 2:
+        for key, (lp, _b) in lm.ngrams[2].items():
+            hist, w = key[0], key[1]
+            if w not in word_index:
+                continue
+            u = word_index.get(hist, V if hist == "<s>" else None)
+            if u is None:
+                continue
+            preds[word_index[w]].append((u, scale * lp))
+    return p1, bo, eos, preds
+
+
 class LvcsrGraphCompiler:
     """Builds an :class:`LvcsrGraph` from lexicon + backoff bigram LM."""
 
@@ -127,8 +153,13 @@ class LvcsrGraphCompiler:
         if self.cross_word:
             try:
                 return self._build_cross_word()
-            except ValueError:
-                pass
+            except ValueError as e:
+                import logging
+
+                logging.getLogger("mfa_tpu").warning(
+                    "cross-word LVCSR build fell back to word-internal "
+                    "context: %s", e,
+                )
         return self.build_word_internal()
 
     def build_word_internal(self) -> LvcsrGraph:
@@ -203,26 +234,7 @@ class LvcsrGraphCompiler:
         entry_w = np.asarray([e[2] for e in entries], np.float32)
 
         # LM arrays. log_prob is log10; junction uses natural log, pre-scaled
-        word_index = {w: i for i, w in enumerate(vocab)}
-        p1 = np.asarray(
-            [scale * lm.log_prob(v, ()) for v in vocab], np.float32
-        )
-        bo = np.zeros(U, np.float32)
-        eos = np.zeros(U, np.float32)
-        for u, w in enumerate(vocab + ["<s>"]):
-            bo[u] = scale * lm.ngrams[1].get((w,), (0.0, 0.0))[1]
-            eos[u] = scale * lm.log_prob("</s>", (w,))
-        # seen bigrams (u -> v)
-        preds: Dict[int, List[Tuple[int, float]]] = {v: [] for v in range(V)}
-        if lm.order >= 2:
-            for key, (lp, _b) in lm.ngrams[2].items():
-                hist, w = key[0], key[1]
-                if w not in word_index:
-                    continue
-                u = word_index.get(hist, V if hist == "<s>" else None)
-                if u is None:
-                    continue
-                preds[word_index[w]].append((u, scale * lp))
+        p1, bo, eos, preds = _lm_rows(lm, vocab, scale)
         Kb = max(1, max(len(p) for p in preds.values()))
         big_pred = np.zeros((V, Kb), np.int32)
         big_w = np.full((V, Kb), NEG_INF, np.float32)
@@ -412,7 +424,6 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     if not vocab:
         raise ValueError("no LM words found in the lexicon")
     V = len(vocab)
-    word_index = {w: i for i, w in enumerate(vocab)}
 
     prons: List[List[Tuple[List[int], float, float]]] = []
     first_phones, last_phones = set(), set()
@@ -527,13 +538,8 @@ def _build_cross_word(self) -> LvcsrXwGraph:
             lm_lp = scale * lm.log_prob(vocab[w_idx], ("<s>",))
             start[st] = max(start[st], start_lp + lm_lp + pron_lp)
 
-    # LM rows
-    bo_row = np.zeros(V + 1, np.float32)
-    eos_row = np.zeros(V + 1, np.float32)
-    for u, w in enumerate(vocab + ["<s>"]):
-        bo_row[u] = scale * lm.ngrams[1].get((w,), (0.0, 0.0))[1]
-        eos_row[u] = scale * lm.log_prob("</s>", (w,))
-    p1 = np.asarray([scale * lm.log_prob(v, ()) for v in vocab], np.float32)
+    # LM rows (shared helper with the word-internal builder)
+    p1, bo_row, eos_row, preds = _lm_rows(lm, vocab, scale)
 
     # cells
     RG = max(1, len(rg_sets))
@@ -563,18 +569,6 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     for key, c in cell_lookup.items():
         cells_of.setdefault(key[0], []).append(c)
 
-    # seen-bigram predecessors per word
-    preds: Dict[int, List[Tuple[int, float]]] = {v: [] for v in range(V)}
-    if lm.order >= 2:
-        for key, (lp, _b) in lm.ngrams[2].items():
-            hist, w = key[0], key[1]
-            if w not in word_index:
-                continue
-            u = word_index.get(hist, V if hist == "<s>" else None)
-            if u is None:
-                continue
-            preds[word_index[w]].append((u, scale * lp))
-
     Ne = len(entries)
     entry_state = np.asarray([e[0] for e in entries], np.int32)
     if len(np.unique(entry_state)) != Ne:
@@ -586,12 +580,12 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     ebo_lists = []
     se_lists: List[List[Tuple[int, float]]] = []
     for st, w_idx, f_idx, _plp, lset in entries:
+        # slots whose left group has no junction-presentable class (e.g. an
+        # EPS-only group) are start-only: no backoff sources, no seen-bigram
+        # candidates — entering them mid-utterance would apply
+        # utterance-initial context pdfs to an interior word
         pcl = sorted(p_index[p] for p in lset if p in p_index)
-        if not pcl:  # unreachable via junction (e.g. EPS-only left group)
-            pcl = [0]
-            ebo_lists.append(([], f_idx))
-        else:
-            ebo_lists.append((pcl, f_idx))
+        ebo_lists.append((pcl, f_idx))
         cand: List[Tuple[int, float]] = []
         pset = set(pcl)
         for u, lp in preds[w_idx]:
@@ -702,7 +696,7 @@ def lvcsr_xw_decode_device(
             rg_mask[None, None], BO2r[:, :, :, None], NEG_INF
         )  # (B, P, RG, F)
         BOF = jnp.max(brf, axis=2)  # (B, P, F)
-        BOFarg = jnp.argmax(brf, axis=2).astype(jnp.uint8)
+        BOFarg = jnp.argmax(brf, axis=2).astype(jnp.int16)
         ent_bo_c = BOF.reshape(B, P * F)[:, ebo_idx.reshape(-1)].reshape(
             B, Ne, -1
         ) + ebo_pad
@@ -816,28 +810,65 @@ HASH_MULT = jnp.uint32(1000003)
 
 
 def _dedup_topk(scores: jnp.ndarray, hashes: jnp.ndarray, K: int):
-    """Top-K along the last axis with same-hash suppression.
+    """Exact top-K-distinct-hashes along the last axis.
+
+    Groups of K candidates are merged pairwise with a FULL 2K-pool dedup
+    per merge, which is exact: the global top-K distinct hashes of a union
+    equal the top-K distinct of (top-K distinct of each side) — unlike a
+    single truncated top-M pool over all candidates, which can drop a
+    distinct sequence hidden behind >M-1 better-scoring duplicates.
 
     Returns ``(vals, hsel, idx)``; ``idx`` indexes the input last axis.
-    Inputs shorter than K are NEG_INF/0 padded (idx then points at the pad).
+    Inputs are padded to a multiple of K with NEG_INF/hash-0 entries (pad
+    entries can only displace other pads; a real hash-0 candidate always
+    outranks them).
     """
     C = scores.shape[-1]
-    if C < K:
-        pad = [(0, 0)] * (scores.ndim - 1) + [(0, K - C)]
+    if C <= K:
+        # single group: one dedup pass over the (padded) K candidates
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, 2 * K - C)]
         scores = jnp.pad(scores, pad, constant_values=NEG_INF)
         hashes = jnp.pad(hashes, pad, constant_values=0)
-        C = K
-    M = min(C, 4 * K)
-    vals_m, idx_m = jax.lax.top_k(scores, M)
-    h_m = jnp.take_along_axis(hashes, idx_m, axis=-1)
-    eq = h_m[..., :, None] == h_m[..., None, :]
-    earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
-    dup = jnp.any(eq & earlier, axis=-1)  # a better same-hash candidate
-    vals_m = jnp.where(dup, NEG_INF, vals_m)
-    vals, sel = jax.lax.top_k(vals_m, K)
-    idx = jnp.take_along_axis(idx_m, sel, axis=-1)
-    hsel = jnp.take_along_axis(h_m, sel, axis=-1)
-    return vals, hsel, idx
+        C = 2 * K
+    rem = (-C) % K
+    if rem:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, rem)]
+        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+        hashes = jnp.pad(hashes, pad, constant_values=0)
+        C += rem
+    lead = scores.shape[:-1]
+    G = C // K
+    vals = scores.reshape(*lead, G, K)
+    hs = hashes.reshape(*lead, G, K)
+    idx = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32).reshape(G, K), vals.shape
+    )
+    earlier2 = jnp.tril(jnp.ones((2 * K, 2 * K), bool), k=-1)
+    while G > 1:
+        H = G // 2
+        a_v, b_v = vals[..., :H, :], vals[..., H : 2 * H, :]
+        a_h, b_h = hs[..., :H, :], hs[..., H : 2 * H, :]
+        a_i, b_i = idx[..., :H, :], idx[..., H : 2 * H, :]
+        m_v = jnp.concatenate([a_v, b_v], axis=-1)  # (..., H, 2K)
+        m_h = jnp.concatenate([a_h, b_h], axis=-1)
+        m_i = jnp.concatenate([a_i, b_i], axis=-1)
+        sv, order = jax.lax.top_k(m_v, 2 * K)
+        sh = jnp.take_along_axis(m_h, order, axis=-1)
+        si = jnp.take_along_axis(m_i, order, axis=-1)
+        dup = jnp.any(
+            (sh[..., :, None] == sh[..., None, :]) & earlier2, axis=-1
+        )
+        sv = jnp.where(dup, NEG_INF, sv)
+        kv, sel = jax.lax.top_k(sv, K)
+        kh = jnp.take_along_axis(sh, sel, axis=-1)
+        ki = jnp.take_along_axis(si, sel, axis=-1)
+        if G % 2:  # carry the odd group through to the next round
+            kv = jnp.concatenate([kv, vals[..., -1:, :]], axis=-2)
+            kh = jnp.concatenate([kh, hs[..., -1:, :]], axis=-2)
+            ki = jnp.concatenate([ki, idx[..., -1:, :]], axis=-2)
+        vals, hs, idx = kv, kh, ki
+        G = kv.shape[-2]
+    return vals[..., 0, :], hs[..., 0, :], idx[..., 0, :]
 
 
 @partial(jax.jit, static_argnames=("lb", "ub", "K"))
@@ -933,9 +964,12 @@ def lvcsr_nbest_device(
         active = (t < frame_lengths)[:, None, None]
         alpha_out = jnp.where(active, alpha_new, alpha_prev)
         hist_out = jnp.where(active, hsel, hist_prev)
+        # cand_sel spans (D+1)*K <= ~2.5k and exit_sel E*K (few dozen) —
+        # int16 is safe; ent_sel spans (Kb+1)*K which can exceed 32767 for
+        # high-fanout LM words, so it stays int32
         recs = (
             cand_sel.astype(jnp.int16),
-            ent_sel.astype(jnp.int16),
+            ent_sel.astype(jnp.int32),
             bo_sel.astype(jnp.int32),
             exit_sel.astype(jnp.int16),
         )

@@ -40,6 +40,7 @@ from montreal_forced_aligner_tpu.language_modeling.ngram import (
     train_lm_from_texts,
 )
 from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
 
 logger = logging.getLogger("mfa_tpu")
 
@@ -466,6 +467,7 @@ class Transcriber:
                 _ph1, wf1, if1, _ts1 = extract_frame_labels_host(
                     garrs, sp[:, 0]
                 )
+                rank_labels = [(wf1, if1)]
                 events_h = self._path_events_1best(garrs, sp[:, 0], wf1, if1)[
                     :, None
                 ]
@@ -490,6 +492,10 @@ class Transcriber:
                 sp, scores_h, events_h = nbest_backtrace_host(
                     garrs, np.asarray(fscores), np.asarray(bps), flens, nbest
                 )
+                rank_labels = [
+                    extract_frame_labels_host(garrs, sp[:, r])[1:3]
+                    for r in range(sp.shape[1])
+                ]
             for row, i in enumerate(batch):
                 utt = corpus.utterances[i]
                 Lf = int(flens[row])
@@ -499,9 +505,7 @@ class Transcriber:
                 for r in range(sp.shape[1]):
                     if scores_h[row, r] <= -1e29:
                         continue
-                    _ph, word_f, inst_f, _ts = extract_frame_labels_host(
-                        garrs, sp[:, r]
-                    )
+                    word_f, inst_f = rank_labels[r]
                     ev_row = events_h[row, r, :Lf]
                     if nbest > 1 and "in_event" not in garrs:
                         ev_row = self._events_from_instances(
@@ -698,6 +702,8 @@ class Transcriber:
                     hyps = self._rescore_hypotheses(
                         hyps, rescore_lm, rescore_weight
                     )
+                if not hyps:  # no finite complete path (utterance too short)
+                    hyps = [("", float(NEG_INF), [])]
                 best_text, best_score, best_words = hyps[0]
                 results[i] = TranscriptionResult(
                     utterance_id=i,

@@ -161,6 +161,39 @@ def test_lvcsr_large_vocabulary(tmp_path):
     assert abs(results[0].words[0].begin - 0.40) < 0.05
 
 
+def test_dedup_topk_exact():
+    """The K-best merge must find a distinct word sequence even when it is
+    outranked by many same-hash duplicates (a truncated top-M pool drops
+    it). Candidates are concatenations of internally-distinct K-lists, as
+    every kernel call site produces."""
+    import jax.numpy as jnp
+
+    from montreal_forced_aligner_tpu.transcription.lvcsr import _dedup_topk
+
+    K = 2
+    # 5 groups of K: hash 1 dominates with scores 10..2; the only hash-7
+    # candidate scores worst and sits in the last group
+    scores = np.array(
+        [[10.0, 9.0], [8.0, 7.0], [6.0, 5.0], [4.0, 3.0], [2.0, 1.0]]
+    ).reshape(1, -1)
+    hashes = np.full((1, 10), 1, np.uint32)
+    # keep groups internally distinct: second member of each pair hash 2
+    hashes[0, 1::2] = 2
+    hashes[0, 9] = 7  # worst-scoring, only member of its sequence
+    vals, hsel, idx = _dedup_topk(
+        jnp.asarray(scores), jnp.asarray(hashes), K
+    )
+    vals, hsel, idx = np.asarray(vals), np.asarray(hsel), np.asarray(idx)
+    assert vals[0, 0] == 10.0 and hsel[0, 0] == 1
+    assert vals[0, 1] == 9.0 and hsel[0, 1] == 2
+    # with K=3, the hash-7 candidate must be found despite 8 better dups
+    vals3, hsel3, idx3 = _dedup_topk(
+        jnp.asarray(scores), jnp.asarray(hashes), 3
+    )
+    assert 7 in np.asarray(hsel3)[0]
+    assert np.asarray(vals3)[0, list(np.asarray(hsel3)[0]).index(7)] == 1.0
+
+
 def test_lvcsr_nbest_and_rescoring(transcriber_setup, monkeypatch):
     """The K-best junction decoder yields distinct, rank-ordered hypotheses
     agreeing with the dense K-best path, and rescoring re-ranks them."""
