@@ -311,6 +311,68 @@ def band_from_arcs(garrs: dict):
 HASH_MULT = jnp.uint32(1000003)
 
 
+def dedup_topk(scores: jnp.ndarray, hashes: jnp.ndarray, K: int):
+    """Exact top-K-distinct-hashes along the last axis.
+
+    Groups of K candidates are merged pairwise with a FULL 2K-pool dedup
+    per merge, which is exact: the global top-K distinct hashes of a union
+    equal the top-K distinct of (top-K distinct of each side) — unlike a
+    single truncated top-M pool over all candidates, which can drop a
+    distinct sequence hidden behind >M-1 better-scoring duplicates.
+
+    Returns ``(vals, hsel, idx)``; ``idx`` indexes the input last axis.
+    Inputs are padded to a multiple of K with NEG_INF/hash-0 entries (pad
+    entries can only displace other pads; a real hash-0 candidate always
+    outranks them).
+    """
+    C = scores.shape[-1]
+    if C <= K:
+        # single group: one dedup pass over the (padded) K candidates
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, 2 * K - C)]
+        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+        hashes = jnp.pad(hashes, pad, constant_values=0)
+        C = 2 * K
+    rem = (-C) % K
+    if rem:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, rem)]
+        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+        hashes = jnp.pad(hashes, pad, constant_values=0)
+        C += rem
+    lead = scores.shape[:-1]
+    G = C // K
+    vals = scores.reshape(*lead, G, K)
+    hs = hashes.reshape(*lead, G, K)
+    idx = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32).reshape(G, K), vals.shape
+    )
+    earlier2 = jnp.tril(jnp.ones((2 * K, 2 * K), bool), k=-1)
+    while G > 1:
+        H = G // 2
+        a_v, b_v = vals[..., :H, :], vals[..., H : 2 * H, :]
+        a_h, b_h = hs[..., :H, :], hs[..., H : 2 * H, :]
+        a_i, b_i = idx[..., :H, :], idx[..., H : 2 * H, :]
+        m_v = jnp.concatenate([a_v, b_v], axis=-1)  # (..., H, 2K)
+        m_h = jnp.concatenate([a_h, b_h], axis=-1)
+        m_i = jnp.concatenate([a_i, b_i], axis=-1)
+        sv, order = jax.lax.top_k(m_v, 2 * K)
+        sh = jnp.take_along_axis(m_h, order, axis=-1)
+        si = jnp.take_along_axis(m_i, order, axis=-1)
+        dup = jnp.any(
+            (sh[..., :, None] == sh[..., None, :]) & earlier2, axis=-1
+        )
+        sv = jnp.where(dup, NEG_INF, sv)
+        kv, sel = jax.lax.top_k(sv, K)
+        kh = jnp.take_along_axis(sh, sel, axis=-1)
+        ki = jnp.take_along_axis(si, sel, axis=-1)
+        if G % 2:  # carry the odd group through to the next round
+            kv = jnp.concatenate([kv, vals[..., -1:, :]], axis=-2)
+            kh = jnp.concatenate([kh, hs[..., -1:, :]], axis=-2)
+            ki = jnp.concatenate([ki, idx[..., -1:, :]], axis=-2)
+        vals, hs, idx = kv, kh, ki
+        G = kv.shape[-2]
+    return vals[..., 0, :], hs[..., 0, :], idx[..., 0, :]
+
+
 @partial(jax.jit, static_argnames=("acoustic_scale", "K"))
 def viterbi_nbest_device(
     emit: jnp.ndarray,  # (B, T, S)
@@ -338,7 +400,6 @@ def viterbi_nbest_device(
     w = graph.in_weight[:, :, :, None]  # (B, S, Kin, 1)
     dedup = word_event is not None
     C = Kin * K
-    M = min(C, 4 * K)  # dedup pool: top-M by score, then drop hash dups
 
     def gather_prev(x):
         return jnp.take_along_axis(
@@ -356,15 +417,7 @@ def viterbi_nbest_device(
             hp = gather_prev(hash_prev)
             ev = word_event[:, :, :, None].astype(jnp.uint32)
             ch = jnp.where(ev > 0, hp * HASH_MULT + ev, hp).reshape(B, S, C)
-            vals_m, idx_m = jax.lax.top_k(cand, M)  # score-ordered pool
-            h_m = jnp.take_along_axis(ch, idx_m, axis=-1)  # (B, S, M)
-            eq = h_m[..., :, None] == h_m[..., None, :]  # (B, S, M, M)
-            earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
-            dup = jnp.any(eq & earlier, axis=-1)  # a better same-hash cand
-            vals_m = jnp.where(dup, NEG_INF, vals_m)
-            vals, sel = jax.lax.top_k(vals_m, K)
-            idx = jnp.take_along_axis(idx_m, sel, axis=-1)
-            hash_new = jnp.take_along_axis(h_m, sel, axis=-1)
+            vals, hash_new, idx = dedup_topk(cand, ch, K)
         alpha_new = vals + emit_t[:, :, None]
         active = (t < frame_lengths)[:, None, None]
         alpha_out = jnp.where(active, alpha_new, alpha_prev)

@@ -809,66 +809,9 @@ def lvcsr_xw_backtrace_host(
 HASH_MULT = jnp.uint32(1000003)
 
 
-def _dedup_topk(scores: jnp.ndarray, hashes: jnp.ndarray, K: int):
-    """Exact top-K-distinct-hashes along the last axis.
-
-    Groups of K candidates are merged pairwise with a FULL 2K-pool dedup
-    per merge, which is exact: the global top-K distinct hashes of a union
-    equal the top-K distinct of (top-K distinct of each side) — unlike a
-    single truncated top-M pool over all candidates, which can drop a
-    distinct sequence hidden behind >M-1 better-scoring duplicates.
-
-    Returns ``(vals, hsel, idx)``; ``idx`` indexes the input last axis.
-    Inputs are padded to a multiple of K with NEG_INF/hash-0 entries (pad
-    entries can only displace other pads; a real hash-0 candidate always
-    outranks them).
-    """
-    C = scores.shape[-1]
-    if C <= K:
-        # single group: one dedup pass over the (padded) K candidates
-        pad = [(0, 0)] * (scores.ndim - 1) + [(0, 2 * K - C)]
-        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
-        hashes = jnp.pad(hashes, pad, constant_values=0)
-        C = 2 * K
-    rem = (-C) % K
-    if rem:
-        pad = [(0, 0)] * (scores.ndim - 1) + [(0, rem)]
-        scores = jnp.pad(scores, pad, constant_values=NEG_INF)
-        hashes = jnp.pad(hashes, pad, constant_values=0)
-        C += rem
-    lead = scores.shape[:-1]
-    G = C // K
-    vals = scores.reshape(*lead, G, K)
-    hs = hashes.reshape(*lead, G, K)
-    idx = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32).reshape(G, K), vals.shape
-    )
-    earlier2 = jnp.tril(jnp.ones((2 * K, 2 * K), bool), k=-1)
-    while G > 1:
-        H = G // 2
-        a_v, b_v = vals[..., :H, :], vals[..., H : 2 * H, :]
-        a_h, b_h = hs[..., :H, :], hs[..., H : 2 * H, :]
-        a_i, b_i = idx[..., :H, :], idx[..., H : 2 * H, :]
-        m_v = jnp.concatenate([a_v, b_v], axis=-1)  # (..., H, 2K)
-        m_h = jnp.concatenate([a_h, b_h], axis=-1)
-        m_i = jnp.concatenate([a_i, b_i], axis=-1)
-        sv, order = jax.lax.top_k(m_v, 2 * K)
-        sh = jnp.take_along_axis(m_h, order, axis=-1)
-        si = jnp.take_along_axis(m_i, order, axis=-1)
-        dup = jnp.any(
-            (sh[..., :, None] == sh[..., None, :]) & earlier2, axis=-1
-        )
-        sv = jnp.where(dup, NEG_INF, sv)
-        kv, sel = jax.lax.top_k(sv, K)
-        kh = jnp.take_along_axis(sh, sel, axis=-1)
-        ki = jnp.take_along_axis(si, sel, axis=-1)
-        if G % 2:  # carry the odd group through to the next round
-            kv = jnp.concatenate([kv, vals[..., -1:, :]], axis=-2)
-            kh = jnp.concatenate([kh, hs[..., -1:, :]], axis=-2)
-            ki = jnp.concatenate([ki, idx[..., -1:, :]], axis=-2)
-        vals, hs, idx = kv, kh, ki
-        G = kv.shape[-2]
-    return vals[..., 0, :], hs[..., 0, :], idx[..., 0, :]
+from montreal_forced_aligner_tpu.ops.viterbi import (  # noqa: E402
+    dedup_topk as _dedup_topk,
+)
 
 
 @partial(jax.jit, static_argnames=("lb", "ub", "K"))
