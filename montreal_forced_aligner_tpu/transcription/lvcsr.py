@@ -408,6 +408,64 @@ class LvcsrXwGraph:
     def num_states(self) -> int:
         return len(self.state_pdf)
 
+    @property
+    def state0_hash(self) -> np.ndarray:
+        return np.where(self.state_word >= 0, self.state_word + 1, 0).astype(
+            np.uint32
+        )
+
+    def kbest_arrays(self) -> dict:
+        """Static index tables for the K-best junction (computed once):
+        ``seg_cells (Nseg, Cs)`` + ``seg_pad`` — the cells of each
+        (presented-phone, right-group) backoff segment; ``ebo_seg (Ne, Lsg)``
+        + ``ebo_seg_pad`` — each entry slot's compatible backoff segments
+        (p in the slot's left classes, right-group containing its first
+        phone)."""
+        if getattr(self, "_kbest", None) is not None:
+            return self._kbest
+        RG, F = self.rg_mask.shape
+        Nseg = self.num_p * RG
+        by_seg: Dict[int, List[int]] = {}
+        for c, seg in enumerate(self.cell_seg):
+            by_seg.setdefault(int(seg), []).append(c)
+        Cs = max(1, max((len(v) for v in by_seg.values()), default=1))
+        seg_cells = np.zeros((Nseg, Cs), np.int32)
+        seg_pad = np.full((Nseg, Cs), NEG_INF, np.float32)
+        for seg, cells in by_seg.items():
+            for j, c in enumerate(cells):
+                seg_cells[seg, j] = c
+                seg_pad[seg, j] = 0.0
+        ebo_seg_lists: List[List[int]] = []
+        for e in range(len(self.entry_state)):
+            segs: List[int] = []
+            for l in range(self.ebo_idx.shape[1]):
+                if self.ebo_pad[e, l] <= NEG_INF / 2:
+                    continue
+                pf = int(self.ebo_idx[e, l])
+                p, f = pf // F, pf % F
+                for rg in range(RG):
+                    if self.rg_mask[rg, f] and (p * RG + rg) in by_seg:
+                        segs.append(p * RG + rg)
+            ebo_seg_lists.append(segs)
+        Lsg = max(1, max(len(s) for s in ebo_seg_lists))
+        ebo_seg = np.zeros((len(ebo_seg_lists), Lsg), np.int32)
+        ebo_seg_pad = np.full((len(ebo_seg_lists), Lsg), NEG_INF, np.float32)
+        for e, segs in enumerate(ebo_seg_lists):
+            for j, sgi in enumerate(segs):
+                ebo_seg[e, j] = sgi
+                ebo_seg_pad[e, j] = 0.0
+        object.__setattr__(
+            self,
+            "_kbest",
+            dict(
+                seg_cells=seg_cells,
+                seg_pad=seg_pad,
+                ebo_seg=ebo_seg,
+                ebo_seg_pad=ebo_seg_pad,
+            ),
+        )
+        return self._kbest
+
 
 def _build_cross_word(self) -> LvcsrXwGraph:
     """Cross-word-context LVCSR graph (see module notes above). Bound as
@@ -786,6 +844,228 @@ def lvcsr_xw_backtrace_host(
             events.append((0, w0))
         events.reverse()
         out.append((path, score, events))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K-best for the cross-word junction
+# ---------------------------------------------------------------------------
+# Same K-best-semiring + word-hash determinization as the word-internal
+# variant below, with the junction factored through context cells. The
+# backoff pooling becomes a per-(presented-phone, right-group) segment
+# K-best over static cell lists, and each entry slot merges its seen-bigram
+# candidates with its compatible backoff segments in one exact dedup.
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "K"))
+def lvcsr_xw_nbest_device(
+    emit: jnp.ndarray,  # (B, T, S) pre-scaled emissions
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    state0_hash: jnp.ndarray,  # (S,) uint32
+    cell_exit_idx: jnp.ndarray,  # (Nc, Em)
+    cell_exit_w: jnp.ndarray,
+    bo_cell: jnp.ndarray,  # (Nc,)
+    seg_cells: jnp.ndarray,  # (Nseg, Cs)
+    seg_pad: jnp.ndarray,  # (Nseg, Cs) 0 / NEG_INF
+    entry_state: jnp.ndarray,  # (Ne,)
+    entry_word: jnp.ndarray,  # (Ne,)
+    entry_w: jnp.ndarray,  # (Ne,)
+    p1e: jnp.ndarray,  # (Ne,)
+    se_cell: jnp.ndarray,  # (Ne, Q)
+    se_w: jnp.ndarray,  # (Ne, Q)
+    ebo_seg: jnp.ndarray,  # (Ne, Lsg)
+    ebo_seg_pad: jnp.ndarray,  # (Ne, Lsg)
+    lb: int,
+    ub: int,
+    K: int,
+):
+    """K-best forward pass of the cross-word junction decoder. Returns
+    ``(alpha_T (B,S,K), hist_T (B,S,K) uint32, recs)`` with per-frame
+    records ``(cand_sel i16, ent_sel i32, bo2_sel i32, exit_sel i32)``."""
+    B, T, S = emit.shape
+    D = lb + ub + 1
+    Nc, Em = cell_exit_idx.shape
+    Nseg, Cs = seg_cells.shape
+    Ne, Q = se_cell.shape
+    Lsg = ebo_seg.shape[1]
+    band_cols = [band[:, j] for j in range(D)]
+    t_iota = jnp.arange(T)
+    exit_flat = cell_exit_idx.reshape(-1)
+    v_hash = (entry_word.astype(jnp.uint32) + 1)[None, :, None]
+
+    def junction(alpha_prev, hist_prev):
+        exv = (
+            jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, Nc, Em, K)
+            + cell_exit_w[None, :, :, None]
+        ).reshape(B, Nc, Em * K)
+        exh = jnp.take(hist_prev, exit_flat, axis=1).reshape(B, Nc, Em * K)
+        EXc, EXh, exit_sel = _dedup_topk(exv, exh, K)  # (B, Nc, K)
+
+        BOc = EXc + bo_cell[None, :, None]
+        sg = (
+            jnp.take(BOc, seg_cells.reshape(-1), axis=1).reshape(
+                B, Nseg, Cs, K
+            )
+            + seg_pad[None, :, :, None]
+        ).reshape(B, Nseg, Cs * K)
+        sgh = jnp.take(EXh, seg_cells.reshape(-1), axis=1).reshape(
+            B, Nseg, Cs * K
+        )
+        BO2v, BO2h, bo2_sel = _dedup_topk(sg, sgh, K)  # (B, Nseg, K)
+
+        seen = (
+            jnp.take(EXc, se_cell.reshape(-1), axis=1).reshape(B, Ne, Q, K)
+            + se_w[None, :, :, None]
+        ).reshape(B, Ne, Q * K)
+        seen_h = jnp.take(EXh, se_cell.reshape(-1), axis=1).reshape(
+            B, Ne, Q * K
+        )
+        bo_c = (
+            jnp.take(BO2v, ebo_seg.reshape(-1), axis=1).reshape(
+                B, Ne, Lsg, K
+            )
+            + ebo_seg_pad[None, :, :, None]
+            + p1e[None, :, None, None]
+        ).reshape(B, Ne, Lsg * K)
+        bo_h = jnp.take(BO2h, ebo_seg.reshape(-1), axis=1).reshape(
+            B, Ne, Lsg * K
+        )
+        cand = jnp.concatenate([seen, bo_c], axis=-1)
+        ch = jnp.concatenate([seen_h, bo_h], axis=-1)
+        entv, enth_src, ent_sel = _dedup_topk(cand, ch, K)  # (B, Ne, K)
+        entv = entv + entry_w[None, :, None]
+        enth = enth_src * HASH_MULT + v_hash
+        return entv, enth, ent_sel, bo2_sel, exit_sel
+
+    def step(carry, inputs):
+        alpha_prev, hist_prev = carry
+        emit_t, t = inputs
+        ap = jnp.pad(
+            alpha_prev, ((0, 0), (ub, lb), (0, 0)), constant_values=NEG_INF
+        )
+        hp = jnp.pad(hist_prev, ((0, 0), (ub, lb), (0, 0)))
+        bvals, bhash = [], []
+        for j in range(D):
+            d = j - lb
+            bvals.append(
+                ap[:, ub - d : ub - d + S] + band_cols[j][None, :, None]
+            )
+            bhash.append(hp[:, ub - d : ub - d + S])
+        entv, enth, ent_sel, bo2_sel, exit_sel = junction(
+            alpha_prev, hist_prev
+        )
+        ent_buf = jnp.full((B, S, K), NEG_INF).at[:, entry_state].set(entv)
+        enth_buf = (
+            jnp.zeros((B, S, K), jnp.uint32).at[:, entry_state].set(enth)
+        )
+        cand = jnp.concatenate(bvals + [ent_buf], axis=-1)
+        chash = jnp.concatenate(bhash + [enth_buf], axis=-1)
+        m, hsel, cand_sel = _dedup_topk(cand, chash, K)
+        alpha_new = m + emit_t[:, :, None]
+        active = (t < frame_lengths)[:, None, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        hist_out = jnp.where(active, hsel, hist_prev)
+        recs = (
+            cand_sel.astype(jnp.int16),
+            ent_sel.astype(jnp.int32),
+            bo2_sel.astype(jnp.int32),
+            exit_sel.astype(jnp.int32),
+        )
+        return (alpha_out, hist_out), recs
+
+    alpha0 = jnp.concatenate(
+        [
+            (start[None] + emit[:, 0])[:, :, None],
+            jnp.full((B, S, K - 1), NEG_INF),
+        ],
+        axis=2,
+    )
+    hash0 = jnp.concatenate(
+        [
+            jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
+            jnp.zeros((B, S, K - 1), jnp.uint32),
+        ],
+        axis=2,
+    )
+    (alpha_T, hist_T), recs = jax.lax.scan(
+        step, (alpha0, hash0), (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    )
+    return alpha_T, hist_T, recs
+
+
+def lvcsr_xw_nbest_backtrace_host(
+    graph: LvcsrXwGraph,
+    alpha_T: np.ndarray,  # (B, S, K)
+    hist_T: np.ndarray,
+    recs,
+    frame_lengths: np.ndarray,
+    nbest: int,
+) -> List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]]:
+    """Per-utterance hypotheses [(state_path, score, word events)], best
+    first — K-best cross-word analogue of :func:`lvcsr_nbest_backtrace_host`."""
+    cand_sel, ent_sel, bo2_sel, exit_sel = [np.asarray(r) for r in recs]
+    B, S, K = alpha_T.shape
+    T = cand_sel.shape[0] + 1
+    D = graph.lb + graph.ub + 1
+    ka = graph.kbest_arrays()
+    seg_cells, ebo_seg = ka["seg_cells"], ka["ebo_seg"]
+    Q = graph.se_cell.shape[1]
+    entry_slot = {int(s): i for i, s in enumerate(graph.entry_state)}
+    out: List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]] = []
+    for b in range(B):
+        L = int(frame_lengths[b])
+        fin = alpha_T[b][graph.fin_state] + graph.fin_w[:, None]  # (Nf, K)
+        finh = hist_T[b][graph.fin_state]
+        flat = fin.reshape(-1)
+        order = np.argsort(-flat)
+        hyps = []
+        seen_h = set()
+        for p in order:
+            if len(hyps) >= nbest or flat[p] <= NEG_INF / 2:
+                break
+            h = int(finh.reshape(-1)[p])
+            if h in seen_h:
+                continue
+            seen_h.add(h)
+            f_idx, r = int(p) // K, int(p) % K
+            hyps.append((float(flat[p]), int(graph.fin_state[f_idx]), r))
+        traces = []
+        for score, s, r in hyps:
+            path = np.zeros(T, np.int32)
+            path[L - 1 :] = s
+            events: List[Tuple[int, int]] = []
+            for t in range(L - 1, 0, -1):
+                rr = t - 1
+                val = int(cand_sel[rr, b, s, r])
+                if val < D * K:
+                    j, r = val // K, val % K
+                    s = s - (j - graph.lb)
+                else:
+                    er = val - D * K
+                    e = entry_slot[s]
+                    events.append((t, int(graph.entry_word[e])))
+                    v2 = int(ent_sel[rr, b, e, er])
+                    if v2 < Q * K:
+                        cell = int(graph.se_cell[e, v2 // K])
+                        r2 = v2 % K
+                    else:
+                        l, r2 = (v2 - Q * K) // K, (v2 - Q * K) % K
+                        seg = int(ebo_seg[e, l])
+                        v4 = int(bo2_sel[rr, b, seg, r2])
+                        cell = int(seg_cells[seg, v4 // K])
+                        r2 = v4 % K
+                    v3 = int(exit_sel[rr, b, cell, r2])
+                    s = int(graph.cell_exit_idx[cell, v3 // K])
+                    r = v3 % K
+                path[t - 1] = s
+            w0 = int(graph.state_word[path[0]])
+            if w0 >= 0:
+                events.append((0, w0))
+            events.reverse()
+            traces.append((path, score, events))
+        out.append(traces)
     return out
 
 

@@ -308,7 +308,6 @@ class Transcriber:
         self._graph = None
         self._vocab = None
         self._lvcsr = None
-        self._lvcsr_wi = None  # word-internal companion for N-best
 
     def train_lm_from_corpus(self, corpus: Corpus) -> ArpaModel:
         texts = []
@@ -599,31 +598,49 @@ class Transcriber:
 
     def _lvcsr_nbest_decode(self, ff, flens, W, gconsts, nbest):
         """K-best junction decode on one feature batch; returns per-row
-        hypothesis lists [(path, score, events)], best first.
-
-        The K-best semiring is implemented for the word-internal-context
-        junction; with a cross-word graph, N-best falls back to a
-        word-internal companion graph (context approximation only affects
-        the alternates' acoustic scores, not the rescoring machinery)."""
+        hypothesis lists [(path, score, events)], best first. Both junction
+        variants (word-internal and cross-word-context) run the K-best
+        semiring with word-sequence-hash determinization."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
             lvcsr_nbest_backtrace_host,
             lvcsr_nbest_device,
+            lvcsr_xw_nbest_backtrace_host,
+            lvcsr_xw_nbest_device,
         )
 
         g = self._lvcsr
         if isinstance(g, LvcsrXwGraph):
-            if self._lvcsr_wi is None:
-                from montreal_forced_aligner_tpu.transcription.lvcsr import (
-                    LvcsrGraphCompiler,
-                )
-
-                self._lvcsr_wi = LvcsrGraphCompiler(
-                    self.aligner.compiler, self.aligner.lexicon, self.lm,
-                    lm_scale=self.lm_scale,
-                    word_insertion_penalty=self.word_insertion_penalty,
-                ).build_word_internal()
-            g = self._lvcsr_wi
+            ka = g.kbest_arrays()
+            alpha_T, hist_T, recs = lvcsr_xw_nbest_device(
+                _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
+                                 self.acoustic_scale),
+                jnp.asarray(flens),
+                jnp.asarray(g.band),
+                jnp.asarray(g.start),
+                jnp.asarray(g.state0_hash),
+                jnp.asarray(g.cell_exit_idx),
+                jnp.asarray(g.cell_exit_w),
+                jnp.asarray(g.bo_cell),
+                jnp.asarray(ka["seg_cells"]),
+                jnp.asarray(ka["seg_pad"]),
+                jnp.asarray(g.entry_state),
+                jnp.asarray(g.entry_word),
+                jnp.asarray(g.entry_w),
+                jnp.asarray(g.p1e),
+                jnp.asarray(g.se_cell),
+                jnp.asarray(g.se_w),
+                jnp.asarray(ka["ebo_seg"]),
+                jnp.asarray(ka["ebo_seg_pad"]),
+                g.lb,
+                g.ub,
+                nbest,
+            )
+            rows = lvcsr_xw_nbest_backtrace_host(
+                g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens,
+                nbest,
+            )
+            return rows, g
         alpha_T, hist_T, recs = lvcsr_nbest_device(
             _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
                              self.acoustic_scale),
@@ -819,7 +836,6 @@ class Transcriber:
             self.lm, _ = train_lm_from_texts(texts, order=lm_order)
             self._graph = None  # rebuild for this speaker's LM
             self._lvcsr = None
-            self._lvcsr_wi = None
             sub = corpus.subset(utt_ids)
             sub_results = self.transcribe_corpus(sub, **kwargs)
             for local_id, res in sub_results.items():

@@ -137,6 +137,21 @@ def test_triphone_lvcsr_decoding(tri_setup, monkeypatch):
             assert a.label == b.label
             assert abs(a.begin - b.begin) < 0.011
 
+    # determinized N-best on the cross-word junction matches the (exact)
+    # dense K-best hypotheses rank for rank
+    dense_nb = dense_tr.transcribe_corpus(corpus, nbest=4)
+    xw_nb = tr.transcribe_corpus(corpus, nbest=4)
+    for i in dense_nb:
+        d_alts = dense_nb[i].alternatives or [
+            (dense_nb[i].text, dense_nb[i].log_likelihood)
+        ]
+        x_alts = xw_nb[i].alternatives or [
+            (xw_nb[i].text, xw_nb[i].log_likelihood)
+        ]
+        for (dt, ds), (xt, xs) in zip(d_alts, x_alts):
+            assert dt == xt
+            assert abs(ds - xs) < 0.1
+
     # word-internal fallback (silence assumed at word boundaries) still
     # decodes this adversarial 2-tone corpus reasonably
     tr._lvcsr = LvcsrGraphCompiler(
