@@ -616,10 +616,18 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--expected_num_speakers", default=0, show_default=True,
               help="0 = threshold-based")
 @click.option("--distance_threshold", default=0.5, show_default=True)
+@click.option("--cluster_type", default="agglomerative", show_default=True,
+              type=click.Choice(["agglomerative", "kmeans", "spectral",
+                                 "dbscan", "hdbscan", "optics", "affinity",
+                                 "meanshift"]),
+              help="Clustering algorithm (reference ClusterType)")
+@click.option("--min_cluster_size", default=15, show_default=True,
+              help="Density methods: smallest cluster / core-point degree")
 @click.option("--batch_size", default=16, show_default=True)
 def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
-                         distance_threshold, batch_size):
+                         distance_threshold, cluster_type, min_cluster_size,
+                         batch_size):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
@@ -640,13 +648,16 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
         batches,
         num_speakers=expected_num_speakers or None,
         threshold=None if expected_num_speakers else distance_threshold,
+        method=cluster_type,
+        min_cluster_size=min_cluster_size,
     )
     out = _P(output_directory)
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "utt2spk.tsv", "w", encoding="utf-8") as f:
         for pos, utt_idx in enumerate(order):
             utt = corpus.utterances[utt_idx]
-            f.write(f"{utt.file_name}\t{utt.begin}\t{utt.end}\t"
+            end = "" if utt.end is None else f"{utt.end}"
+            f.write(f"{utt.speaker}/{utt.file_name}\t{utt.begin}\t{end}\t"
                     f"speaker{int(result.labels[pos])}\n")
     n = len(set(result.labels.tolist()))
     click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")

@@ -22,6 +22,27 @@ class WorkflowType(enum.Enum):
     online_alignment = 10
 
 
+class ClusterType(enum.Enum):
+    """Clustering algorithms for diarization (reference ``data.py:458``)."""
+
+    affinity = "affinity"
+    agglomerative = "agglomerative"
+    spectral = "spectral"
+    dbscan = "dbscan"
+    hdbscan = "hdbscan"
+    optics = "optics"
+    kmeans = "kmeans"
+    meanshift = "meanshift"
+
+
+class DistanceMetric(enum.Enum):
+    """Distance metrics for diarization scoring (reference ``data.py:474``)."""
+
+    cosine = "cosine"
+    euclidean = "euclidean"
+    plda = "plda"
+
+
 @dataclass
 class CtmInterval:
     """A time-aligned label interval (reference ``data.py:2018``)."""

@@ -17,8 +17,8 @@ import numpy as np
 from montreal_forced_aligner_tpu.corpus.corpus import Corpus
 from montreal_forced_aligner_tpu.diarization.clustering import (
     agglomerative_cluster,
+    cluster_matrix,
     cosine_distance_matrix,
-    kmeans_cluster,
 )
 from montreal_forced_aligner_tpu.ivector.extractor import (
     IvectorExtractor,
@@ -57,13 +57,15 @@ class SpeakerDiarizer:
         num_speakers: Optional[int] = None,
         threshold: Optional[float] = None,
         method: str = "agglomerative",
+        min_cluster_size: int = 15,
     ) -> DiarizationResult:
+        """Cluster utterance i-vectors with any of the reference's
+        ``ClusterType`` algorithms (``cluster_utterances``,
+        ``speaker_diarizer.py:1074`` → ``cluster_matrix``,
+        ``multiprocessing.py:245``)."""
         iv = self.utterance_ivectors(feature_batches)
-        if method == "kmeans":
-            if num_speakers is None:
-                raise ValueError("kmeans needs num_speakers")
-            labels = kmeans_cluster(iv, num_speakers)
-        else:
+        if method == "agglomerative":
+            # fast path, preserving the established cosine/PLDA behavior
             if self.metric == "plda" and self.plda is not None:
                 scores = self.plda.log_likelihood_ratio(iv, iv)
                 d = -(scores + scores.T) / 2
@@ -72,6 +74,16 @@ class SpeakerDiarizer:
                 d = cosine_distance_matrix(iv)
             labels = agglomerative_cluster(
                 d, num_clusters=num_speakers, threshold=threshold
+            )
+        else:
+            labels = cluster_matrix(
+                iv,
+                method,
+                metric=self.metric if self.metric != "plda" or self.plda else "cosine",
+                num_clusters=num_speakers,
+                distance_threshold=threshold,
+                min_cluster_size=min_cluster_size,
+                plda=self.plda,
             )
         return DiarizationResult(labels=labels, ivectors=iv)
 

@@ -42,13 +42,17 @@ class IvectorExtractor:
         return self.T.shape[2]
 
     def save(self, path) -> None:
-        np.savez_compressed(
-            path,
-            weights=self.ubm.weights,
-            means=self.ubm.means,
-            variances=self.ubm.variances,
-            T=self.T,
-        )
+        # np.savez appends ".npz" when the name lacks it; write through a
+        # file object so the artifact lands at exactly the requested path
+        # (the CLI advertises the path it was given).
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f,
+                weights=self.ubm.weights,
+                means=self.ubm.means,
+                variances=self.ubm.variances,
+                T=self.T,
+            )
 
     @classmethod
     def load(cls, path) -> "IvectorExtractor":

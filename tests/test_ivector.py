@@ -187,3 +187,70 @@ def test_tmatrix_em_recovers_latents():
     proj, *_ = np.linalg.lstsq(x, y, rcond=None)
     r2 = 1 - ((x @ proj - y) ** 2).sum() / (y**2).sum()
     assert r2 > 0.95
+
+
+def test_clustering_algorithms_on_blobs():
+    """Every ClusterType recovers three well-separated gaussian blobs
+    (reference dispatch: diarization/multiprocessing.py:245-465)."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.diarization.clustering import (
+        calculate_distance_threshold,
+        cluster_matrix,
+        euclidean_distance_matrix,
+        silhouette_score,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [8.0, 0.0], [0.0, 8.0]])
+    x = np.concatenate(
+        [c + 0.4 * rng.randn(20, 2) for c in centers], axis=0
+    )
+    truth = np.repeat(np.arange(3), 20)
+
+    def purity(labels):
+        # fraction of points whose cluster's majority truth matches them,
+        # noise (-1) counts as wrong
+        correct = 0
+        for c in np.unique(labels[labels >= 0]):
+            members = labels == c
+            vals, counts = np.unique(truth[members], return_counts=True)
+            correct += counts.max()
+        return correct / len(truth)
+
+    for method, kwargs in [
+        ("kmeans", dict(num_clusters=3)),
+        ("spectral", dict(num_clusters=3)),
+        ("agglomerative", dict(num_clusters=3)),
+        ("dbscan", dict(distance_threshold=1.5, min_cluster_size=5)),
+        ("optics", dict(distance_threshold=1.5, min_cluster_size=5)),
+        ("hdbscan", dict(distance_threshold=1.5, min_cluster_size=5)),
+        ("meanshift", dict()),
+        ("affinity", dict()),
+    ]:
+        labels = cluster_matrix(x, method, metric="euclidean", **kwargs)
+        found = np.unique(labels[labels >= 0]).shape[0]
+        assert found >= 3, (method, found)
+        assert purity(labels) >= 0.9, (method, purity(labels))
+
+    # auto threshold: must fall between within-blob and between-blob scales
+    D = euclidean_distance_matrix(x)
+    thr = calculate_distance_threshold(D, min_samples=5)
+    assert 0.1 < thr < 8.0
+    # silhouette on the true labels is high for separated blobs
+    assert silhouette_score(D, truth) > 0.7
+
+
+def test_cluster_matrix_auto_threshold_density():
+    """dbscan/optics with no explicit threshold derive one from the k-NN
+    knee and still find the blobs."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.diarization.clustering import cluster_matrix
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0]])
+    x = np.concatenate([c + 0.3 * rng.randn(25, 2) for c in centers], axis=0)
+    for method in ("dbscan", "optics"):
+        labels = cluster_matrix(x, method, metric="euclidean", min_cluster_size=5)
+        assert np.unique(labels[labels >= 0]).shape[0] == 2, method
