@@ -33,6 +33,8 @@ class KaldiReadError(ValueError):
 class KaldiBinaryReader:
     """Sequential reader over a Kaldi binary-mode stream (after ``\\x00B``)."""
 
+    binary = True
+
     def __init__(self, stream: BinaryIO):
         self.stream = stream
 
@@ -130,6 +132,109 @@ class KaldiBinaryReader:
         )
 
 
+class KaldiTextReader:
+    """Sequential reader over a Kaldi text-mode object stream.
+
+    Presents the same method surface as :class:`KaldiBinaryReader` so the
+    model parsers work on either mode. Text mode differences (public Kaldi
+    format): values are whitespace-separated ASCII; integer vectors and
+    float vectors are bracketed ``[ ... ]``; matrices are bracketed with
+    newline-delimited rows; booleans are the tokens ``T``/``F``.
+    """
+
+    binary = False
+
+    def __init__(self, stream: BinaryIO):
+        data = stream.read()
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("utf-8")
+        # tokenize, remembering which tokens start a new line (matrix rows)
+        self._tokens: List[Tuple[str, bool]] = []
+        for line in data.splitlines():
+            first = True
+            for tok in line.split():
+                self._tokens.append((tok, first))
+                first = False
+        self._pos = 0
+
+    def _next(self) -> Tuple[str, bool]:
+        if self._pos >= len(self._tokens):
+            raise KaldiReadError("unexpected EOF in text stream")
+        tok = self._tokens[self._pos]
+        self._pos += 1
+        return tok
+
+    def peek_token(self) -> str:
+        if self._pos >= len(self._tokens):
+            return ""
+        return self._tokens[self._pos][0]
+
+    def read_token(self) -> str:
+        return self._next()[0]
+
+    def expect_token(self, token: str) -> None:
+        got = self.read_token()
+        if got != token:
+            raise KaldiReadError(f"expected token {token!r}, got {got!r}")
+
+    def read_int32(self) -> int:
+        return int(self.read_token())
+
+    def read_uint32(self) -> int:
+        return int(self.read_token())
+
+    def read_float(self) -> float:
+        return float(self.read_token())
+
+    def read_double(self) -> float:
+        return float(self.read_token())
+
+    def read_bool(self) -> bool:
+        tok = self.read_token()
+        if tok == "T":
+            return True
+        if tok == "F":
+            return False
+        raise KaldiReadError(f"bad bool token {tok!r}")
+
+    def _read_bracketed(self, cast):
+        self.expect_token("[")
+        out = []
+        while True:
+            tok = self.read_token()
+            if tok == "]":
+                break
+            out.append(cast(tok))
+        return out
+
+    def read_int32_vector(self) -> np.ndarray:
+        return np.array(self._read_bracketed(int), dtype=np.int32)
+
+    def read_vector(self) -> np.ndarray:
+        return np.array(self._read_bracketed(float), dtype=np.float32)
+
+    def read_matrix(self) -> np.ndarray:
+        self.expect_token("[")
+        rows: List[List[float]] = []
+        row: List[float] = []
+        while True:
+            tok, newline = self._next()
+            if newline and row:
+                rows.append(row)
+                row = []
+            if tok == "]":
+                break
+            row.append(float(tok))
+        if row:
+            rows.append(row)
+        if not rows:
+            return np.zeros((0, 0), dtype=np.float32)
+        width = len(rows[0])
+        if any(len(r) != width for r in rows):
+            raise KaldiReadError("ragged text matrix")
+        return np.array(rows, dtype=np.float32)
+
+
 class KaldiBinaryWriter:
     """Sequential writer producing a Kaldi binary-mode stream."""
 
@@ -171,8 +276,66 @@ class KaldiBinaryWriter:
         self.stream.write(mat.tobytes())
 
 
-def open_kaldi_stream(path_or_bytes: Union[str, bytes]) -> Tuple[KaldiBinaryReader, bool]:
-    """Open a Kaldi object file; returns (reader, is_binary)."""
+class KaldiTextWriter:
+    """Sequential writer producing a Kaldi text-mode object stream.
+
+    Same method surface as :class:`KaldiBinaryWriter`; vectors and integer
+    vectors are bracketed, matrices bracketed with newline-separated rows
+    (what ``gmm-copy --binary=false`` emits in public Kaldi).
+    """
+
+    binary = False
+
+    def __init__(self, stream, write_header: bool = False):
+        self.stream = stream
+
+    def _w(self, text: str) -> None:
+        try:
+            self.stream.write(text)
+        except TypeError:  # binary-mode stream
+            self.stream.write(text.encode("utf-8"))
+
+    def write_token(self, token: str) -> None:
+        self._w(token + " ")
+
+    def write_int32(self, value: int) -> None:
+        self._w(f"{int(value)} ")
+
+    def write_float(self, value: float) -> None:
+        self._w(f"{float(value):.7g} ")
+
+    def write_bool(self, value: bool) -> None:
+        self._w("T " if value else "F ")
+
+    def write_newline(self) -> None:
+        self._w("\n")
+
+    def write_int32_vector(self, values) -> None:
+        vals = " ".join(str(int(v)) for v in np.asarray(values).reshape(-1))
+        self._w(f"[ {vals} ]\n")
+
+    def write_vector(self, vec: np.ndarray) -> None:
+        vals = " ".join(f"{float(v):.7g}" for v in np.asarray(vec).reshape(-1))
+        self._w(f" [ {vals} ]\n")
+
+    def write_matrix(self, mat: np.ndarray) -> None:
+        mat = np.asarray(mat)
+        if mat.ndim != 2:
+            raise ValueError("matrix must be 2-D")
+        self._w(" [\n")
+        for i, row in enumerate(mat):
+            vals = " ".join(f"{float(v):.7g}" for v in row)
+            self._w(f"  {vals}{' ]' if i == len(mat) - 1 else ''}\n")
+        if mat.shape[0] == 0:
+            self._w(" ]\n")
+
+
+def open_kaldi_stream(path_or_bytes: Union[str, bytes]) -> Tuple[object, bool]:
+    """Open a Kaldi object file; returns (reader, is_binary).
+
+    Binary streams (``\\x00B`` header) get a :class:`KaldiBinaryReader`;
+    everything else a :class:`KaldiTextReader` over the same token protocol.
+    """
     import io as _io
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
@@ -183,7 +346,7 @@ def open_kaldi_stream(path_or_bytes: Union[str, bytes]) -> Tuple[KaldiBinaryRead
     if head == b"\x00B":
         return KaldiBinaryReader(stream), True
     stream.seek(0)
-    return KaldiBinaryReader(stream), False
+    return KaldiTextReader(stream), False
 
 
 def read_text_vector(text: str) -> np.ndarray:
@@ -193,8 +356,6 @@ def read_text_vector(text: str) -> np.ndarray:
 
 
 def read_kaldi_object(path: str):
-    """Convenience loader returning the first vector/matrix in a file."""
-    reader, binary = open_kaldi_stream(path)
-    if not binary:
-        return read_text_vector(reader.stream.read().decode("utf-8"))
+    """Convenience loader returning the first vector in a file."""
+    reader, _binary = open_kaldi_stream(path)
     return reader.read_vector()

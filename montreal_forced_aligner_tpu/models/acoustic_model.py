@@ -23,6 +23,7 @@ import yaml
 
 from montreal_forced_aligner_tpu.io.kaldi_io import (
     KaldiBinaryWriter,
+    KaldiTextWriter,
     open_kaldi_stream,
     read_text_vector,
 )
@@ -32,26 +33,29 @@ from montreal_forced_aligner_tpu.models.tree import ContextDependency
 
 
 def read_am_file(path) -> tuple:
-    """Read a ``final.mdl``-style file: TransitionModel followed by AmDiagGmm."""
-    reader, binary = open_kaldi_stream(str(path))
-    if not binary:
-        raise NotImplementedError("text-format .mdl files are not supported yet")
+    """Read a ``final.mdl``-style file (binary or text mode): TransitionModel
+    followed by AmDiagGmm."""
+    reader, _binary = open_kaldi_stream(str(path))
     tm = TransitionModel.read(reader)
     gmm = DiagGmmSet.read(reader)
     return tm, gmm
 
 
-def write_am_file(path, transition_model: TransitionModel, gmm: DiagGmmSet) -> None:
+def write_am_file(
+    path, transition_model: TransitionModel, gmm: DiagGmmSet, binary: bool = True
+) -> None:
+    """Write a ``final.mdl``-style file; ``binary=False`` produces Kaldi
+    text mode (what ``gmm-copy --binary=false`` emits)."""
     with open(path, "wb") as f:
-        writer = KaldiBinaryWriter(f)
+        writer = KaldiBinaryWriter(f) if binary else KaldiTextWriter(f)
         transition_model.write(writer)
         gmm.write(writer)
 
 
 def read_tree_file(path) -> ContextDependency:
-    reader, binary = open_kaldi_stream(str(path))
-    if not binary:
-        raise NotImplementedError("text-format tree files are not supported yet")
+    """Read a ``tree`` file (binary or text mode; the EventMap token protocol
+    is identical across modes)."""
+    reader, _binary = open_kaldi_stream(str(path))
     return ContextDependency.read(reader)
 
 
@@ -144,11 +148,8 @@ class AcousticModel:
             phone_table = parse_symbol_table(root / "phones.txt")
         lda = None
         if (root / "lda.mat").exists():
-            reader, binary = open_kaldi_stream(str(root / "lda.mat"))
-            if binary:
-                lda = reader.read_matrix()
-            else:
-                raise NotImplementedError("text-format lda.mat not supported")
+            reader, _binary = open_kaldi_stream(str(root / "lda.mat"))
+            lda = reader.read_matrix()
         alimdl = None
         if (root / "final.alimdl").exists():
             alimdl = read_am_file(root / "final.alimdl")

@@ -50,6 +50,8 @@ class HmmTopology:
 
     @classmethod
     def read(cls, reader: KaldiBinaryReader) -> "HmmTopology":
+        if not getattr(reader, "binary", True):
+            return cls._read_text(reader)
         reader.expect_token("<Topology>")
         phones = reader.read_int32_vector()
         phone2idx = reader.read_int32_vector()
@@ -76,7 +78,84 @@ class HmmTopology:
         reader.expect_token("</Topology>")
         return cls(phones=phones, phone2idx=phone2idx, entries=entries)
 
+    @classmethod
+    def _read_text(cls, reader) -> "HmmTopology":
+        """Kaldi text-mode topology: the user-editable ``<TopologyEntry>`` /
+        ``<ForPhones>`` format (public Kaldi topology file format; the
+        reference generates these files in ``dictionary/mixins.py:699``).
+
+        States carry either ``<PdfClass> k`` or ``<ForwardPdfClass> f
+        <SelfLoopPdfClass> s``; the final state has neither and no
+        transitions.
+        """
+        reader.expect_token("<Topology>")
+        entry_phones: List[List[int]] = []
+        entries: List[List[TopologyState]] = []
+        while True:
+            tok = reader.read_token()
+            if tok == "</Topology>":
+                break
+            if tok != "<TopologyEntry>":
+                raise KaldiReadError(f"expected <TopologyEntry>, got {tok!r}")
+            reader.expect_token("<ForPhones>")
+            phones_here: List[int] = []
+            while True:
+                tok = reader.read_token()
+                if tok == "</ForPhones>":
+                    break
+                phones_here.append(int(tok))
+            states: List[TopologyState] = []
+            while True:
+                tok = reader.read_token()
+                if tok == "</TopologyEntry>":
+                    break
+                if tok != "<State>":
+                    raise KaldiReadError(f"expected <State>, got {tok!r}")
+                state_idx = reader.read_int32()
+                if state_idx != len(states):
+                    raise KaldiReadError(
+                        f"non-sequential state index {state_idx}"
+                    )
+                fwd = slf = KNOPDF
+                transitions: List[Tuple[int, float]] = []
+                while True:
+                    tok = reader.read_token()
+                    if tok == "</State>":
+                        break
+                    if tok == "<PdfClass>":
+                        fwd = slf = reader.read_int32()
+                    elif tok == "<ForwardPdfClass>":
+                        fwd = reader.read_int32()
+                    elif tok == "<SelfLoopPdfClass>":
+                        slf = reader.read_int32()
+                    elif tok == "<Transition>":
+                        dst = reader.read_int32()
+                        prob = reader.read_float()
+                        transitions.append((dst, prob))
+                    else:
+                        raise KaldiReadError(
+                            f"unexpected token {tok!r} in <State>"
+                        )
+                states.append(TopologyState(fwd, slf, transitions))
+            entry_phones.append(phones_here)
+            entries.append(states)
+        all_phones = sorted(p for group in entry_phones for p in group)
+        if not all_phones:
+            raise KaldiReadError("topology has no phones")
+        phone2idx = np.full(max(all_phones) + 1, -1, dtype=np.int32)
+        for idx, group in enumerate(entry_phones):
+            for p in group:
+                phone2idx[p] = idx
+        return cls(
+            phones=np.array(all_phones, dtype=np.int32),
+            phone2idx=phone2idx,
+            entries=entries,
+        )
+
     def write(self, writer: KaldiBinaryWriter) -> None:
+        if not getattr(writer, "binary", True):
+            self._write_text(writer)
+            return
         writer.write_token("<Topology>")
         writer.write_int32_vector(self.phones)
         writer.write_int32_vector(self.phone2idx)
@@ -99,6 +178,34 @@ class HmmTopology:
                     writer.write_int32(dst)
                     writer.write_float(prob)
         writer.write_token("</Topology>")
+
+    def _write_text(self, writer) -> None:
+        """Text-mode topology in the ``<TopologyEntry>``/``<ForPhones>``
+        format (inverse of :meth:`_read_text`); phones sharing an entry are
+        grouped into one ``<ForPhones>`` block."""
+        writer._w("<Topology>\n")
+        for idx, entry in enumerate(self.entries):
+            phones = [int(p) for p in self.phones if int(self.phone2idx[p]) == idx]
+            if not phones:
+                continue
+            writer._w("<TopologyEntry>\n<ForPhones>\n")
+            writer._w(" ".join(str(p) for p in phones) + "\n")
+            writer._w("</ForPhones>\n")
+            for j, st in enumerate(entry):
+                writer._w(f"<State> {j} ")
+                if st.forward_pdf_class != KNOPDF:
+                    if st.forward_pdf_class == st.self_loop_pdf_class:
+                        writer._w(f"<PdfClass> {st.forward_pdf_class} ")
+                    else:
+                        writer._w(
+                            f"<ForwardPdfClass> {st.forward_pdf_class} "
+                            f"<SelfLoopPdfClass> {st.self_loop_pdf_class} "
+                        )
+                for dst, prob in st.transitions:
+                    writer._w(f"<Transition> {dst} {prob:.7g} ")
+                writer._w("</State>\n")
+            writer._w("</TopologyEntry>\n")
+        writer._w("</Topology>\n")
 
     def entry_for_phone(self, phone: int) -> List[TopologyState]:
         idx = int(self.phone2idx[phone])

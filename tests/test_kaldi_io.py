@@ -154,3 +154,73 @@ def test_mp3_and_opus_decoding(reference_data_dir, tmp_path):
     assert abs(len(lens[0]) / 16000 - wav2.duration) < 0.01 or abs(
         len(lens[0]) / 16000 - wav.duration
     ) < 0.01
+
+
+def test_text_model_roundtrip(mono_model_path, tmp_path):
+    """Text-mode .mdl and tree files (gmm-copy --binary=false) load to the
+    same arrays as the binary originals."""
+    from montreal_forced_aligner_tpu.io.kaldi_io import (
+        KaldiTextWriter,
+        open_kaldi_stream,
+    )
+    from montreal_forced_aligner_tpu.models.acoustic_model import read_tree_file
+    from montreal_forced_aligner_tpu.models.tree import ContextDependency
+
+    am = AcousticModel.load(mono_model_path)
+    out = tmp_path / "text.mdl"
+    write_am_file(out, am.transition_model, am.gmm, binary=False)
+    head = out.read_bytes()[:2]
+    assert head != b"\x00B"  # really text mode
+    tm2, gmm2 = read_am_file(out)
+    tm = am.transition_model
+    assert tm2.num_transition_ids == tm.num_transition_ids
+    assert np.array_equal(tm2.phone, tm.phone)
+    assert np.array_equal(tm2.hmm_state, tm.hmm_state)
+    assert np.array_equal(tm2.forward_pdf, tm.forward_pdf)
+    assert np.allclose(tm2.log_probs, tm.log_probs, atol=1e-6)
+    # topology structure survives the ForPhones text format
+    for p in tm.topo.phones.tolist():
+        e1 = tm.topo.entry_for_phone(p)
+        e2 = tm2.topo.entry_for_phone(p)
+        assert len(e1) == len(e2)
+        for s1, s2 in zip(e1, e2):
+            assert s1.forward_pdf_class == s2.forward_pdf_class
+            assert s1.transitions == [
+                (d, pytest.approx(pr, abs=1e-6)) for d, pr in s2.transitions
+            ]
+    assert np.allclose(gmm2.means_invvars, am.gmm.means_invvars, atol=2e-4)
+    assert np.allclose(gmm2.inv_vars, am.gmm.inv_vars, rtol=2e-6)
+    assert np.allclose(gmm2.weights, am.gmm.weights, atol=1e-6)
+
+    # tree: text write -> read
+    tree_out = tmp_path / "tree.txt"
+    with open(tree_out, "w", encoding="utf-8") as f:
+        am.tree.write(KaldiTextWriter(f))
+    tree2 = read_tree_file(tree_out)
+    assert tree2.N == am.tree.N and tree2.P == am.tree.P
+    assert tree2.num_pdfs == am.tree.num_pdfs
+
+
+def test_text_matrix_and_vectors(tmp_path):
+    import io as _io
+
+    from montreal_forced_aligner_tpu.io.kaldi_io import (
+        KaldiTextReader,
+        KaldiTextWriter,
+    )
+
+    buf = _io.StringIO()
+    w = KaldiTextWriter(buf)
+    w.write_token("<X>")
+    w.write_int32(-7)
+    w.write_float(2.25)
+    w.write_int32_vector([4, 5, 6])
+    w.write_vector(np.array([0.5, -1.5]))
+    w.write_matrix(np.arange(6, dtype=np.float32).reshape(3, 2))
+    r = KaldiTextReader(_io.StringIO(buf.getvalue()))
+    r.expect_token("<X>")
+    assert r.read_int32() == -7
+    assert r.read_float() == 2.25
+    assert list(r.read_int32_vector()) == [4, 5, 6]
+    assert np.allclose(r.read_vector(), [0.5, -1.5])
+    assert np.allclose(r.read_matrix(), np.arange(6).reshape(3, 2))
