@@ -207,10 +207,36 @@ class Lexicon:
 
     def lookup(self, word: str) -> Tuple[str, List[Pronunciation]]:
         """Resolve a normalized word to (output word, pronunciations); OOVs
-        map to the oov word with the oov phone."""
+        map to the oov word with the oov phone.
+
+        Word-specific cutoffs ``<cutoff-xyz>`` of an in-vocabulary word get
+        the OOV phone plus every non-empty prefix of each of the word's
+        pronunciations (the reference synthesizes these entries up front in
+        ``find_all_cutoffs``, ``dictionary/multispeaker.py:2767-2896``; here
+        they resolve dynamically at graph-build time)."""
         if word in self.words:
             return word, self.words[word]
+        cut = self._cutoff_base(word)
+        if cut is not None and cut in self.words:
+            prons = [Pronunciation(phones=(self.oov_phone,))]
+            seen = {prons[0].phones}
+            for pron in self.words[cut]:
+                for i in range(1, len(pron.phones) + 1):
+                    prefix = tuple(pron.phones[:i])
+                    if prefix not in seen:
+                        seen.add(prefix)
+                        prons.append(Pronunciation(phones=prefix))
+            return word, prons
         return self.oov_word, [Pronunciation(phones=(self.oov_phone,))]
+
+    def _cutoff_base(self, word: str) -> Optional[str]:
+        """The base word of a word-specific cutoff token, e.g.
+        ``<cutoff-hello>`` -> ``hello`` (None if not a cutoff token)."""
+        stem = self.cutoff_word[:-1] + "-"
+        if word.startswith(stem) and word.endswith(self.cutoff_word[-1]):
+            base = word[len(stem) : -1]
+            return base or None
+        return None
 
     def oov_pronunciations(self) -> List[Pronunciation]:
         return [Pronunciation(phones=(self.oov_phone,))]

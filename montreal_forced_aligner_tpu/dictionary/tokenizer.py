@@ -115,8 +115,18 @@ class SimpleTokenizer:
             ):
                 if self._laughter_regex.match(piece):
                     tokens.append(self.laughter_word)
-                elif self._cutoff_identifier.match(piece):
-                    tokens.append(self.cutoff_word)
+                elif m := self._cutoff_identifier.match(piece):
+                    # keep word-specific cutoffs (<cutoff-xyz>) when the
+                    # base word is known — the lexicon synthesizes prefix
+                    # pronunciations for them (reference find_all_cutoffs,
+                    # dictionary/multispeaker.py:2767)
+                    base = m.group("word")
+                    if base and self._known(base):
+                        tokens.append(
+                            f"{self.cutoff_word[:-1]}-{base}{self.cutoff_word[-1]}"
+                        )
+                    else:
+                        tokens.append(self.cutoff_word)
                 else:
                     tokens.append(piece if self._known(piece) else self.bracketed_word)
                 continue
@@ -140,11 +150,13 @@ class SimpleTokenizer:
         """Returns (normalized_text, oov_list) like the reference's
         ``NormalizeTextFunction`` (``corpus/multiprocessing.py:255``)."""
         tokens = self.tokenize(text)
+        cutoff_stem = self.cutoff_word[:-1] + "-"
         oovs = [
             t
             for t in tokens
             if self.word_set is not None
             and t not in self.word_set
             and t not in (self.laughter_word, self.cutoff_word, self.bracketed_word)
+            and not t.startswith(cutoff_stem)
         ]
         return " ".join(tokens), oovs

@@ -449,3 +449,36 @@ def test_cli_transcribe_and_validate_e2e(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert "Transcription check: WER 0.0" in r.output
+
+
+def test_cutoff_word_modeling(tmp_path):
+    """Word-specific cutoffs <cutoff-xyz> keep their identity when the base
+    word is known and receive OOV + prefix pronunciations (reference
+    find_all_cutoffs, dictionary/multispeaker.py:2767-2896)."""
+    from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+    from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
+
+    dict_path = tmp_path / "dict.txt"
+    dict_path.write_text("hello\thh ah l ow\nworld\tw er l d\n")
+    lex = Lexicon.load(dict_path)
+
+    tok = SimpleTokenizer(word_set=set(lex.words))
+    text, oovs = tok("hello <cutoff-hello> <cutoff-zzz> world")
+    assert text.split() == ["hello", "<cutoff-hello>", "<cutoff>", "world"]
+    assert oovs == []
+
+    out_word, prons = lex.lookup("<cutoff-hello>")
+    assert out_word == "<cutoff-hello>"
+    phone_sets = {p.phones for p in prons}
+    # OOV phone plus every prefix of "hh ah l ow"
+    assert ("spn",) in phone_sets
+    assert ("hh",) in phone_sets
+    assert ("hh", "ah") in phone_sets
+    assert ("hh", "ah", "l") in phone_sets
+    assert ("hh", "ah", "l", "ow") in phone_sets
+    assert len(prons) == 5
+
+    # unknown base falls through to the generic OOV mapping
+    out_word, prons = lex.lookup("<cutoff-zzz>")
+    assert out_word == lex.oov_word
+    assert prons[0].phones == ("spn",)
