@@ -147,12 +147,21 @@ class Corpus:
         corpus.speakers = sorted(speakers)
         return corpus
 
-    def load_audio(self, utt: Utterance):
-        return read_wave(utt.file_path, begin=utt.begin, end=utt.end, channel=utt.channel)
+    def load_audio(self, utt: Utterance, native: bool = False):
+        return read_wave(
+            utt.file_path,
+            begin=utt.begin,
+            end=utt.end,
+            channel=utt.channel,
+            native=native,
+        )
 
     def load_audio_parallel(self, target_rate: int, num_workers: int = 8):
         """Decode every utterance's audio with a thread pool, resampled to
         ``target_rate``; returns samples in ``self.utterances`` order.
+        16-bit sources that need no resampling stay int16 (the feature
+        pipeline converts on device; the narrow dtype halves host copies
+        and host->device transfer).
 
         The reference parallelizes corpus loading over multiprocessing jobs
         (``corpus/base.py`` ``_load_corpus`` + job queues); decode here is
@@ -164,7 +173,7 @@ class Corpus:
         from montreal_forced_aligner_tpu.align.aligner import _resample
 
         def one(utt):
-            wav = self.load_audio(utt)
+            wav = self.load_audio(utt, native=True)
             if wav.sample_rate != target_rate:
                 wav = _resample(wav, target_rate)
             return wav.samples

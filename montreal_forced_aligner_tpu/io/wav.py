@@ -24,7 +24,7 @@ class WaveData:
     duration: float
 
 
-def _parse_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
+def _parse_wav(data: bytes, native: bool = False) -> Tuple[np.ndarray, int, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -47,7 +47,8 @@ def _parse_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
         audio_format = 3 if bits == 32 and block_align == num_channels * 4 else 1
     if audio_format == 1:  # PCM
         if bits == 16:
-            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+            pcm16 = np.frombuffer(raw, dtype="<i2")
+            samples = pcm16 if native else pcm16.astype(np.float32)
         elif bits == 8:
             samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * 256.0
         elif bits == 24:
@@ -82,15 +83,28 @@ def read_wave(
     begin: float = 0.0,
     end: Optional[float] = None,
     channel: int = 0,
+    native: bool = False,
 ) -> WaveData:
-    """Read a (segment of a) WAV/FLAC/MP3/Opus file; selects one channel."""
+    """Read a (segment of a) WAV/FLAC/MP3/Opus file; selects one channel.
+
+    With ``native=True``, sources whose samples are exactly representable as
+    int16 (16-bit PCM WAV, <=16-bit FLAC) are returned as int16 instead of
+    float32. Values are identical either way (int16-scaled); the narrow
+    dtype halves host memory traffic and host->device transfer on the
+    alignment hot path, where waveforms are only padded and shipped.
+    """
     lower = str(path).lower()
+    native_i16 = False
     if lower.endswith(".flac"):
         from montreal_forced_aligner_tpu.io.flac import decode_flac
 
         st = decode_flac(path)
-        scale = 2.0 ** (16 - st.bits_per_sample)
-        samples = (st.samples.astype(np.float32) * scale)
+        if native and st.bits_per_sample == 16:
+            samples = st.samples.astype(np.int16)
+            native_i16 = True
+        else:
+            scale = 2.0 ** (16 - st.bits_per_sample)
+            samples = st.samples.astype(np.float32) * scale
         if st.num_channels == 1:
             samples = samples[:, 0]
         sample_rate = st.sample_rate
@@ -108,13 +122,18 @@ def read_wave(
     else:
         with open(path, "rb") as f:
             data = f.read()
-        samples, sample_rate, num_channels = _parse_wav(data)
+        samples, sample_rate, num_channels = _parse_wav(
+            data, native=native
+        )
+        native_i16 = samples.dtype == np.int16
     if num_channels > 1:
         samples = samples[:, channel]
     total = len(samples)
     start = max(0, int(round(begin * sample_rate)))
     stop = total if end is None else min(total, int(round(end * sample_rate)))
-    seg = np.ascontiguousarray(samples[start:stop], dtype=np.float32)
+    seg = np.ascontiguousarray(
+        samples[start:stop], dtype=np.int16 if native_i16 else np.float32
+    )
     return WaveData(
         samples=seg,
         sample_rate=sample_rate,

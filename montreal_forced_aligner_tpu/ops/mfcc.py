@@ -235,16 +235,22 @@ def pad_waves_for_mfcc(
     L = ((L + shift - 1) // shift) * shift  # chunk-align for reshape framing
     right = PAD_RIGHT
     # ship as int16 when lossless (native 16-bit audio): halves the
-    # host->device transfer, which dominates on remote-attached TPUs
+    # host->device transfer, which dominates on remote-attached TPUs.
+    # int16 inputs are lossless by construction; float inputs need the
+    # (full-pass) integrality check.
     int16_ok = all(
-        np.all(w == np.round(w)) and (w.size == 0 or np.abs(w).max() < 32767.5)
+        w.dtype == np.int16
+        or (
+            np.all(w == np.round(w))
+            and (w.size == 0 or np.abs(w).max() < 32767.5)
+        )
         for w in waves
     )
     dtype = np.int16 if int16_ok else np.float32
     out = np.zeros((len(waves), PAD_LEFT + L + right), dtype=dtype)
     for b, w in enumerate(waves):
         n = len(w)
-        src = w.astype(dtype) if dtype == np.int16 else w
+        src = w.astype(dtype, copy=False) if dtype == np.int16 else w
         out[b, PAD_LEFT : PAD_LEFT + n] = src
         refl = min(PAD_LEFT, n)
         out[b, PAD_LEFT - refl : PAD_LEFT] = src[:refl][::-1]
