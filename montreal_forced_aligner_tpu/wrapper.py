@@ -70,7 +70,7 @@ class MFA:
 
         original_load = corpus.load_audio
 
-        def load_audio(utt):
+        def load_audio(utt, native=False):
             if hasattr(utt, "_samples"):
                 from montreal_forced_aligner_tpu.io.wav import WaveData
 
@@ -81,7 +81,7 @@ class MFA:
                     num_channels=1,
                     duration=len(utt._samples) / sr,
                 )
-            return original_load(utt)
+            return original_load(utt, native=native)
 
         corpus.load_audio = load_audio
         results = self.aligner.align_corpus(corpus)
