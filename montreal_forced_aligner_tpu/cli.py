@@ -384,6 +384,63 @@ def create_segments_vad_cli(corpus_directory, output_directory,
     click.echo(f"Wrote {len(outs)} segment TextGrids to {output_directory}")
 
 
+@cli.command("create_segments")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("acoustic_model_path", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--max_segment_length", default=30.0, show_default=True)
+@click.option("--min_pause_duration", default=0.15, show_default=True,
+              help="Aligned silence gap that splits segments")
+def create_segments_cli(corpus_directory, dictionary_path,
+                        acoustic_model_path, output_directory,
+                        max_segment_length, min_pause_duration):
+    """Segment long transcribed files by aligning the transcript and cutting
+    at silences (reference: ``mfa segment`` / ``TranscriptionSegmenter``,
+    ``vad/segmenter.py:575``, ``SegmentTranscriptFunction``
+    ``vad/multiprocessing.py:409``). Writes one TextGrid per file whose
+    ``segments`` tier carries each segment's transcript."""
+    from pathlib import Path as _P
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
+    from montreal_forced_aligner_tpu.vad.transcript_segmenter import (
+        segment_transcribed_file,
+    )
+
+    aligner = PretrainedAligner(
+        acoustic_model_path, dictionary_path, AlignerConfig()
+    )
+    corpus = Corpus.load(corpus_directory)
+    out = _P(output_directory)
+    out.mkdir(parents=True, exist_ok=True)
+    n_segments = 0
+    for utt in corpus.utterances:
+        wav = corpus.load_audio(utt)
+        segs = segment_transcribed_file(
+            aligner,
+            wav.samples,
+            utt.text,
+            min_pause=min_pause_duration,
+            max_segment_length=max_segment_length,
+        )
+        tg = TextGrid()
+        tg.xmax = wav.duration
+        tg.tiers["segments"] = [
+            Interval(s.begin, s.end, s.text) for s in segs
+        ]
+        tg.write(out / f"{utt.file_name}.TextGrid")
+        n_segments += len(segs)
+    click.echo(
+        f"Segmented {corpus.num_utterances} files into {n_segments} "
+        f"utterances -> {output_directory}"
+    )
+
+
 @cli.command("evaluate_alignments")
 @click.argument("reference_directory", type=click.Path(exists=True))
 @click.argument("test_directory", type=click.Path(exists=True))

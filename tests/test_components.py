@@ -291,7 +291,7 @@ def test_cli_commands_exist_and_config(tmp_path, monkeypatch):
         "align", "align_one", "adapt", "train", "validate",
         "validate_dictionary", "transcribe", "train_lm", "train_g2p", "g2p",
         "train_ivector", "diarize_speakers", "train_tokenizer", "tokenize",
-        "train_dictionary", "create_segments_vad", "evaluate_alignments",
+        "train_dictionary", "create_segments_vad", "create_segments", "evaluate_alignments",
         "model", "configure", "history", "version",
     }
     assert expected <= set(cli.commands)

@@ -97,3 +97,35 @@ def test_online_long_utterance_routing(tmp_path, monkeypatch):
     assert [p.label for p in long_res.phones] == [p.label for p in ref.phones]
     for a, b in zip(long_res.phones, ref.phones):
         assert abs(a.begin - b.begin) < 1e-6 and abs(a.end - b.end) < 1e-6
+
+
+def test_create_segments_cli(tmp_path):
+    """`create_segments` aligns long transcribed files and writes TextGrids
+    with a segments tier (reference: TranscriptionSegmenter,
+    vad/segmenter.py:575)."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    out = tmp_path / "segout"
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        [
+            "create_segments",
+            str(corpus_dir),
+            str(dict_path),
+            str(model_path),
+            str(out),
+            "--min_pause_duration", "0.2",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    tgs = list(out.glob("*.TextGrid"))
+    assert tgs
+    body = tgs[0].read_text()
+    assert "segments" in body
+    assert "ab" in body
