@@ -17,7 +17,21 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.6 exposes shard_map at top level (experimental path deprecated)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+import inspect as _inspect
+
+# the replication-check kwarg was renamed check_rep -> check_vma across jax
+# versions; the graph pytree mixes sharded/replicated leaves so it must be off
+_NO_REP_CHECK = (
+    {"check_vma": False}
+    if "check_vma" in _inspect.signature(shard_map).parameters
+    else {"check_rep": False}
+)
 
 from montreal_forced_aligner_tpu.ops.viterbi import BatchedGraph, NEG_INF
 
@@ -101,6 +115,6 @@ def make_sharded_accumulate_step(
         mesh=mesh,
         in_specs=(data, data, graph_specs, rep, rep, rep),
         out_specs=(data, data, rep, rep, rep, rep, rep),
-        check_rep=False,
+        **_NO_REP_CHECK,
     )
     return jax.jit(fn)
