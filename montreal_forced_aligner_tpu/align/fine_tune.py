@@ -147,7 +147,7 @@ def fine_tune_alignments(
         if (aligner.model.uses_lda and aligner.model.lda_mat is not None)
         else None
     )
-    W, gconsts = aligner._device_gmm
+    W, gconsts = aligner._device_gmm[0], aligner._device_gmm[1]
     new_begins: Dict[Tuple[int, int], float] = {}
 
     for lo in range(0, len(jobs), batch_size):

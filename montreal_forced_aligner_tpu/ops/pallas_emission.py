@@ -76,6 +76,7 @@ def _emission_kernel(
             w_g,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (T, S_TILE); includes the gconst term
         m_new = jnp.maximum(m, q)
         ssum = ssum * jnp.exp(m - m_new) + jnp.exp(q - m_new)
@@ -133,12 +134,19 @@ def pallas_state_loglikes(
     return out[:, :T, :S]
 
 
-def pack_gmm_for_pallas(gmm) -> np.ndarray:
-    """(P, G, 2D+2) parameter rows: [miv, -0.5*iv, gconst, 0] per Gaussian;
+def pack_rows(means_invvars, inv_vars, gconsts) -> np.ndarray:
+    """(P, G, D2p) parameter rows: [miv, -0.5*iv, gconst, 0...] per Gaussian,
+    padded to the TPU lane tiling (128) so per-pdf HBM slices are aligned;
     padded Gaussians carry gconst = NEG_INF so they vanish in logsumexp."""
-    P, G, D = gmm.means_invvars.shape
-    out = np.zeros((P, G, 2 * D + 2), dtype=np.float32)
-    out[:, :, :D] = gmm.means_invvars
-    out[:, :, D : 2 * D] = -0.5 * gmm.inv_vars
-    out[:, :, 2 * D] = np.maximum(gmm.gconsts, NEG_INF)
+    P, G, D = means_invvars.shape
+    d2 = 2 * D + 2
+    d2p = ((d2 + 127) // 128) * 128
+    out = np.zeros((P, G, d2p), dtype=np.float32)
+    out[:, :, :D] = means_invvars
+    out[:, :, D : 2 * D] = -0.5 * inv_vars
+    out[:, :, 2 * D] = np.maximum(gconsts, NEG_INF)
     return out
+
+
+def pack_gmm_for_pallas(gmm) -> np.ndarray:
+    return pack_rows(gmm.means_invvars, gmm.inv_vars, gmm.gconsts)

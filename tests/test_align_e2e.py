@@ -159,3 +159,44 @@ def test_multispeaker_dictionaries(tmp_path):
     results = aligner.align_corpus(corpus)
     labels = [w.label for w in sorted(results[0].words, key=lambda w: w.begin)]
     assert labels == ["ab", "a"]
+
+
+def test_pallas_emission_backend_parity(synthetic_setup, monkeypatch):
+    """The Pallas likelihood-on-demand emission backend must reproduce the
+    default all-pdf one-hot path exactly (run in interpreter mode on CPU;
+    TPU hosts compile the real Mosaic kernel)."""
+    from jax.experimental import pallas as pl
+
+    import montreal_forced_aligner_tpu.align.aligner as AL
+    import montreal_forced_aligner_tpu.ops.pallas_emission as PE
+
+    tmp, corpus_dir, model_path, dict_path = synthetic_setup
+    config = AlignerConfig(frame_bucket_multiple=32, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    baseline = PretrainedAligner(model_path, dict_path, config).align_corpus(
+        corpus
+    )
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(PE.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(AL, "_pallas_emission_eligible", lambda P, G: True)
+    # the kernel entry is jitted with a compile cache keyed on the module
+    # function; clear it so the interpret-mode trace is fresh
+    PE.pallas_state_loglikes.clear_cache()
+    try:
+        aligner = PretrainedAligner(model_path, dict_path, config)
+        assert aligner._device_gmm[2] is not None
+        results = aligner.align_corpus(corpus)
+    finally:
+        PE.pallas_state_loglikes.clear_cache()
+
+    for key, aln in baseline.items():
+        got = results[key]
+        assert [
+            (p.label, round(p.begin, 3), round(p.end, 3)) for p in aln.phones
+        ] == [(p.label, round(p.begin, 3), round(p.end, 3)) for p in got.phones]

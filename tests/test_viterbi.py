@@ -231,7 +231,7 @@ def test_long_viterbi_matches_batched():
     )
     mean = feats[0, :T].mean(axis=0)
     ff = _final_feats(feats, jnp.asarray([T]), mean[None], None)
-    W, gc = al._device_gmm
+    W, gc = al._device_gmm[0], al._device_gmm[1]
 
     sp_batch, score_batch = _emit_and_align(
         ff, jnp.asarray([T]), bgraph, W, gc, 0.1
