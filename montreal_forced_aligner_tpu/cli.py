@@ -585,6 +585,64 @@ def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
         )
 
 
+def _export_neural_transcripts(corpus, results, output_directory):
+    from pathlib import Path as _P
+
+    out = _P(output_directory)
+    for utt in corpus.utterances:
+        if utt.id not in results:
+            continue
+        d = out / utt.speaker
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{utt.file_name}.lab").write_text(results[utt.id] + "\n")
+
+
+@cli.command("transcribe_whisper")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("model_path", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--language", default=None, help="decoding language hint")
+def transcribe_whisper_cli(corpus_directory, model_path, output_directory,
+                           language):
+    """Transcribe a corpus with a local Whisper checkpoint (reference:
+    ``mfa transcribe_whisper``, ``transcription/transcriber.py:1850``).
+    Requires the transformers package and a locally downloaded model
+    directory (this auxiliary workload runs on host/torch, not TPU)."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.torch_models import (
+        WhisperTranscriber,
+    )
+
+    tr = WhisperTranscriber(model_path, language=language)
+    corpus = Corpus.load(corpus_directory)
+    results = tr.transcribe_corpus(corpus)
+    _export_neural_transcripts(corpus, results, output_directory)
+    click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
+
+
+@cli.command("transcribe_speechbrain")
+@click.argument("corpus_directory", type=click.Path(exists=True))
+@click.argument("model_path", type=click.Path(exists=True))
+@click.argument("output_directory", type=click.Path())
+@click.option("--language", default=None, help="decoding language hint")
+def transcribe_speechbrain_cli(corpus_directory, model_path,
+                               output_directory, language):
+    """Transcribe a corpus with a local SpeechBrain ASR checkpoint
+    (reference: ``mfa transcribe_speechbrain``,
+    ``transcription/transcriber.py:1967``). Requires the speechbrain
+    package and a local checkpoint directory."""
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.torch_models import (
+        SpeechbrainTranscriber,
+    )
+
+    tr = SpeechbrainTranscriber(model_path, language=language)
+    corpus = Corpus.load(corpus_directory)
+    results = tr.transcribe_corpus(corpus)
+    _export_neural_transcripts(corpus, results, output_directory)
+    click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
+
+
 @cli.command("train_g2p")
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())

@@ -73,3 +73,57 @@ class WhisperTranscriber:
             wav = corpus.load_audio(utt)
             out[utt.id] = self.transcribe(wav.samples, wav.sample_rate)
         return out
+
+
+def found_speechbrain() -> bool:
+    try:
+        import speechbrain  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class SpeechbrainTranscriber:
+    """Transcribe with a locally available SpeechBrain ASR checkpoint
+    (reference ``SpeechbrainTranscriber``,
+    ``transcription/transcriber.py:1967``; worker spec
+    ``transcription/multiprocessing.py:583-1001``)."""
+
+    def __init__(self, model_path, language: Optional[str] = None):
+        if not found_speechbrain():
+            raise RuntimeError(
+                "speechbrain is not available; install it and provide a "
+                "local checkpoint directory (no network egress here)"
+            )
+        model_path = Path(model_path)
+        if not model_path.exists():
+            raise FileNotFoundError(
+                f"no local SpeechBrain checkpoint at {model_path}; this "
+                "environment has no network egress, so weights must be "
+                "provided as a local directory"
+            )
+        from speechbrain.inference.ASR import EncoderDecoderASR
+
+        self.model = EncoderDecoderASR.from_hparams(
+            source=str(model_path), savedir=str(model_path)
+        )
+        self.language = language
+
+    def transcribe(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
+        import torch
+
+        wav = torch.from_numpy(
+            np.asarray(samples, dtype=np.float32) / 32768.0
+        ).unsqueeze(0)
+        lens = torch.ones(1)
+        with torch.no_grad():
+            preds, _ = self.model.transcribe_batch(wav, lens)
+        return preds[0].strip().lower()
+
+    def transcribe_corpus(self, corpus) -> Dict[int, str]:
+        out = {}
+        for utt in corpus.utterances:
+            wav = corpus.load_audio(utt)
+            out[utt.id] = self.transcribe(wav.samples, wav.sample_rate)
+        return out

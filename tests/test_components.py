@@ -293,6 +293,7 @@ def test_cli_commands_exist_and_config(tmp_path, monkeypatch):
         "train_ivector", "diarize_speakers", "train_tokenizer", "tokenize",
         "train_dictionary", "create_segments_vad", "create_segments", "evaluate_alignments",
         "model", "configure", "history", "version",
+        "transcribe_whisper", "transcribe_speechbrain",
     }
     assert expected <= set(cli.commands)
 
@@ -406,6 +407,18 @@ def test_whisper_wrapper_gating(tmp_path):
     if found_transformers():
         with pytest.raises(FileNotFoundError):
             WhisperTranscriber(tmp_path / "nonexistent_model")
+
+    from montreal_forced_aligner_tpu.transcription.torch_models import (
+        SpeechbrainTranscriber,
+        found_speechbrain,
+    )
+
+    if found_speechbrain():
+        with pytest.raises(FileNotFoundError):
+            SpeechbrainTranscriber(tmp_path / "nonexistent_model")
+    else:
+        with pytest.raises(RuntimeError):
+            SpeechbrainTranscriber(tmp_path / "nonexistent_model")
 
 
 def test_cli_transcribe_and_validate_e2e(tmp_path):
