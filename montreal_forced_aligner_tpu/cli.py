@@ -228,9 +228,14 @@ def version_cli():
 @click.option("--features_on_host/--features_on_device", default=False,
               show_default=True,
               help="Keep feature batches in host RAM (large corpora)")
+@click.option("--phone_set_type", default="UNKNOWN", show_default=True,
+              type=click.Choice(["UNKNOWN", "AUTO", "ARPA", "IPA", "PINYIN"],
+                                case_sensitive=False),
+              help="Phone-set family for tree roots + phonological questions")
 def train_cli(corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, num_iterations_scale,
-              working_directory, position_dependent_phones, features_on_host):
+              working_directory, position_dependent_phones, features_on_host,
+              phone_set_type):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -251,6 +256,7 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
         batch_size=batch_size, working_directory=working_directory,
         position_dependent_phones=position_dependent_phones,
         features_on_host=features_on_host,
+        phone_set_type=phone_set_type,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -75,3 +75,144 @@ class UtteranceAlignment:
     phones: List[CtmInterval]
     log_likelihood: float
     per_frame_log_likelihood: float
+
+
+class PhoneSetType(enum.Enum):
+    """Phone-set families with automatic base-phone extraction and
+    phonological tree questions (reference ``data.py:611``; used for
+    triphone tree roots/questions per ``dictionary/mixins.py:224-530``).
+
+    ``base_phone`` strips stress digits (ARPA: AH0/AH1/AH2 -> AH), tone
+    digits (PINYIN: ma1..ma5 -> ma) or suprasegmental diacritics (IPA:
+    length/tone/stress marks) so variants share a tree root;
+    ``extra_questions`` adds phonological-class questions to the
+    data-driven clustering."""
+
+    UNKNOWN = "UNKNOWN"
+    AUTO = "AUTO"
+    IPA = "IPA"
+    ARPA = "ARPA"
+    PINYIN = "PINYIN"
+
+    def __str__(self) -> str:
+        return self.name
+
+    @classmethod
+    def detect(cls, phones) -> "PhoneSetType":
+        """Pick the most plausible family for a bag of phone labels
+        (reference ``regex_detect``/AUTO semantics)."""
+        import re
+
+        arpa = re.compile(r"^[A-Z]{1,2}[012]?$")
+        pinyin = re.compile(r"^[a-z]{1,6}[12345]$")
+        ipa_chars = set("əɚʊɡɤʁɹɔɛʉɒβɲɟʝŋʃɕʰʲɾːˑ˩˨˧˦˥ˌˈθðʒæɑɪʌʏøœɶɯɨ")
+        counts = {cls.ARPA: 0, cls.PINYIN: 0, cls.IPA: 0}
+        phones = [p for p in phones if p]
+        for p in phones:
+            if arpa.match(p):
+                counts[cls.ARPA] += 1
+            if pinyin.match(p):
+                counts[cls.PINYIN] += 1
+            if any(ch in ipa_chars for ch in p):
+                counts[cls.IPA] += 1
+        if not phones:
+            return cls.UNKNOWN
+        best = max(counts, key=lambda k: counts[k])
+        return best if counts[best] >= max(1, len(phones) // 2) else cls.UNKNOWN
+
+    def base_phone(self, phone: str) -> str:
+        import re
+
+        if self is PhoneSetType.ARPA:
+            return re.sub(r"[012]$", "", phone)
+        if self is PhoneSetType.PINYIN:
+            return re.sub(r"[12345]$", "", phone)
+        if self is PhoneSetType.IPA:
+            # strip length/stress/tone/aspiration suprasegmentals
+            return re.sub(r"[ːˑ˩˨˧˦˥ˌˈʰʱʲʷˀˤ̃̊̚]+", "", phone)
+        return phone
+
+    def extra_questions(self):
+        """{class-name: set of base phones} phonological questions."""
+        if self is PhoneSetType.ARPA:
+            # standard Arpabet phonology (US English)
+            stops = {"P", "B", "T", "D", "K", "G"}
+            affricates = {"CH", "JH"}
+            fricatives = {"F", "V", "TH", "DH", "S", "Z", "SH", "ZH", "HH"}
+            sibilants = {"S", "Z", "SH", "ZH", "CH", "JH"}
+            nasals = {"M", "N", "NG"}
+            approximants = {"L", "R", "W", "Y"}
+            laterals = {"L"}
+            labials = {"P", "B", "M", "F", "V", "W"}
+            coronal = {"T", "D", "N", "S", "Z", "TH", "DH", "SH", "ZH", "CH", "JH", "L", "R"}
+            dorsal = {"K", "G", "NG", "HH", "W", "Y"}
+            voiced_obstruents = {"B", "D", "G", "V", "DH", "Z", "ZH", "JH"}
+            voiceless_obstruents = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+            front_vowels = {"IY", "IH", "EY", "EH", "AE"}
+            central_vowels = {"AH", "ER", "AX"}
+            back_vowels = {"UW", "UH", "OW", "AO", "AA"}
+            diphthongs = {"AY", "AW", "OY", "EY", "OW"}
+            rounded = {"UW", "UH", "OW", "AO", "OY", "AW", "W"}
+            vowels = front_vowels | central_vowels | back_vowels | diphthongs
+            return {
+                "stops": stops,
+                "affricates": affricates,
+                "fricatives": fricatives,
+                "sibilants": sibilants,
+                "nasals": nasals,
+                "approximants": approximants,
+                "laterals": laterals,
+                "labials": labials,
+                "coronal": coronal,
+                "dorsal": dorsal,
+                "voiced_obstruents": voiced_obstruents,
+                "voiceless_obstruents": voiceless_obstruents,
+                "front_vowels": front_vowels,
+                "central_vowels": central_vowels,
+                "back_vowels": back_vowels,
+                "diphthongs": diphthongs,
+                "rounded_vowels": rounded,
+                "vowels": vowels,
+                "consonants": stops | affricates | fricatives | nasals | approximants,
+            }
+        if self is PhoneSetType.IPA:
+            stops = set("ptʈckqbdɖɟɡɢʔ")
+            fricatives = set("fvθðszʃʒʂʐɕʑçʝxɣχʁħʕhɦɸβ")
+            nasals = set("mɱnɳɲŋɴ")
+            approximants = set("ʋɹɻjɰlɭʎʟwɥ")
+            trills_taps = set("ʙrʀɾɽ")
+            front_vowels = set("iyɪʏeøɛœæaɶ")
+            central_vowels = set("ɨʉɘɵəɚɜɝɞɐ")
+            back_vowels = set("ɯuʊɤoʌɔɑɒ")
+            rounded = set("yʏøœɶʉɵuʊoɔɒ")
+            vowels = front_vowels | central_vowels | back_vowels
+            return {
+                "stops": stops,
+                "fricatives": fricatives,
+                "nasals": nasals,
+                "approximants": approximants,
+                "trills_taps": trills_taps,
+                "front_vowels": front_vowels,
+                "central_vowels": central_vowels,
+                "back_vowels": back_vowels,
+                "rounded_vowels": rounded,
+                "vowels": vowels,
+                "consonants": stops | fricatives | nasals | approximants | trills_taps,
+            }
+        if self is PhoneSetType.PINYIN:
+            # group by tone across all syllables; initials vs finals
+            return {}
+        return {}
+
+    def tone_questions(self, phones):
+        """For tonal sets: {tone: set of full phone labels with that tone}."""
+        import re
+
+        if self is not PhoneSetType.PINYIN:
+            return {}
+        out = {}
+        for p in phones:
+            m = re.search(r"([12345])$", p)
+            if m:
+                out.setdefault(f"tone_{m.group(1)}", set()).add(p)
+        return {k: v for k, v in out.items() if len(v) > 1}

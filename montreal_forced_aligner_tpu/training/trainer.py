@@ -69,6 +69,7 @@ class TrainableAligner:
         position_dependent_phones: bool = True,
         working_directory=None,
         features_on_host: bool = False,
+        phone_set_type: str = "UNKNOWN",
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.lexicon = Lexicon.load(
@@ -81,6 +82,7 @@ class TrainableAligner:
             Path(working_directory) if working_directory else None
         )
         self.features_on_host = features_on_host
+        self.phone_set_type = phone_set_type
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
 
@@ -224,11 +226,13 @@ class TrainableAligner:
                 trainer = MonophoneTrainer(self.lexicon, cfg)
             elif stage.kind == "tri":
                 trainer = TriphoneTrainer(
-                    self.lexicon, topo, cfg, num_leaves=stage.num_leaves
+                    self.lexicon, topo, cfg, num_leaves=stage.num_leaves,
+                    phone_set_type=self.phone_set_type,
                 )
             elif stage.kind == "lda":
                 trainer = LdaTrainer(
-                    self.lexicon, topo, cfg, num_leaves=stage.num_leaves
+                    self.lexicon, topo, cfg, num_leaves=stage.num_leaves,
+                    phone_set_type=self.phone_set_type,
                 )
             elif stage.kind == "sat":
                 trainer = SatTrainer(
@@ -237,6 +241,7 @@ class TrainableAligner:
                     cfg,
                     num_leaves=stage.num_leaves,
                     lda_mat=lda_mat,
+                    phone_set_type=self.phone_set_type,
                 )
             elif stage.kind == "pron_prob":
                 self._estimate_pronunciation_probabilities(pipeline)

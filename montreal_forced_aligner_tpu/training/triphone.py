@@ -51,16 +51,33 @@ class TriphoneTrainer(ViterbiEmTrainer):
         num_leaves: int = 1000,
         initial_gaussians: Optional[int] = None,
         cluster_pdf_class: int = 1,
+        phone_set_type=None,
     ):
         super().__init__(lexicon, config)
         self.topo = topo
         self.num_leaves = num_leaves
         self.initial_gaussians = initial_gaussians
         self.cluster_pdf_class = cluster_pdf_class
+        from montreal_forced_aligner_tpu.data import PhoneSetType
 
-    def phone_groups(self) -> List[List[int]]:
-        """MFA root grouping: a base phone's positional variants form one
-        group (``dictionary/mixins.py:834-880``); silence phones likewise."""
+        if phone_set_type is None:
+            phone_set_type = PhoneSetType.UNKNOWN
+        elif isinstance(phone_set_type, str):
+            phone_set_type = PhoneSetType[phone_set_type.upper()]
+        self.phone_set_type = phone_set_type
+
+    def _resolved_phone_set(self):
+        """AUTO inspects the dictionary's base phone labels (reference
+        ``PhoneSetType.AUTO``, ``data.py:615``)."""
+        from montreal_forced_aligner_tpu.data import PhoneSetType
+
+        pst = self.phone_set_type
+        if pst is PhoneSetType.AUTO:
+            pst = PhoneSetType.detect(self._positional_bases().keys())
+        return pst
+
+    def _positional_bases(self) -> Dict[str, List[int]]:
+        """{positional-suffix-stripped name: phone ids} over the table."""
         groups: Dict[str, List[int]] = defaultdict(list)
         for name, pid in self.lexicon.phone_table.items():
             if pid <= 0:
@@ -71,7 +88,50 @@ class TriphoneTrainer(ViterbiEmTrainer):
                     base = name[: -len(pos)]
                     break
             groups[base].append(pid)
+        return groups
+
+    def phone_groups(self) -> List[List[int]]:
+        """MFA root grouping: a base phone's positional variants form one
+        group (``dictionary/mixins.py:834-880``); silence phones likewise.
+        With a known phone set, stress/tone/suprasegmental variants merge
+        into one root too (AH0/AH1/AH2 -> AH; reference
+        ``dictionary/mixins.py:224-530`` base-phone grouping)."""
+        from montreal_forced_aligner_tpu.data import PhoneSetType
+
+        groups = self._positional_bases()
+        pst = self._resolved_phone_set()
+        if pst not in (PhoneSetType.UNKNOWN, PhoneSetType.AUTO):
+            merged: Dict[str, List[int]] = defaultdict(list)
+            for base, pids in groups.items():
+                merged[pst.base_phone(base)].extend(pids)
+            groups = merged
         return [sorted(v) for _k, v in sorted(groups.items())]
+
+    def extra_question_sets(self) -> List[set]:
+        """Phonological-class questions as phone-id sets (reference
+        ``PhoneSetType.extra_questions``, ``data.py:1364``; written to
+        extra_questions.int by ``dictionary/mixins.py:834``)."""
+        from montreal_forced_aligner_tpu.data import PhoneSetType
+
+        pst = self._resolved_phone_set()
+        if pst in (PhoneSetType.UNKNOWN, PhoneSetType.AUTO):
+            return []
+        bases = self._positional_bases()
+        out = []
+        for _name, cls_bases in sorted(pst.extra_questions().items()):
+            q = set()
+            for base, pids in bases.items():
+                if pst.base_phone(base) in cls_bases:
+                    q.update(pids)
+            if len(q) > 1:
+                out.append(q)
+        for _name, full in sorted(pst.tone_questions(bases.keys()).items()):
+            q = set()
+            for base in full:
+                q.update(bases[base])
+            if len(q) > 1:
+                out.append(q)
+        return out
 
     # -- alignment label extraction (from the previous stage) ----------------
     def _extract_labels(self, pipeline: TrainingPipeline) -> List[dict]:
@@ -226,6 +286,16 @@ class TriphoneTrainer(ViterbiEmTrainer):
         logger.info("%d tree-stat events", len(tree_stats.stats))
         groups = self.phone_groups()
         questions = auto_questions(tree_stats, groups, self.cluster_pdf_class)
+        extra = self.extra_question_sets()
+        if extra:
+            seen = {tuple(sorted(q)) for q in questions}
+            questions.extend(
+                q for q in extra if tuple(sorted(q)) not in seen
+            )
+            logger.info(
+                "%s phone set: %d extra phonological questions",
+                self.phone_set_type, len(extra),
+            )
         roots = [Root(set(g)) for g in groups]
         self.tree = build_tree(
             tree_stats, questions, roots, max_leaves=self.num_leaves

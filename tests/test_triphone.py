@@ -160,3 +160,74 @@ def test_triphone_lvcsr_decoding(tri_setup, monkeypatch):
     wi_results = tr.transcribe_corpus(corpus)
     metrics = tr.evaluate(corpus, wi_results)
     assert metrics["wer"] <= 0.3, metrics
+
+
+def test_phone_set_type_groups_and_questions(tmp_path):
+    """ARPA phone-set: stress variants share a tree root; phonological
+    classes become extra questions (reference ``data.py:611,1364``)."""
+    from montreal_forced_aligner_tpu.data import PhoneSetType
+    from montreal_forced_aligner_tpu.models.transition_model import HmmTopology
+
+    dict_path = tmp_path / "arpa.dict"
+    dict_path.write_text(
+        "cat\tK AE1 T\ncats\tK AE1 T S\nabout\tAH0 B AW1 T\n"
+        "the\tDH AH0\nsee\tS IY1\nup\tAH1 P\n"
+    )
+    lex = Lexicon.load(dict_path, position_dependent=True)
+    pids = sorted(p for p in lex.phone_table.values() if p > 0)
+    topo = HmmTopology.standard(pids)
+
+    tri = TriphoneTrainer(
+        lex, topo, TrainerConfig(), phone_set_type="ARPA"
+    )
+    groups = tri.phone_groups()
+    name_by_id = {v: k for k, v in lex.phone_table.items()}
+    # AH0's positional variants must share a group with any other AH stress
+    ah_groups = [
+        g for g in groups
+        if any(name_by_id[p].startswith("AH") for p in g)
+    ]
+    assert len(ah_groups) == 1
+    extra = tri.extra_question_sets()
+    assert extra, "ARPA must contribute phonological questions"
+    # one of the questions must contain both K and T (stops)
+    stops_q = [
+        q for q in extra
+        if {name_by_id[p].split("_")[0].rstrip("012") for p in q} >= {"K", "T"}
+    ]
+    assert stops_q
+
+    # AUTO detection resolves to ARPA for this dictionary
+    tri_auto = TriphoneTrainer(
+        lex, topo, TrainerConfig(), phone_set_type="AUTO"
+    )
+    assert tri_auto._resolved_phone_set() is PhoneSetType.ARPA
+    # UNKNOWN keeps stress variants apart
+    tri_unk = TriphoneTrainer(lex, topo, TrainerConfig())
+    unk_groups = tri_unk.phone_groups()
+    assert len(unk_groups) > len(groups)
+
+
+def test_triphone_training_with_ipa_questions(tri_setup):
+    """Tree building must accept extra phonological questions end-to-end
+    (aa/bb are plain latin so force IPA set; the classes won't match and
+    UNKNOWN-equivalent behavior must still train)."""
+    tmp, corpus_dir, dict_path, _model, _tri, _truths = tri_setup
+    lexicon = Lexicon.load(dict_path, position_dependent=False)
+    corpus = Corpus.load(corpus_dir)
+    pipeline = TrainingPipeline(corpus, lexicon, batch_size=4)
+    pipeline.prepare_features()
+    mono = MonophoneTrainer(
+        lexicon,
+        TrainerConfig(num_iterations=4, max_gaussians=24, boost_silence=1.0),
+    )
+    mono.train(pipeline)
+    tri = TriphoneTrainer(
+        lexicon,
+        mono.tm.topo,
+        TrainerConfig(num_iterations=2, max_gaussians=32, boost_silence=1.0),
+        num_leaves=24,
+        phone_set_type="IPA",
+    )
+    model = tri.train(pipeline)
+    assert model.gmm.num_pdfs > 0
