@@ -216,3 +216,124 @@ class PhoneSetType(enum.Enum):
             if m:
                 out.setdefault(f"tone_{m.group(1)}", set()).add(p)
         return {k: v for k, v in out.items() if len(v) > 1}
+
+
+class PhoneType(enum.Enum):
+    """Phone categories (reference ``data.py:360``)."""
+
+    non_silence = 1
+    silence = 2
+    oov = 3
+    disambiguation = 4
+    extra = 5
+
+
+class WordType(enum.Enum):
+    """Word categories (reference ``data.py:426``)."""
+
+    speech = 1
+    clitic = 2
+    silence = 3
+    oov = 4
+    bracketed = 5
+    laughter = 6
+    cutoff = 7
+    music = 8
+    noise = 9
+    interjection = 10
+
+    @classmethod
+    def classify(cls, word: str, lexicon=None) -> "WordType":
+        """Classify a (normalized) word label the way the reference's
+        dictionary setup tags special words
+        (``dictionary/mixins.py:91-194``, ``multispeaker.py:889``)."""
+        ow = getattr(lexicon, "oov_word", "<unk>")
+        sw = getattr(lexicon, "silence_word", "<eps>")
+        lw = getattr(lexicon, "laughter_word", "[laughter]")
+        bw = getattr(lexicon, "bracketed_word", "[bracketed]")
+        cw = getattr(lexicon, "cutoff_word", "<cutoff>")
+        if word == sw:
+            return cls.silence
+        if word == ow:
+            return cls.oov
+        if word == lw or word.strip("[]{}<>") == "laughter":
+            return cls.laughter
+        if word == cw or word.startswith(cw[:-1] + "-"):
+            return cls.cutoff
+        if word.startswith(("[", "{", "<")) and word.endswith(("]", "}", ">")):
+            return cls.bracketed
+        if word.startswith("'") or word.endswith("'"):
+            return cls.clitic
+        return cls.speech
+
+
+class Language(enum.Enum):
+    """Language hints for tokenizers and neural transcribers (reference
+    ``data.py:481``; the reference routes spacy/sudachipy/mecab/pythainlp
+    pipelines and whisper decoding through this)."""
+
+    unknown = "unknown"
+    multilingual = "multilingual"
+    arabic = "arabic"
+    bulgarian = "bulgarian"
+    catalan = "catalan"
+    chinese = "chinese"
+    croatian = "croatian"
+    czech = "czech"
+    danish = "danish"
+    dutch = "dutch"
+    english = "english"
+    finnish = "finnish"
+    french = "french"
+    german = "german"
+    greek = "greek"
+    hausa = "hausa"
+    hebrew = "hebrew"
+    hindi = "hindi"
+    hungarian = "hungarian"
+    icelandic = "icelandic"
+    indonesian = "indonesian"
+    italian = "italian"
+    japanese = "japanese"
+    korean = "korean"
+    lithuanian = "lithuanian"
+    macedonian = "macedonian"
+    maltese = "maltese"
+    norwegian = "norwegian"
+    persian = "persian"
+    polish = "polish"
+    portuguese = "portuguese"
+    romanian = "romanian"
+    russian = "russian"
+    serbian = "serbian"
+    slovak = "slovak"
+    slovenian = "slovenian"
+    spanish = "spanish"
+    swahili = "swahili"
+    swedish = "swedish"
+    tamil = "tamil"
+    thai = "thai"
+    turkish = "turkish"
+    ukrainian = "ukrainian"
+    urdu = "urdu"
+    vietnamese = "vietnamese"
+
+    @property
+    def iso_code(self) -> str:
+        codes = {
+            "arabic": "ar", "bulgarian": "bg", "catalan": "ca",
+            "chinese": "zh", "croatian": "hr", "czech": "cs",
+            "danish": "da", "dutch": "nl", "english": "en",
+            "finnish": "fi", "french": "fr", "german": "de",
+            "greek": "el", "hausa": "ha", "hebrew": "he", "hindi": "hi",
+            "hungarian": "hu", "icelandic": "is", "indonesian": "id",
+            "italian": "it", "japanese": "ja", "korean": "ko",
+            "lithuanian": "lt", "macedonian": "mk", "maltese": "mt",
+            "norwegian": "no", "persian": "fa", "polish": "pl",
+            "portuguese": "pt", "romanian": "ro", "russian": "ru",
+            "serbian": "sr", "slovak": "sk", "slovenian": "sl",
+            "spanish": "es", "swahili": "sw", "swedish": "sv",
+            "tamil": "ta", "thai": "th", "turkish": "tr",
+            "ukrainian": "uk", "urdu": "ur", "vietnamese": "vi",
+        }
+        return codes.get(self.value, self.value)

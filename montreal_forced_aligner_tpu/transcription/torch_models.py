@@ -20,6 +20,22 @@ import numpy as np
 logger = logging.getLogger("mfa_tpu")
 
 
+def _iso_language(language) -> Optional[str]:
+    """Accepts a ``Language`` enum, a language name, or an ISO code
+    (reference passes Language through to whisper, ``data.py:481``)."""
+    if language is None:
+        return None
+    from montreal_forced_aligner_tpu.data import Language
+
+    if isinstance(language, Language):
+        return language.iso_code
+    name = str(language).lower()
+    try:
+        return Language[name].iso_code
+    except KeyError:
+        return name  # assume it is already an ISO code
+
+
 def found_transformers() -> bool:
     try:
         import transformers  # noqa: F401
@@ -55,7 +71,7 @@ class WhisperTranscriber:
         self.model = WhisperForConditionalGeneration.from_pretrained(
             str(model_path)
         )
-        self.language = language
+        self.language = _iso_language(language)
 
     def transcribe(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
         import torch
@@ -63,8 +79,11 @@ class WhisperTranscriber:
         inputs = self.processor(
             samples / 32768.0, sampling_rate=sample_rate, return_tensors="pt"
         )
+        kwargs = {}
+        if self.language:
+            kwargs["language"] = self.language
         with torch.no_grad():
-            ids = self.model.generate(inputs["input_features"])
+            ids = self.model.generate(inputs["input_features"], **kwargs)
         return self.processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
 
     def transcribe_corpus(self, corpus) -> Dict[int, str]:

@@ -495,3 +495,22 @@ def test_cutoff_word_modeling(tmp_path):
     out_word, prons = lex.lookup("<cutoff-zzz>")
     assert out_word == lex.oov_word
     assert prons[0].phones == ("spn",)
+
+
+def test_data_enums():
+    """PhoneType/WordType/Language enums (reference ``data.py:360-611``)."""
+    from montreal_forced_aligner_tpu.data import Language, PhoneType, WordType
+    from montreal_forced_aligner_tpu.transcription.torch_models import (
+        _iso_language,
+    )
+
+    assert WordType.classify("<unk>") == WordType.oov
+    assert WordType.classify("[laughter]") == WordType.laughter
+    assert WordType.classify("[coughs]") == WordType.bracketed
+    assert WordType.classify("<cutoff-okay>") == WordType.cutoff
+    assert WordType.classify("'ll") == WordType.clitic
+    assert WordType.classify("ordinary") == WordType.speech
+    assert len(Language) >= 40
+    assert Language.english.iso_code == "en"
+    assert _iso_language("french") == "fr"
+    assert PhoneType.silence.name == "silence"
