@@ -5,6 +5,8 @@ counterpart of the driver's ``__graft_entry__.dryrun_multichip`` compile
 check (reference behavior: per-job ``AccStatsFunction`` workers + parent
 accumulator summation, ``alignment/multiprocessing.py:576-666``)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -92,3 +94,68 @@ def test_sharded_accumulate_matches_single_device():
     np.testing.assert_allclose(
         float(np.asarray(occ8).sum()), float(lens.sum()), rtol=1e-5
     )
+
+
+def test_sharded_accumulate_across_processes(tmp_path):
+    """Simulated multi-host: two OS processes x 4 virtual CPU devices form
+    one 8-device global mesh via jax.distributed; the psum-reduced
+    statistics must match an in-process single-mesh run (the cross-process
+    channel stands in for DCN between real TPU hosts)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import __graft_entry__ as ge
+
+    port = 12000 + (os.getpid() % 2000)
+    out_npz = tmp_path / "proc0.npz"
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent) + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
+    worker = Path(__file__).parent / "multihost_worker.py"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker), str(pid), "2", str(port), str(out_npz)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{out}\n{err}"
+    got = np.load(out_npz)
+
+    # in-process reference on this process's own 8 virtual devices
+    feats, lens, graph, miv, iv, gconst = ge._toy_batch(
+        B=16, T=32, S=16, K=4, P=8, G=2, D=13
+    )
+    step = make_sharded_accumulate_step(
+        Mesh(np.array(jax.devices()[:8]), ("data",))
+    )
+    _sp, _sc, occ, mean_acc, var_acc, ll, frames = step(
+        feats, lens, graph, miv, iv, gconst
+    )
+    np.testing.assert_allclose(got["occ"], np.asarray(occ), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["mean_acc"], np.asarray(mean_acc), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        got["var_acc"], np.asarray(var_acc), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(got["ll"]), float(ll), rtol=1e-5)
+    assert float(got["frames"]) == float(frames)
