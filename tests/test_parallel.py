@@ -159,3 +159,45 @@ def test_sharded_accumulate_across_processes(tmp_path):
     )
     np.testing.assert_allclose(float(got["ll"]), float(ll), rtol=1e-5)
     assert float(got["frames"]) == float(frames)
+
+
+def test_shard_corpus_for_host():
+    """Per-host corpus sharding: whole speakers, load-balanced, disjoint,
+    exhaustive (reference ``initialize_jobs`` bin packing,
+    ``corpus/base.py:994-1015``)."""
+    from montreal_forced_aligner_tpu.parallel.multihost import (
+        shard_corpus_for_host,
+        shard_speakers_for_host,
+    )
+
+    class U:
+        def __init__(self, i, spk):
+            self.id, self.speaker = i, spk
+
+    class C:
+        pass
+
+    corpus = C()
+    rng = np.random.RandomState(0)
+    corpus.utterances = []
+    i = 0
+    spk_counts = {}
+    for s in range(17):
+        n = int(rng.randint(1, 40))
+        spk_counts[f"spk{s}"] = n
+        for _ in range(n):
+            corpus.utterances.append(U(i, f"spk{s}"))
+            i += 1
+    P = 4
+    shards = [shard_corpus_for_host(corpus, p, P) for p in range(P)]
+    all_ids = sorted(x for sh in shards for x in sh)
+    assert all_ids == sorted(u.id for u in corpus.utterances)  # exhaustive
+    assert len(set(all_ids)) == len(all_ids)  # disjoint
+    # whole speakers per host
+    for p, sh in enumerate(shards):
+        spks = {corpus.utterances[x].speaker for x in sh}
+        owned = set(shard_speakers_for_host(spk_counts, p, P))
+        assert spks <= owned
+    # balanced within the largest speaker's load
+    sizes = sorted(len(sh) for sh in shards)
+    assert sizes[-1] - sizes[0] <= max(spk_counts.values())
