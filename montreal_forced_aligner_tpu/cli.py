@@ -368,24 +368,32 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
 @click.option("--min_segment_length", default=0.333, show_default=True)
 @click.option("--min_pause_duration", default=0.333, show_default=True)
 @click.option("--energy_threshold", default=5.5, show_default=True)
+@click.option("--speechbrain_model_path", type=click.Path(exists=True),
+              default=None,
+              help="Local SpeechBrain VAD checkpoint: neural VAD instead of "
+                   "energy VAD (reference SpeechbrainVadSegmenter)")
 def create_segments_vad_cli(corpus_directory, output_directory,
                             max_segment_length, min_segment_length,
-                            min_pause_duration, energy_threshold):
+                            min_pause_duration, energy_threshold,
+                            speechbrain_model_path):
     """Segment audio files by energy VAD (reference:
     ``mfa create_segments_vad``, ``vad/segmenter.py:56``)."""
     from montreal_forced_aligner_tpu.vad.segmenter import (
         SegmenterConfig,
+        SpeechbrainVadSegmenter,
         VadSegmenter,
     )
 
-    seg = VadSegmenter(
-        SegmenterConfig(
-            max_segment_length=max_segment_length,
-            min_segment_length=min_segment_length,
-            min_pause_duration=min_pause_duration,
-            energy_threshold=energy_threshold,
-        )
+    cfg = SegmenterConfig(
+        max_segment_length=max_segment_length,
+        min_segment_length=min_segment_length,
+        min_pause_duration=min_pause_duration,
+        energy_threshold=energy_threshold,
     )
+    if speechbrain_model_path:
+        seg = SpeechbrainVadSegmenter(speechbrain_model_path, cfg)
+    else:
+        seg = VadSegmenter(cfg)
     outs = seg.segment_corpus(corpus_directory, output_directory)
     click.echo(f"Wrote {len(outs)} segment TextGrids to {output_directory}")
 

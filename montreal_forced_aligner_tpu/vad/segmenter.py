@@ -134,3 +134,69 @@ class VadSegmenter:
             tg.write(out)
             out_paths.append(out)
         return out_paths
+
+
+class SpeechbrainVAD:
+    """Neural VAD posteriors from a locally available SpeechBrain VAD
+    checkpoint (reference ``MfaVAD``, ``vad/models.py:133``; used by
+    ``SpeechbrainVadSegmenter``, ``vad/segmenter.py:328``). Gated on the
+    speechbrain package + local weights (no network egress here); frame
+    posteriors are thresholded and post-processed by the same
+    ``segments_from_vad`` pipeline as the energy VAD."""
+
+    def __init__(self, model_path, threshold: float = 0.5):
+        try:
+            from speechbrain.inference.VAD import VAD as _SbVAD
+        except ImportError as e:
+            raise RuntimeError(
+                "speechbrain is not available; neural VAD needs the "
+                "speechbrain package and a local checkpoint directory"
+            ) from e
+        model_path = Path(model_path)
+        if not model_path.exists():
+            raise FileNotFoundError(
+                f"no local SpeechBrain VAD checkpoint at {model_path}"
+            )
+        self.model = _SbVAD.from_hparams(
+            source=str(model_path), savedir=str(model_path)
+        )
+        self.threshold = threshold
+
+    def voiced_frames(
+        self, samples: np.ndarray, sample_rate: int = 16000,
+        frame_shift: float = 0.01,
+    ) -> np.ndarray:
+        """Boolean per-frame speech decisions at ``frame_shift`` rate."""
+        import torch
+
+        wav = torch.from_numpy(
+            np.asarray(samples, dtype=np.float32) / 32768.0
+        ).unsqueeze(0)
+        with torch.no_grad():
+            probs = self.model.get_speech_prob_chunk(wav).squeeze().numpy()
+        # resample posterior frames to the requested frame rate
+        n_out = int(len(samples) / sample_rate / frame_shift)
+        if len(probs) == 0 or n_out == 0:
+            return np.zeros(n_out, dtype=bool)
+        idx = np.minimum(
+            (np.arange(n_out) * len(probs) // max(n_out, 1)), len(probs) - 1
+        )
+        return probs[idx] > self.threshold
+
+
+class SpeechbrainVadSegmenter(VadSegmenter):
+    """``VadSegmenter`` with neural frame decisions (reference
+    ``SpeechbrainVadSegmenter``, ``vad/segmenter.py:328``)."""
+
+    def __init__(self, model_path, config: Optional[SegmenterConfig] = None):
+        super().__init__(config)
+        self.vad = SpeechbrainVAD(model_path)
+
+    def segment_file(self, wav_path) -> List[Tuple[float, float]]:
+        from montreal_forced_aligner_tpu.io.wav import read_wave
+
+        wave = read_wave(wav_path)
+        voiced = self.vad.voiced_frames(
+            wave.samples, wave.sample_rate, self.config.frame_shift
+        )
+        return segments_from_vad(voiced, self.config)

@@ -129,3 +129,19 @@ def test_create_segments_cli(tmp_path):
     body = tgs[0].read_text()
     assert "segments" in body
     assert "ab" in body
+
+
+def test_speechbrain_vad_gating(tmp_path):
+    """Neural VAD wrappers raise informative errors without the package /
+    weights; the segments_from_vad post-processing is shared with the
+    energy path."""
+    import pytest as _pytest
+
+    from montreal_forced_aligner_tpu.vad.segmenter import (
+        SegmenterConfig,
+        SpeechbrainVAD,
+        segments_from_vad,
+    )
+
+    with _pytest.raises((RuntimeError, FileNotFoundError)):
+        SpeechbrainVAD(tmp_path / "missing")
