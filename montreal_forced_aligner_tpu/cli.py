@@ -583,13 +583,9 @@ def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
         corpus, nbest=nbest, rescore_lm=rescore_lm,
         rescore_weight=rescore_weight,
     )
-    out = _P(output_directory)
-    for utt in corpus.utterances:
-        if utt.id not in results:
-            continue
-        d = out / utt.speaker
-        d.mkdir(parents=True, exist_ok=True)
-        (d / f"{utt.file_name}.lab").write_text(results[utt.id].text + "\n")
+    _export_transcripts(
+        corpus, {i: r.text for i, r in results.items()}, output_directory
+    )
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
     if evaluate:
         metrics = tr.evaluate(corpus, results)
@@ -599,16 +595,25 @@ def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
         )
 
 
-def _export_neural_transcripts(corpus, results, output_directory):
+def _export_transcripts(corpus, texts, output_directory):
+    """One ``<speaker>/<file>.lab`` per corpus file; multi-utterance files
+    (TextGrid corpora) concatenate their utterances' transcripts in order
+    rather than overwriting."""
+    from collections import OrderedDict
     from pathlib import Path as _P
 
     out = _P(output_directory)
+    by_file = OrderedDict()
     for utt in corpus.utterances:
-        if utt.id not in results:
+        if utt.id not in texts:
             continue
-        d = out / utt.speaker
+        by_file.setdefault((utt.speaker, utt.file_name), []).append(
+            texts[utt.id]
+        )
+    for (speaker, file_name), lines in by_file.items():
+        d = out / speaker
         d.mkdir(parents=True, exist_ok=True)
-        (d / f"{utt.file_name}.lab").write_text(results[utt.id] + "\n")
+        (d / f"{file_name}.lab").write_text("\n".join(lines) + "\n")
 
 
 @cli.command("transcribe_whisper")
@@ -630,7 +635,7 @@ def transcribe_whisper_cli(corpus_directory, model_path, output_directory,
     tr = WhisperTranscriber(model_path, language=language)
     corpus = Corpus.load(corpus_directory)
     results = tr.transcribe_corpus(corpus)
-    _export_neural_transcripts(corpus, results, output_directory)
+    _export_transcripts(corpus, results, output_directory)
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
 
 
@@ -653,7 +658,7 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
     tr = SpeechbrainTranscriber(model_path, language=language)
     corpus = Corpus.load(corpus_directory)
     results = tr.transcribe_corpus(corpus)
-    _export_neural_transcripts(corpus, results, output_directory)
+    _export_transcripts(corpus, results, output_directory)
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
 
 

@@ -308,7 +308,10 @@ def band_from_arcs(garrs: dict):
 # so the K ranks hold K *distinct word sequences* rather than timing
 # variants of the best one.
 
-HASH_MULT = jnp.uint32(1000003)
+# numpy scalar (not jnp): a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize() for
+# multi-host launches that import this package first
+HASH_MULT = np.uint32(1000003)
 
 
 def dedup_topk(scores: jnp.ndarray, hashes: jnp.ndarray, K: int):

@@ -29,7 +29,19 @@ def initialize_multihost(
     """
     import jax
 
-    if jax.process_count() == 1 and (
+    # Detect prior initialization WITHOUT touching the backend:
+    # jax.process_count() would initialize XLA and make a subsequent
+    # jax.distributed.initialize() raise.
+    try:
+        from jax._src import distributed as _dist
+
+        already_initialized = (
+            getattr(_dist.global_state, "client", None) is not None
+        )
+    except Exception:  # pragma: no cover - private-API drift
+        already_initialized = False
+
+    if not already_initialized and (
         coordinator_address
         or num_processes
         or os.environ.get("JAX_COORDINATOR_ADDRESS")

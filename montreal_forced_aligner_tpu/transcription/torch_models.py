@@ -19,21 +19,37 @@ import numpy as np
 
 logger = logging.getLogger("mfa_tpu")
 
+MODEL_SAMPLE_RATE = 16000  # whisper + speechbrain checkpoints expect 16 kHz
+
 
 def _iso_language(language) -> Optional[str]:
     """Accepts a ``Language`` enum, a language name, or an ISO code
-    (reference passes Language through to whisper, ``data.py:481``)."""
+    (reference passes Language through to whisper, ``data.py:481``).
+    The ``unknown``/``multilingual`` sentinels mean "no hint" -> None."""
     if language is None:
         return None
     from montreal_forced_aligner_tpu.data import Language
 
     if isinstance(language, Language):
+        if language in (Language.unknown, Language.multilingual):
+            return None
         return language.iso_code
     name = str(language).lower()
+    if name in ("unknown", "multilingual"):
+        return None
     try:
         return Language[name].iso_code
     except KeyError:
         return name  # assume it is already an ISO code
+
+
+def _samples_at_model_rate(wav) -> np.ndarray:
+    """int16-scaled float samples resampled to the checkpoint rate."""
+    if wav.sample_rate != MODEL_SAMPLE_RATE:
+        from montreal_forced_aligner_tpu.align.aligner import _resample
+
+        wav = _resample(wav, MODEL_SAMPLE_RATE)
+    return np.asarray(wav.samples, dtype=np.float32)
 
 
 def found_transformers() -> bool:
@@ -73,9 +89,16 @@ class WhisperTranscriber:
         )
         self.language = _iso_language(language)
 
-    def transcribe(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
+    def transcribe(
+        self, samples: np.ndarray, sample_rate: int = MODEL_SAMPLE_RATE
+    ) -> str:
         import torch
 
+        if sample_rate != MODEL_SAMPLE_RATE:
+            raise ValueError(
+                f"whisper expects {MODEL_SAMPLE_RATE} Hz input, got "
+                f"{sample_rate}; resample first (transcribe_corpus does)"
+            )
         inputs = self.processor(
             samples / 32768.0, sampling_rate=sample_rate, return_tensors="pt"
         )
@@ -90,7 +113,7 @@ class WhisperTranscriber:
         out = {}
         for utt in corpus.utterances:
             wav = corpus.load_audio(utt)
-            out[utt.id] = self.transcribe(wav.samples, wav.sample_rate)
+            out[utt.id] = self.transcribe(_samples_at_model_rate(wav))
         return out
 
 
@@ -127,11 +150,25 @@ class SpeechbrainTranscriber:
         self.model = EncoderDecoderASR.from_hparams(
             source=str(model_path), savedir=str(model_path)
         )
-        self.language = language
+        if language is not None:
+            # speechbrain ASR checkpoints are single-language; the hint only
+            # documents intent (unlike whisper there is nothing to condition)
+            logger.warning(
+                "speechbrain checkpoints are single-language; --language "
+                "%s has no effect on decoding", language,
+            )
+        self.language = _iso_language(language)
 
-    def transcribe(self, samples: np.ndarray, sample_rate: int = 16000) -> str:
+    def transcribe(
+        self, samples: np.ndarray, sample_rate: int = MODEL_SAMPLE_RATE
+    ) -> str:
         import torch
 
+        if sample_rate != MODEL_SAMPLE_RATE:
+            raise ValueError(
+                f"speechbrain expects {MODEL_SAMPLE_RATE} Hz input, got "
+                f"{sample_rate}; resample first (transcribe_corpus does)"
+            )
         wav = torch.from_numpy(
             np.asarray(samples, dtype=np.float32) / 32768.0
         ).unsqueeze(0)
@@ -144,5 +181,5 @@ class SpeechbrainTranscriber:
         out = {}
         for utt in corpus.utterances:
             wav = corpus.load_audio(utt)
-            out[utt.id] = self.transcribe(wav.samples, wav.sample_rate)
+            out[utt.id] = self.transcribe(_samples_at_model_rate(wav))
         return out

@@ -169,12 +169,25 @@ class SpeechbrainVAD:
         """Boolean per-frame speech decisions at ``frame_shift`` rate."""
         import torch
 
+        if sample_rate != 16000:
+            from montreal_forced_aligner_tpu.align.aligner import _resample
+            from montreal_forced_aligner_tpu.io.wav import WaveData
+
+            wd = WaveData(
+                samples=np.asarray(samples, dtype=np.float32),
+                sample_rate=sample_rate,
+                num_channels=1,
+                duration=len(samples) / sample_rate,
+            )
+            samples = _resample(wd, 16000).samples
+            sample_rate = 16000
         wav = torch.from_numpy(
             np.asarray(samples, dtype=np.float32) / 32768.0
         ).unsqueeze(0)
         with torch.no_grad():
-            probs = self.model.get_speech_prob_chunk(wav).squeeze().numpy()
-        # resample posterior frames to the requested frame rate
+            probs = (
+                self.model.get_speech_prob_chunk(wav).numpy().reshape(-1)
+            )
         n_out = int(len(samples) / sample_rate / frame_shift)
         if len(probs) == 0 or n_out == 0:
             return np.zeros(n_out, dtype=bool)

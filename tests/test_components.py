@@ -516,7 +516,7 @@ def test_data_enums():
     assert PhoneType.silence.name == "silence"
 
 
-def test_cli_full_command_battery(tmp_path):
+def test_cli_full_command_battery(tmp_path, monkeypatch):
     """Every remaining CLI command runs end-to-end on the synthetic
     fixtures (align_one, adapt, train_dictionary, evaluate_alignments,
     validate_dictionary, train_ivector, diarize_speakers, train_tokenizer,
@@ -527,6 +527,7 @@ def test_cli_full_command_battery(tmp_path):
     from helpers import build_synthetic_corpus, build_synthetic_model
     from montreal_forced_aligner_tpu.cli import cli
 
+    monkeypatch.setenv("MFA_TPU_MODEL_ROOT", str(tmp_path / "models"))
     corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
     model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
     runner = CliRunner()
