@@ -54,16 +54,27 @@ class SatTrainer(TriphoneTrainer):
         fmllr_iterations: Optional[List[int]] = None,
         fmllr_min_count: float = 500.0,
         lda_mat: Optional[np.ndarray] = None,
+        quick: bool = False,
         **kwargs,
     ):
         super().__init__(lexicon, topo, config, num_leaves=num_leaves, **kwargs)
-        self.fmllr_iterations = (
-            fmllr_iterations if fmllr_iterations is not None else [2, 6, 12]
-        )
+        self.quick = quick
+        if fmllr_iterations is not None:
+            self.fmllr_iterations = fmllr_iterations
+        else:
+            # reference sat.py:208-220: standard [2,4,6,12]; quick [2,6,12]
+            self.fmllr_iterations = [2, 6, 12] if quick else [2, 4, 6, 12]
         self.fmllr_min_count = fmllr_min_count
         self.lda_mat = lda_mat
         self.speaker_transforms: Optional[np.ndarray] = None
         self.alignment_gmm = None  # speaker-independent model for pass 1
+
+    @property
+    def realignment_iterations(self) -> List[int]:
+        # quick variant realigns only at [10, 15] (reference sat.py:208-220)
+        if self.quick:
+            return [i for i in (10, 15) if i < self.config.num_iterations]
+        return super().realignment_iterations
 
     def _base_feature_kwargs(self) -> dict:
         if self.lda_mat is not None:

@@ -41,6 +41,7 @@ class StageConfig:
     max_gaussians: int
     num_leaves: int = 0
     subset: int = 0
+    quick: bool = False  # sat-quick: sparser fMLLR/realign schedules
 
 
 # Default recipe (reference ``trainer.py:193-240``; subsets are applied when
@@ -48,10 +49,15 @@ class StageConfig:
 DEFAULT_RECIPE = [
     StageConfig("monophone", "mono", 40, 1000, subset=10000),
     StageConfig("triphone", "tri", 35, 10000, num_leaves=2000, subset=20000),
-    StageConfig("lda", "lda", 35, 10000, num_leaves=2500, subset=20000),
-    StageConfig("sat_1", "sat", 35, 10000, num_leaves=2500, subset=20000),
-    StageConfig("pron_prob_1", "pron_prob", 0, 0),
-    StageConfig("sat_2", "sat", 35, 15000, num_leaves=4200, subset=50000),
+    StageConfig("lda", "lda", 35, 15000, num_leaves=2500, subset=20000),
+    StageConfig("sat_1", "sat", 35, 15000, num_leaves=2500, subset=20000),
+    StageConfig("sat_2", "sat", 35, 40000, num_leaves=4200, subset=50000),
+    StageConfig("pron_prob_1", "pron_prob", 0, 0, subset=50000),
+    StageConfig("sat_3", "sat", 35, 100000, num_leaves=5000, subset=150000),
+    StageConfig("pron_prob_2", "pron_prob", 0, 0, subset=150000),
+    StageConfig(
+        "sat_quick", "sat", 20, 150000, num_leaves=7000, subset=0, quick=True
+    ),
 ]
 
 
@@ -242,6 +248,7 @@ class TrainableAligner:
                     num_leaves=stage.num_leaves,
                     lda_mat=lda_mat,
                     phone_set_type=self.phone_set_type,
+                    quick=stage.quick,
                 )
             elif stage.kind == "pron_prob":
                 self._estimate_pronunciation_probabilities(pipeline)
