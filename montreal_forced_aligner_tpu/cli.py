@@ -1,8 +1,11 @@
 """Command-line interface.
 
-Mirrors the reference's ``mfa`` click group (``command_line/mfa.py:123-204``);
-subcommands land as their subsystems do. Currently: ``align``, ``align_one``,
-``model inspect``, ``version``.
+Mirrors the reference's ``mfa`` click group (``command_line/mfa.py:123-204``):
+24 subcommands covering alignment, training, adaptation, validation,
+transcription (GMM + neural), segmentation, diarization, i-vectors, G2P,
+LMs, tokenizers, dictionaries, evaluation, the model registry, configure
+and history. ``mfa server``/``mfa anchor`` have no equivalent (no database
+server or GUI in this architecture).
 """
 
 from __future__ import annotations
