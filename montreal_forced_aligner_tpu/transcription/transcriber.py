@@ -460,6 +460,7 @@ class Transcriber:
                     al._device_gmm[0],
                     al._device_gmm[1],
                     self.acoustic_scale,
+                    w_rows=al._device_gmm[2],
                 )
                 sp = np.asarray(state_path)[:, None]  # (B, 1, T)
                 scores_h = np.asarray(scores)[:, None]
