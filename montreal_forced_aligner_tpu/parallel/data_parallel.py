@@ -118,3 +118,45 @@ def make_sharded_accumulate_step(
         **_NO_REP_CHECK,
     )
     return jax.jit(fn)
+
+
+def make_sharded_fmllr_stats_step(mesh: Mesh, axis_name: str = "data"):
+    """SPMD per-speaker fMLLR statistics: batch sharded over utterances,
+    model replicated, (K, G, beta) psum-reduced across the mesh so every
+    host holds the full per-speaker blocks (the BASELINE north star's
+    "per-speaker fMLLR stats exchanged via all-gather"; psum of
+    speaker-indexed blocks is the dense equivalent — each shard contributes
+    zeros for speakers it does not own). Reference semantics:
+    ``kalpy.feat.fmllr.FmllrComputer`` per-speaker accumulation,
+    ``corpus/features.py:422-548``."""
+    from montreal_forced_aligner_tpu.ops.transforms import (
+        accumulate_fmllr_stats,
+    )
+
+    data = PartitionSpec(axis_name)
+    rep = PartitionSpec()
+
+    def _step(
+        feats, frame_lengths, frame_pdf, speaker_idx, frame_weight,
+        means, inv_vars, gconsts, miv, num_speakers,
+    ):
+        K, G, beta = accumulate_fmllr_stats(
+            feats, frame_lengths, frame_pdf, speaker_idx, frame_weight,
+            means, inv_vars, gconsts, miv, num_speakers,
+        )
+        K = jax.lax.psum(K, axis_name)
+        G = jax.lax.psum(G, axis_name)
+        beta = jax.lax.psum(beta, axis_name)
+        return K, G, beta
+
+    def build(num_speakers: int):
+        fn = shard_map(
+            partial(_step, num_speakers=num_speakers),
+            mesh=mesh,
+            in_specs=(data, data, data, data, data, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep),
+            **_NO_REP_CHECK,
+        )
+        return jax.jit(fn)
+
+    return build

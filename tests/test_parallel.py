@@ -201,3 +201,44 @@ def test_shard_corpus_for_host():
     # balanced within the largest speaker's load
     sizes = sorted(len(sh) for sh in shards)
     assert sizes[-1] - sizes[0] <= max(spk_counts.values())
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+def test_sharded_fmllr_stats_match_single_device():
+    """Per-speaker fMLLR K/G/beta reduced across the mesh equal the
+    single-device accumulation (speakers span shards here, the worst case
+    for the reduction)."""
+    from montreal_forced_aligner_tpu.ops.transforms import (
+        accumulate_fmllr_stats,
+    )
+    from montreal_forced_aligner_tpu.parallel.data_parallel import (
+        make_sharded_fmllr_stats_step,
+    )
+
+    rng = np.random.RandomState(1)
+    B, T, D, P, G, S = 16, 10, 4, 5, 2, 3
+    feats = rng.randn(B, T, D).astype(np.float32)
+    lens = np.full(B, T, np.int32)
+    lens[::3] = T // 2
+    frame_pdf = rng.randint(0, P, (B, T)).astype(np.int32)
+    spk = rng.randint(0, S, B).astype(np.int32)  # speakers cross shards
+    weight = (rng.rand(B, T) > 0.2).astype(np.float32)
+    means = rng.randn(P, G, D).astype(np.float32)
+    iv = (0.5 + rng.rand(P, G, D)).astype(np.float32)
+    gc = rng.randn(P, G).astype(np.float32)
+    miv = (means * iv).astype(np.float32)
+
+    args = (
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(frame_pdf),
+        jnp.asarray(spk), jnp.asarray(weight),
+        jnp.asarray(means), jnp.asarray(iv), jnp.asarray(gc), jnp.asarray(miv),
+    )
+    K1, G1, b1 = accumulate_fmllr_stats(*args, S)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    step = make_sharded_fmllr_stats_step(mesh)(S)
+    K8, G8, b8 = step(*args)
+    np.testing.assert_allclose(np.asarray(K8), np.asarray(K1), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(G8), np.asarray(G1), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b8), np.asarray(b1), rtol=1e-6)
