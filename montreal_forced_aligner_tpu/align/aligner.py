@@ -135,16 +135,21 @@ def _pallas_emission_eligible(num_pdfs: int, num_gauss: int) -> bool:
 @partial(jax.jit, static_argnames=("acoustic_scale", "band_limits"))
 def _emit_and_align(
     ff, frame_lengths, graph, W, gconsts, acoustic_scale,
-    band=None, band_limits=None, w_rows=None,
+    band_limits=None, w_rows=None,
 ):
     """Graph-state emissions -> exact Viterbi (band-sparse DP when the
     graph's arc offsets fit a band, dense max-plus otherwise). One device
-    program; only the state paths leave the device.
+    program; only the state paths leave the device. The band is densified
+    on device from the sparse arc lists (the dense (B, S, D) band never
+    crosses the host->device link).
 
     Emissions: with ``w_rows`` (large models on TPU) the Pallas
     likelihood-on-demand kernel DMAs only each graph state's GMM parameters;
     otherwise all-pdf GMM loglikes -> exact one-hot selection."""
-    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        densify_band,
+        viterbi_align_batch_band,
+    )
 
     if w_rows is not None:
         from montreal_forced_aligner_tpu.ops.pallas_emission import (
@@ -163,8 +168,9 @@ def _emit_and_align(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    if band is not None and band_limits is not None:
+    if band_limits is not None:
         lb, ub = band_limits
+        band = densify_band(graph, lb, ub)
         return viterbi_align_batch_band(
             emit, frame_lengths, band, graph.start, graph.final, lb, ub,
             acoustic_scale=acoustic_scale,
@@ -408,7 +414,9 @@ class PretrainedAligner:
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = _emit_and_align(
                 ff, jnp.asarray(flens), graph, W1, gc1,
-                self.config.acoustic_scale, w_rows=w_rows1,
+                self.config.acoustic_scale,
+                band_limits=garrs.get("_band_limits"),
+                w_rows=w_rows1,
             )
             sp = np.asarray(state_path)
             b = np.arange(sp.shape[0])[:, None]
@@ -612,20 +620,13 @@ class PretrainedAligner:
             else None
         )
         prepared = []
-        from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+        from montreal_forced_aligner_tpu.ops.viterbi import band_limits_from_arcs
 
         for batch, feats_dev, flens, pitch in stashes:
             dev = list(feats_dev.devices())[0]
             garrs = batch_graphs([graphs[i] for i in batch])
             graph = ship_graph_to_device(garrs, device=dev)
-            band_out = band_from_arcs(garrs)
-            if band_out is not None:
-                band_np, lb, ub = band_out
-                garrs["_band"] = (
-                    _jax.device_put(band_np, dev), (lb, ub)
-                )
-            else:
-                garrs["_band"] = (None, None)
+            garrs["_band_limits"] = band_limits_from_arcs(garrs)
             mean_rows = spk_mean[
                 np.array(
                     [speaker_index[corpus.utterances[i].speaker] for i in batch]
@@ -650,7 +651,7 @@ class PretrainedAligner:
         for batch, flens, garrs, graph, ff in prepared:
             dev = list(ff.devices())[0]
             W_d, gc_d, w_rows_d = self._gmm_on(dev)
-            band_dev, band_limits = garrs.pop("_band", (None, None))
+            band_limits = garrs.pop("_band_limits", None)
             state_path, scores = _emit_and_align(
                 ff,
                 _jax.device_put(flens, dev),
@@ -658,7 +659,6 @@ class PretrainedAligner:
                 W_d,
                 gc_d,
                 cfg.acoustic_scale,
-                band=band_dev,
                 band_limits=band_limits,
                 w_rows=w_rows_d,
             )

@@ -779,15 +779,21 @@ class AlignmentGraphCompiler:
         return g.finish(words)
 
 
-def batch_graphs(graphs: List[CompiledGraph]):
+def batch_graphs(graphs: List[CompiledGraph], state_multiple: int = 64):
     """Pad a list of host graphs into stacked numpy arrays (S_max, K_max).
 
     Padding states are unreachable self-loops with NEG_INF weights and pdf 0.
+    ``S`` is rounded up to ``state_multiple`` so device programs recompile
+    per bucket rather than per batch (S is the lane dimension of the
+    emission and DP tensors; 64 keeps the padding overhead small while
+    collapsing almost all alignment batches onto a handful of shapes).
     Returns a dict of arrays ready to build a
     :class:`~montreal_forced_aligner_tpu.ops.viterbi.BatchedGraph`.
     """
     B = len(graphs)
     S = max(gr.num_states for gr in graphs)
+    if state_multiple > 1:
+        S = ((S + state_multiple - 1) // state_multiple) * state_multiple
     K = max(gr.max_in_arcs for gr in graphs)
     out = dict(
         in_src=np.zeros((B, S, K), dtype=np.int32),
@@ -825,39 +831,55 @@ def batch_graphs(graphs: List[CompiledGraph]):
     return out
 
 
-INT_GRAPH_KEYS = [
-    "in_src",
+# Only these arrays are consumed by device DP/emission programs; the label
+# arrays (tids, phone/word/instance/hmm-pos) are used exclusively by the host
+# backtrace (``extract_frame_labels_host``/``frame_tids_host``) and stay as
+# host numpy inside the returned BatchedGraph — jit drops unused args
+# (keep_unused=False default), so they never cross the host->device link.
+DEVICE_INT_GRAPH_KEYS = ["in_src", "state_pdf", "num_states"]
+DEVICE_FLOAT_GRAPH_KEYS = ["in_weight", "start", "final"]
+HOST_GRAPH_KEYS = [
     "in_tid",
     "final_tid",
-    "state_pdf",
     "state_phone",
     "state_word",
     "state_hmm_pos",
     "state_tstate",
     "state_instance",
-    "num_states",
 ]
-FLOAT_GRAPH_KEYS = ["in_weight", "start", "final"]
+# kept for backward compatibility with external callers
+INT_GRAPH_KEYS = DEVICE_INT_GRAPH_KEYS + HOST_GRAPH_KEYS
+FLOAT_GRAPH_KEYS = list(DEVICE_FLOAT_GRAPH_KEYS)
 
 
 def ship_graph_to_device(garrs: dict, device=None):
-    """Transfer a batched graph with exactly TWO host->device copies.
+    """Transfer the device-consumed half of a batched graph with exactly TWO
+    host->device copies.
 
     Per-array device_put is latency-bound on remote-attached TPUs (~10 ms per
-    call regardless of size); packing the 10 int32 and 3 float32 arrays into
-    one buffer each makes graph upload ~20x cheaper. Device-side unpacking is
-    metadata-only slicing.
+    call regardless of size), so the int and float arrays are packed into one
+    buffer each; device-side unpacking is metadata-only slicing. Index arrays
+    ship as int16 when their values fit (state and pdf counts < 2^15, true
+    for every real alignment batch) and are widened to int32 on device,
+    halving the wire bytes. Host-only label arrays are passed through as
+    numpy and never transferred.
     """
+    import jax
     import jax.numpy as jnp
 
     from montreal_forced_aligner_tpu.ops.viterbi import BatchedGraph
 
-    int_parts = [np.ascontiguousarray(garrs[k]).reshape(-1) for k in INT_GRAPH_KEYS]
-    float_parts = [
-        np.ascontiguousarray(garrs[k]).reshape(-1) for k in FLOAT_GRAPH_KEYS
+    int_arrays = [garrs[k] for k in DEVICE_INT_GRAPH_KEYS]
+    narrow = all(
+        a.size == 0 or (a.min() >= 0 and a.max() < 2**15) for a in int_arrays
+    )
+    int_dtype = np.int16 if narrow else np.int32
+    int_parts = [
+        np.ascontiguousarray(a, dtype=int_dtype).reshape(-1) for a in int_arrays
     ]
-    import jax
-
+    float_parts = [
+        np.ascontiguousarray(garrs[k]).reshape(-1) for k in DEVICE_FLOAT_GRAPH_KEYS
+    ]
     if device is None:
         int_buf = jnp.asarray(np.concatenate(int_parts))
         float_buf = jnp.asarray(np.concatenate(float_parts))
@@ -866,13 +888,16 @@ def ship_graph_to_device(garrs: dict, device=None):
         float_buf = jax.device_put(np.concatenate(float_parts), device)
     out = {}
     off = 0
-    for k, part in zip(INT_GRAPH_KEYS, int_parts):
+    for k, part in zip(DEVICE_INT_GRAPH_KEYS, int_parts):
         n = part.size
-        out[k] = int_buf[off : off + n].reshape(garrs[k].shape)
+        sliced = int_buf[off : off + n].reshape(garrs[k].shape)
+        out[k] = sliced.astype(jnp.int32) if narrow else sliced
         off += n
     off = 0
-    for k, part in zip(FLOAT_GRAPH_KEYS, float_parts):
+    for k, part in zip(DEVICE_FLOAT_GRAPH_KEYS, float_parts):
         n = part.size
         out[k] = float_buf[off : off + n].reshape(garrs[k].shape)
         off += n
+    for k in HOST_GRAPH_KEYS:
+        out[k] = garrs[k]
     return BatchedGraph(**out)

@@ -19,7 +19,10 @@ from montreal_forced_aligner_tpu.corpus.corpus import Utterance
 from montreal_forced_aligner_tpu.data import UtteranceAlignment
 from montreal_forced_aligner_tpu.graph.compiler import batch_graphs, ship_graph_to_device
 from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
-from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs, extract_frame_labels_host
+from montreal_forced_aligner_tpu.ops.viterbi import (
+    band_limits_from_arcs,
+    extract_frame_labels_host,
+)
 
 # frames above which align_utterance_online switches to the checkpointed
 # chunked Viterbi (10 ms frames: 60000 ~= 10 minutes)
@@ -89,11 +92,6 @@ def align_utterance_online(
         scores = np.array([score], np.float32)
     else:
         bgraph = ship_graph_to_device(garrs)
-        band_out = band_from_arcs(garrs)
-        band, limits = (None, None)
-        if band_out is not None:
-            band_np, lb, ub = band_out
-            band, limits = jnp.asarray(band_np), (lb, ub)
         state_path, scores = _emit_and_align(
             ff,
             jnp.asarray(flens),
@@ -101,8 +99,7 @@ def align_utterance_online(
             aligner._device_gmm[0],
             aligner._device_gmm[1],
             aligner.config.acoustic_scale,
-            band=band,
-            band_limits=limits,
+            band_limits=band_limits_from_arcs(garrs),
         )
         sp = np.asarray(state_path)
     phone_f, word_f, inst_f, _ts = extract_frame_labels_host(garrs, sp)

@@ -267,6 +267,37 @@ def viterbi_align_batch_band(
     return states, best_score
 
 
+def band_limits_from_arcs(garrs: dict):
+    """Host-side band-eligibility check: smallest (lb, ub) bucket covering
+    every real arc's state offset, or None. Cheap (vectorized min/max) — the
+    band itself is densified on device by :func:`densify_band`, so the dense
+    (B, S, D) band never crosses the host->device link."""
+    in_src = garrs["in_src"]
+    in_weight = garrs["in_weight"]
+    _B, S, _K = in_src.shape
+    d = np.arange(S)[None, :, None] - in_src  # (B, S, K)
+    real = in_weight > NEG_INF / 2
+    if not real.any():
+        return None
+    return band_limits_for(int(d[real].min()), int(d[real].max()))
+
+
+def densify_band(graph: BatchedGraph, lb: int, ub: int) -> jnp.ndarray:
+    """(B, S, D) band weights from the sparse incoming-arc lists, on device
+    (max over parallel arcs; trace-safe, call inside jit). Callers must have
+    validated the bucket with :func:`band_limits_from_arcs`: offsets of real
+    arcs are assumed in [-lb, ub]; padding arcs (NEG_INF weight) may fall
+    anywhere — their clipped slot is a no-op for the running max."""
+    B, S, K = graph.in_src.shape
+    D = lb + ub + 1
+    d = jnp.arange(S, dtype=jnp.int32)[None, :, None] - graph.in_src
+    j = jnp.clip(d + lb, 0, D - 1)
+    band = jnp.full((B, S, D), NEG_INF, dtype=jnp.float32)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, S, K))
+    s_idx = jnp.broadcast_to(jnp.arange(S)[None, :, None], (B, S, K))
+    return band.at[b_idx, s_idx, j].max(graph.in_weight)
+
+
 def band_from_arcs(garrs: dict):
     """Band weights from the sparse incoming-arc lists, or None if any arc
     falls outside the largest band bucket. Returns (band (B,S,D), lb, ub)."""

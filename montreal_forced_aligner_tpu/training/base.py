@@ -70,8 +70,8 @@ class FeatureBatch:
     # filled when graphs are attached
     garrs: Optional[dict] = None
     graph: Optional[BatchedGraph] = None
-    # band-sparse transition representation (None when offsets exceed band)
-    band: Optional[jnp.ndarray] = None  # (B, S, D)
+    # band-sparse transition bucket (None when offsets exceed the largest
+    # band; the band itself is densified on device from the arc lists)
     band_limits: Optional[tuple] = None  # (lb, ub)
     # cached alignment (updated on realignment iterations)
     frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
@@ -285,16 +285,11 @@ class TrainingPipeline:
                 graphs.append(g)
             fb.garrs = batch_graphs(graphs)
             fb.graph = ship_graph_to_device(fb.garrs)
-            from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
+            from montreal_forced_aligner_tpu.ops.viterbi import (
+                band_limits_from_arcs,
+            )
 
-            band_out = band_from_arcs(fb.garrs)
-            if band_out is not None:
-                band_np, lb, ub = band_out
-                fb.band = jnp.asarray(band_np)
-                fb.band_limits = (lb, ub)
-            else:
-                fb.band = None
-                fb.band_limits = None
+            fb.band_limits = band_limits_from_arcs(fb.garrs)
 
     # -- global stats for flat starts ---------------------------------------
     def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:
@@ -345,12 +340,16 @@ def _finalize_features(x, frame_lengths, lda, uses_deltas):
 @partial(jax.jit, static_argnames=("acoustic_scale", "band_limits"))
 def _align_batch(
     feats, frame_lengths, graph, W, gconsts, acoustic_scale,
-    band=None, band_limits=None,
+    band_limits=None,
 ):
     """Viterbi-align one batch with the current GMM (one-hot emission
-    selection; band-sparse DP when the graph's arc offsets allow)."""
+    selection; band-sparse DP when the graph's arc offsets allow, with the
+    band densified on device)."""
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
-    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        densify_band,
+        viterbi_align_batch_band,
+    )
 
     ll = gmm_loglikes(feats, W, gconsts)
     P = gconsts.shape[0]
@@ -362,8 +361,9 @@ def _align_batch(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    if band is not None and band_limits is not None:
+    if band_limits is not None:
         lb, ub = band_limits
+        band = densify_band(graph, lb, ub)
         return viterbi_align_batch_band(
             emit, frame_lengths, band, graph.start, graph.final, lb, ub,
             acoustic_scale=acoustic_scale,
@@ -374,7 +374,7 @@ def _align_batch(
 @partial(jax.jit, static_argnames=("alpha", "band_limits"))
 def _equal_align_batch(
     feats, frame_lengths, graph, alpha: float = 10.0,
-    band=None, band_limits=None,
+    band_limits=None,
 ):
     """First-pass equal alignment (reference ``MonoAlignEqualFunction``,
     ``monophone.py:37``; Kaldi ``align-equal-compiled``): instead of random
@@ -383,7 +383,10 @@ def _equal_align_batch(
     the graph states while honoring graph structure. Uses the band-sparse
     DP when the graph fits a band (the dense O(S^2) step is ~20x more VPU
     work and dominated monophone initialization)."""
-    from montreal_forced_aligner_tpu.ops.viterbi import viterbi_align_batch_band
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        densify_band,
+        viterbi_align_batch_band,
+    )
 
     B, T, _ = feats.shape
     S = graph.state_pdf.shape[1]
@@ -395,8 +398,9 @@ def _equal_align_batch(
     )
     emit = -alpha * (t_pos - s_pos) ** 2
     emit = emit.astype(jnp.float32)
-    if band is not None and band_limits is not None:
+    if band_limits is not None:
         lb, ub = band_limits
+        band = densify_band(graph, lb, ub)
         return viterbi_align_batch_band(
             emit, frame_lengths, band, graph.start, graph.final, lb, ub,
             acoustic_scale=1.0,

@@ -123,13 +123,13 @@ class ViterbiEmTrainer:
             if equal:
                 out = _equal_align_batch(
                     fb.feats, flens_j, fb.graph,
-                    band=fb.band, band_limits=fb.band_limits,
+                    band_limits=fb.band_limits,
                 )
             else:
                 out = _align_batch(
                     fb.feats, flens_j, fb.graph, W, gconsts,
                     self.config.acoustic_scale,
-                    band=fb.band, band_limits=fb.band_limits,
+                    band_limits=fb.band_limits,
                 )
             pending.append((fb, out))
         fetched = fetch_all([out for _fb, out in pending])

@@ -204,7 +204,7 @@ class LvcsrGraphCompiler:
         exits.append(init_exits)
 
         graph = g.finish(vocab)
-        garrs = batch_graphs([graph])
+        garrs = batch_graphs([graph], state_multiple=1)
         band_out = band_from_arcs(garrs)
         if band_out is None:
             raise ValueError("word-internal arcs exceed band buckets")
@@ -581,7 +581,7 @@ def _build_cross_word(self) -> LvcsrXwGraph:
             finals.extend((s, w, V) for s, w, _t in sexits)
 
     graph = g.finish(vocab)
-    garrs = batch_graphs([graph])
+    garrs = batch_graphs([graph], state_multiple=1)
     band_out = band_from_arcs(garrs)
     if band_out is None:
         raise ValueError("cross-word arcs exceed band buckets")
