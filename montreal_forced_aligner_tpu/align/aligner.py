@@ -410,7 +410,10 @@ class PretrainedAligner:
         K = np.zeros((num_speakers, D, D + 1))
         G = np.zeros((num_speakers, D, D + 1, D + 1))
         beta = np.zeros(num_speakers)
-        firstpass = []
+        # dispatch every first-pass alignment before fetching any state path,
+        # then dispatch every stats accumulation before fetching any stats:
+        # blocking fetches are full round trips on remote-attached TPUs
+        paths = []
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = _emit_and_align(
                 ff, jnp.asarray(flens), graph, W1, gc1,
@@ -418,6 +421,12 @@ class PretrainedAligner:
                 band_limits=garrs.get("_band_limits"),
                 w_rows=w_rows1,
             )
+            state_path.copy_to_host_async()
+            paths.append(state_path)
+        firstpass = []
+        for (batch, flens, garrs, graph, ff), state_path in zip(
+            prepared, paths
+        ):
             sp = np.asarray(state_path)
             b = np.arange(sp.shape[0])[:, None]
             frame_pdf = garrs["state_pdf"][b, sp]
@@ -442,10 +451,12 @@ class PretrainedAligner:
                 num_speakers,
             )
             firstpass.append((spk_idx, out))
-        for _spk, (k, g, bta) in firstpass:
-            K += np.asarray(k)
-            G += np.asarray(g)
-            beta += np.asarray(bta)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        for k, g, bta in fetch_all([fp[1] for fp in firstpass]):
+            K += k
+            G += g
+            beta += bta
         transforms = estimate_speaker_fmllr(
             K, G, beta, min_count=self.config.fmllr_min_count
         )
@@ -666,6 +677,13 @@ class PretrainedAligner:
             if cfg.compute_confidence:
                 conf = _phone_confidence(ff, state_path, graph, W_d, gc_d)
             pending.append((batch, flens, garrs, state_path, scores, conf))
+
+        # start every device->host copy before materializing any: each
+        # blocking fetch is a full round trip on remote-attached TPUs
+        for _b, _fl, _g, sp_d, sc_d, cf_d in pending:
+            for x in (sp_d, sc_d, cf_d):
+                if x is not None and hasattr(x, "copy_to_host_async"):
+                    x.copy_to_host_async()
 
         for batch, flens, garrs, state_path, scores, conf in pending:
             state_path = np.asarray(state_path)
