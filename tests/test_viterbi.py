@@ -243,3 +243,123 @@ def test_long_viterbi_matches_batched():
     )
     assert abs(score - float(score_batch[0])) < 1e-2
     np.testing.assert_array_equal(path, sp_batch)
+
+
+def test_ship_graph_minimal_transfer_and_band_device():
+    """ship_graph_to_device ships only the device-consumed arrays (int16 on
+    the wire when values fit) and keeps host-only label arrays as numpy;
+    densify_band on device matches the host band_from_arcs reference."""
+    import jax
+
+    from montreal_forced_aligner_tpu.graph.compiler import (
+        batch_graphs,
+        ship_graph_to_device,
+    )
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        band_from_arcs,
+        band_limits_from_arcs,
+        densify_band,
+    )
+
+    rng = np.random.RandomState(3)
+    B, S, K = 2, 37, 3
+    garrs = dict(
+        in_src=np.zeros((B, S, K), np.int32),
+        in_weight=np.full((B, S, K), NEG_INF, np.float32),
+        in_tid=rng.randint(0, 99, (B, S, K)).astype(np.int32),
+        start=np.full((B, S), NEG_INF, np.float32),
+        final=np.full((B, S), NEG_INF, np.float32),
+        final_tid=np.zeros((B, S), np.int32),
+        state_pdf=rng.randint(0, 40, (B, S)).astype(np.int32),
+        state_phone=rng.randint(0, 10, (B, S)).astype(np.int32),
+        state_word=np.full((B, S), -1, np.int32),
+        state_hmm_pos=np.zeros((B, S), np.int32),
+        state_tstate=np.zeros((B, S), np.int32),
+        state_instance=np.full((B, S), -1, np.int32),
+        num_states=np.array([S, S - 5], np.int32),
+    )
+    # banded arcs: self loops + forward-1..3 + one backward-2
+    for b in range(B):
+        for s in range(S):
+            garrs["in_src"][b, s, 0] = s
+            garrs["in_weight"][b, s, 0] = -0.1 * (s + 1)
+            if s > 0:
+                garrs["in_src"][b, s, 1] = s - 1
+                garrs["in_weight"][b, s, 1] = -0.5
+            if s >= 3:
+                garrs["in_src"][b, s, 2] = s - 3
+                garrs["in_weight"][b, s, 2] = -1.5
+    graph = ship_graph_to_device(garrs)
+    # device arrays widened back to int32; host-only fields stay numpy
+    assert graph.in_src.dtype == jnp.int32
+    assert isinstance(graph.state_word, np.ndarray)
+    assert isinstance(graph.in_tid, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(graph.in_src), garrs["in_src"])
+    np.testing.assert_array_equal(np.asarray(graph.state_pdf), garrs["state_pdf"])
+    np.testing.assert_array_equal(np.asarray(graph.num_states), garrs["num_states"])
+    np.testing.assert_allclose(np.asarray(graph.in_weight), garrs["in_weight"])
+
+    band_np, lb, ub = band_from_arcs(garrs)
+    limits = band_limits_from_arcs(garrs)
+    assert limits == (lb, ub)
+    band_dev = jax.jit(densify_band, static_argnames=("lb", "ub"))(
+        graph, lb, ub
+    )
+    np.testing.assert_allclose(np.asarray(band_dev), band_np)
+
+    # values past int16 force the wide path
+    garrs_wide = dict(garrs)
+    garrs_wide["state_pdf"] = garrs["state_pdf"] + 2**15
+    graph_w = ship_graph_to_device(garrs_wide)
+    np.testing.assert_array_equal(
+        np.asarray(graph_w.state_pdf), garrs_wide["state_pdf"]
+    )
+
+
+def test_batch_graphs_state_bucketing():
+    """batch_graphs rounds S up to state_multiple with unreachable padding
+    states; alignment results are unchanged vs state_multiple=1."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_synthetic_model, synth_wave
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+        _emit_and_align,
+        _final_feats,
+        _mfcc_and_sums,
+    )
+    from montreal_forced_aligner_tpu.graph.compiler import (
+        batch_graphs,
+        ship_graph_to_device,
+    )
+    from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
+
+    tmp = Path(__import__("tempfile").mkdtemp())
+    wave = synth_wave()
+    model_path, dict_path = build_synthetic_model(tmp, wave=wave)
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=1))
+    graph = al.compiler.compile(al.tokenizer.tokenize("ab a"))
+    padded, lens = pad_waves_for_mfcc([wave], al.mfcc_config, len(wave))
+    T = al.mfcc_config.num_frames(int(lens[0]))
+    feats, _ = _mfcc_and_sums(
+        jnp.asarray(padded), jnp.asarray([T]), al.mfcc_config, T
+    )
+    mean = feats[0, :T].mean(axis=0)
+    ff = _final_feats(feats, jnp.asarray([T]), mean[None], None)
+    W, gc = al._device_gmm[0], al._device_gmm[1]
+
+    out = {}
+    for mult in (1, 64):
+        garrs = batch_graphs([graph], state_multiple=mult)
+        if mult > 1:
+            assert garrs["state_pdf"].shape[1] % mult == 0
+            assert garrs["state_pdf"].shape[1] >= graph.num_states
+        bg = ship_graph_to_device(garrs)
+        sp, sc = _emit_and_align(ff, jnp.asarray([T]), bg, W, gc, 0.1)
+        out[mult] = (np.asarray(sp)[0, :T], float(np.asarray(sc)[0]))
+    np.testing.assert_array_equal(out[1][0], out[64][0])
+    assert abs(out[1][1] - out[64][1]) < 1e-3
