@@ -406,13 +406,16 @@ class PretrainedAligner:
         miv = jnp.asarray(gmm.means_invvars)
         sil_pdfs = self._silence_pdfs()
 
-        D = gmm.dim
-        K = np.zeros((num_speakers, D, D + 1))
-        G = np.zeros((num_speakers, D, D + 1, D + 1))
-        beta = np.zeros(num_speakers)
         # dispatch every first-pass alignment before fetching any state path,
-        # then dispatch every stats accumulation before fetching any stats:
-        # blocking fetches are full round trips on remote-attached TPUs
+        # then run the stats pass with a device-resident running sum so only
+        # the final (num_speakers, ...) K/G/beta blocks are fetched once:
+        # blocking fetches are full round trips on remote-attached TPUs, and
+        # per-batch host copies of G would peak at batches x speakers x D^4
+        from montreal_forced_aligner_tpu.training.base import (
+            fetch_all,
+            start_host_copies,
+        )
+
         paths = []
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = _emit_and_align(
@@ -421,9 +424,12 @@ class PretrainedAligner:
                 band_limits=garrs.get("_band_limits"),
                 w_rows=w_rows1,
             )
-            state_path.copy_to_host_async()
             paths.append(state_path)
-        firstpass = []
+        start_host_copies(paths)
+        # device-resident (K, G, beta) running sums, one per device (batches
+        # are placed round-robin; cross-device adds are not allowed)
+        stats_per_dev = {}
+        spk_indices = []
         for (batch, flens, garrs, graph, ff), state_path in zip(
             prepared, paths
         ):
@@ -438,6 +444,7 @@ class PretrainedAligner:
                 ],
                 np.int32,
             )
+            spk_indices.append(spk_idx)
             out = accumulate_fmllr_stats(
                 ff,
                 jnp.asarray(flens),
@@ -450,20 +457,25 @@ class PretrainedAligner:
                 miv,
                 num_speakers,
             )
-            firstpass.append((spk_idx, out))
-        from montreal_forced_aligner_tpu.training.base import fetch_all
-
-        for k, g, bta in fetch_all([fp[1] for fp in firstpass]):
-            K += k
-            G += g
-            beta += bta
+            dev = list(ff.devices())[0]
+            prev = stats_per_dev.get(dev)
+            stats_per_dev[dev] = (
+                out
+                if prev is None
+                else tuple(a + b_ for a, b_ in zip(prev, out))
+            )
+        # float64 for the host-side row solves (device sums are float32)
+        per_dev = fetch_all(list(stats_per_dev.values()))
+        K = sum(s[0].astype(np.float64) for s in per_dev)
+        G = sum(s[1].astype(np.float64) for s in per_dev)
+        beta = sum(s[2].astype(np.float64) for s in per_dev)
         transforms = estimate_speaker_fmllr(
             K, G, beta, min_count=self.config.fmllr_min_count
         )
         trans_j = jnp.asarray(transforms)
         out_prepared = []
-        for (batch, flens, garrs, graph, ff), (spk_idx, _o) in zip(
-            prepared, firstpass
+        for (batch, flens, garrs, graph, ff), spk_idx in zip(
+            prepared, spk_indices
         ):
             adapted = apply_per_speaker_transform(
                 ff, jnp.asarray(spk_idx), trans_j
@@ -680,10 +692,9 @@ class PretrainedAligner:
 
         # start every device->host copy before materializing any: each
         # blocking fetch is a full round trip on remote-attached TPUs
-        for _b, _fl, _g, sp_d, sc_d, cf_d in pending:
-            for x in (sp_d, sc_d, cf_d):
-                if x is not None and hasattr(x, "copy_to_host_async"):
-                    x.copy_to_host_async()
+        from montreal_forced_aligner_tpu.training.base import start_host_copies
+
+        start_host_copies([(sp, sc, cf) for _b, _fl, _g, sp, sc, cf in pending])
 
         for batch, flens, garrs, state_path, scores, conf in pending:
             state_path = np.asarray(state_path)

@@ -11,6 +11,7 @@ server or GUI in this architecture).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -18,10 +19,29 @@ from pathlib import Path
 import click
 
 
+def _honor_jax_platforms_env() -> None:
+    """Apply an explicit JAX_PLATFORMS env var through jax.config.
+
+    Pre-installed TPU plugins can register themselves ahead of the env var,
+    so ``JAX_PLATFORMS=cpu mfa-tpu align ...`` would silently run on the
+    accelerator; forcing the config makes the documented env var
+    authoritative. Must run before the first backend initialization."""
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass
+
+
 @click.group(name="mfa-tpu")
 def cli():
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
+    _honor_jax_platforms_env()
     try:
         from montreal_forced_aligner_tpu.config import record_history
 

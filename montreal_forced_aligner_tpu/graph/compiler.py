@@ -847,8 +847,20 @@ HOST_GRAPH_KEYS = [
     "state_tstate",
     "state_instance",
 ]
-# kept for backward compatibility with external callers
-INT_GRAPH_KEYS = DEVICE_INT_GRAPH_KEYS + HOST_GRAPH_KEYS
+# kept for backward compatibility with external callers, in the original
+# (order-sensitive: packed-buffer layouts were derived from it) order
+INT_GRAPH_KEYS = [
+    "in_src",
+    "in_tid",
+    "final_tid",
+    "state_pdf",
+    "state_phone",
+    "state_word",
+    "state_hmm_pos",
+    "state_tstate",
+    "state_instance",
+    "num_states",
+]
 FLOAT_GRAPH_KEYS = list(DEVICE_FLOAT_GRAPH_KEYS)
 
 

@@ -299,22 +299,19 @@ def densify_band(graph: BatchedGraph, lb: int, ub: int) -> jnp.ndarray:
 
 
 def band_from_arcs(garrs: dict):
-    """Band weights from the sparse incoming-arc lists, or None if any arc
-    falls outside the largest band bucket. Returns (band (B,S,D), lb, ub)."""
-    in_src = garrs["in_src"]
-    in_weight = garrs["in_weight"]
-    B, S, K = in_src.shape
-    dst = np.arange(S)[None, :, None]
-    d = dst - in_src  # (B, S, K)
-    real = in_weight > NEG_INF / 2
-    if not real.any():
-        return None
-    dmin = int(d[real].min())
-    dmax = int(d[real].max())
-    limits = band_limits_for(dmin, dmax)
+    """Host (numpy) band weights, or None if any arc falls outside the
+    largest band bucket. Returns (band (B,S,D), lb, ub). Eligibility is
+    delegated to :func:`band_limits_from_arcs` (single source of truth with
+    the device path)."""
+    limits = band_limits_from_arcs(garrs)
     if limits is None:
         return None
     lb, ub = limits
+    in_src = garrs["in_src"]
+    in_weight = garrs["in_weight"]
+    B, S, K = in_src.shape
+    d = np.arange(S)[None, :, None] - in_src  # (B, S, K)
+    real = in_weight > NEG_INF / 2
     D = lb + ub + 1
     band = np.full((B, S, D), NEG_INF, dtype=np.float32)
     j = np.clip(d + lb, 0, D - 1)

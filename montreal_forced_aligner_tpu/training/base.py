@@ -311,15 +311,20 @@ class TrainingPipeline:
         return mean, var
 
 
-def fetch_all(tree):
-    """Fetch a pytree of device arrays with ONE host sync: start every
-    copy asynchronously, then materialize. On remote-attached TPUs each
-    blocking ``np.asarray`` is a full round trip (~0.1-0.7 s); overlapping
-    them makes an N-array fetch cost ~one round trip."""
-    leaves = jax.tree_util.tree_leaves(tree)
-    for x in leaves:
+def start_host_copies(tree) -> None:
+    """Start (but do not wait for) the device->host copy of every array in a
+    pytree. On remote-attached TPUs each blocking ``np.asarray`` is a full
+    round trip (~0.1-0.7 s); starting copies for all pending results before
+    materializing any makes an N-array fetch cost ~one round trip."""
+    for x in jax.tree_util.tree_leaves(tree):
         if hasattr(x, "copy_to_host_async"):
             x.copy_to_host_async()
+
+
+def fetch_all(tree):
+    """Fetch a pytree of device arrays with ONE host sync: start every
+    copy asynchronously, then materialize."""
+    start_host_copies(tree)
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
