@@ -196,6 +196,10 @@ class AlignerConfig:
     compute_confidence: bool = False
     devices: Optional[tuple] = None  # default: all local devices
     num_loader_threads: int = 8  # threaded audio decode (native FLAC)
+    # host graph compilation fans out over a process pool (0 = in-process);
+    # engaged only for corpora with >= 4 utterances per worker, and not with
+    # G2P (OOV pronunciations mutate the lexicon mid-run)
+    num_graph_workers: int = 0
 
 
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
@@ -322,6 +326,22 @@ class PretrainedAligner:
         )
         self._device_gmm = self._prepare_gmm()
         self._gmm_per_device = {}
+        self._graph_pool_obj = None
+
+    def _graph_pool(self, num_items: int):
+        """Lazily created persistent graph-compile pool, or None when the
+        fan-out is disabled, G2P mutates the lexicon mid-run, or the corpus
+        is too small to amortize worker startup."""
+        n = self.config.num_graph_workers
+        if n <= 0 or self.g2p is not None or num_items < 4 * n:
+            return None
+        if self._graph_pool_obj is None:
+            from montreal_forced_aligner_tpu.graph.parallel import (
+                ParallelGraphCompiler,
+            )
+
+            self._graph_pool_obj = ParallelGraphCompiler(self.compilers, n)
+        return self._graph_pool_obj
 
     def _gmm_on(self, device):
         if device not in self._gmm_per_device:
@@ -610,8 +630,11 @@ class PretrainedAligner:
             for row, i in enumerate(batch):
                 corpus.utterances[i].num_frames = int(flens[row])
 
-        # host graph compilation overlaps with the in-flight device work
-        graphs: List[CompiledGraph] = []
+        # host graph compilation overlaps with the in-flight device work,
+        # optionally fanned out over a worker pool (the expansion is the one
+        # host stage that scales with corpus size; one host feeding several
+        # chips bottlenecks on it)
+        items = []
         for utt in corpus.utterances:
             tokens = self.tokenizer.tokenize(utt.text)
             utt.normalized_tokens = tokens
@@ -620,7 +643,12 @@ class PretrainedAligner:
             key = self.speaker_dictionary_map.get(
                 utt.speaker, self.default_dictionary_key
             )
-            graphs.append(self.compilers[key].compile(tokens))
+            items.append((key, tokens))
+        pool = self._graph_pool(len(items))
+        if pool is not None:
+            graphs: List[CompiledGraph] = pool.compile_all(items)
+        else:
+            graphs = [self.compilers[k].compile(t) for k, t in items]
 
         spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
         for bsum in dev_totals.values():

@@ -59,6 +59,8 @@ def cli():
 @click.option("--retry_beam", default=40, show_default=True)
 @click.option("--boost_silence", default=1.0, show_default=True)
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--graph_workers", default=0, show_default=True,
+              help="Processes for host graph compilation (0 = in-process)")
 @click.option("--include_silence/--no_include_silence", default=False)
 @click.option("--fine_tune/--no_fine_tune", default=False,
               help="Refine boundaries at 1 ms resolution")
@@ -77,6 +79,7 @@ def align_cli(
     retry_beam,
     boost_silence,
     batch_size,
+    graph_workers,
     include_silence,
     fine_tune,
     g2p_model_path,
@@ -97,6 +100,7 @@ def align_cli(
         retry_beam=retry_beam,
         boost_silence=boost_silence,
         batch_size=batch_size,
+        num_graph_workers=graph_workers,
     )
     aligner = PretrainedAligner(
         acoustic_model_path,

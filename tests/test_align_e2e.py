@@ -200,3 +200,53 @@ def test_pallas_emission_backend_parity(synthetic_setup, monkeypatch):
         assert [
             (p.label, round(p.begin, 3), round(p.end, 3)) for p in aln.phones
         ] == [(p.label, round(p.begin, 3), round(p.end, 3)) for p in got.phones]
+
+
+def test_parallel_graph_compilation_matches_serial(tmp_path):
+    """num_graph_workers fans host graph compilation over a spawn pool;
+    graphs and resulting alignments are identical to in-process compilation."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_synthetic_model, synth_wave
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+
+    wave = synth_wave()
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    corp = tmp_path / "corpus"
+    texts = ["ab a", "a ab", "ab ab", "a a ab", "ab", "a", "ab a ab", "a ab a"]
+    for spk in range(2):
+        d = corp / f"spk{spk}"
+        d.mkdir(parents=True)
+        for u in range(4):
+            write_wave(d / f"utt{u}.wav", wave, 16000)
+            (d / f"utt{u}.lab").write_text(texts[spk * 4 + u])
+    corpus = Corpus.load(corp)
+
+    serial = PretrainedAligner(
+        model_path, dict_path, AlignerConfig(batch_size=4)
+    ).align_corpus(corpus)
+    par_aligner = PretrainedAligner(
+        model_path,
+        dict_path,
+        AlignerConfig(batch_size=4, num_graph_workers=2),
+    )
+    assert par_aligner._graph_pool(len(corpus.utterances)) is not None
+    parallel = par_aligner.align_corpus(corpus)
+
+    assert serial.keys() == parallel.keys()
+    for i in serial:
+        a, b = serial[i], parallel[i]
+        assert abs(a.log_likelihood - b.log_likelihood) < 1e-3
+        assert [(p.label, p.begin, p.end) for p in a.phones] == [
+            (p.label, p.begin, p.end) for p in b.phones
+        ]
