@@ -245,6 +245,8 @@ def version_cli():
 @click.option("--output_directory", type=click.Path(), default=None,
               help="Optional directory for final-model TextGrid export")
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--graph_workers", default=0, show_default=True,
+              help="Processes for host graph compilation (0 = in-process)")
 @click.option("--num_iterations_scale", default=1.0, show_default=True,
               help="Scale factor on per-stage iteration counts (quick runs)")
 @click.option("--working_directory", type=click.Path(), default=None,
@@ -260,9 +262,9 @@ def version_cli():
                                 case_sensitive=False),
               help="Phone-set family for tree roots + phonological questions")
 def train_cli(corpus_directory, dictionary_path, output_model_path,
-              output_directory, batch_size, num_iterations_scale,
-              working_directory, position_dependent_phones, features_on_host,
-              phone_set_type):
+              output_directory, batch_size, graph_workers,
+              num_iterations_scale, working_directory,
+              position_dependent_phones, features_on_host, phone_set_type):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -284,6 +286,7 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
         position_dependent_phones=position_dependent_phones,
         features_on_host=features_on_host,
         phone_set_type=phone_set_type,
+        num_graph_workers=graph_workers,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -93,6 +93,7 @@ class TrainingPipeline:
         lda_mat: Optional[np.ndarray] = None,
         use_pitch: bool = False,
         features_on_host: bool = False,
+        num_graph_workers: int = 0,
     ):
         self.corpus = corpus
         self.lexicon = lexicon
@@ -105,6 +106,8 @@ class TrainingPipeline:
         # device ops transfer per step (trades HBM residency for PCIe
         # traffic — the reference's ark-files-on-disk analogue)
         self.features_on_host = features_on_host
+        # fan host graph compilation out over a spawn pool (0 = in-process)
+        self.num_graph_workers = num_graph_workers
         self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
         self.batches: List[FeatureBatch] = []
         self.graphs: List[CompiledGraph] = []
@@ -271,18 +274,42 @@ class TrainingPipeline:
                     np.int32,
                 )
 
-    def compile_graphs(self, compiler: AlignmentGraphCompiler) -> None:
+    def compile_graphs(
+        self, compiler: AlignmentGraphCompiler, num_workers: Optional[int] = None
+    ) -> None:
+        if num_workers is None:
+            num_workers = self.num_graph_workers
         corpus = self.corpus
         self.graphs = [None] * corpus.num_utterances
-        for fb in self.batches:
-            graphs = []
-            for i in fb.utt_indices:
-                utt = corpus.utterances[i]
-                if utt.normalized_tokens is None:
-                    utt.normalized_tokens = self.tokenizer.tokenize(utt.text)
-                g = compiler.compile(utt.normalized_tokens)
+        flat_indices = [i for fb in self.batches for i in fb.utt_indices]
+        for i in flat_indices:
+            utt = corpus.utterances[i]
+            if utt.normalized_tokens is None:
+                utt.normalized_tokens = self.tokenizer.tokenize(utt.text)
+        if num_workers > 0 and len(flat_indices) >= 4 * num_workers:
+            from montreal_forced_aligner_tpu.graph.parallel import (
+                ParallelGraphCompiler,
+            )
+
+            pool = ParallelGraphCompiler({"": compiler}, num_workers)
+            try:
+                compiled = pool.compile_all(
+                    [
+                        ("", corpus.utterances[i].normalized_tokens)
+                        for i in flat_indices
+                    ]
+                )
+            finally:
+                pool.close()
+            for i, g in zip(flat_indices, compiled):
                 self.graphs[i] = g
-                graphs.append(g)
+        else:
+            for i in flat_indices:
+                self.graphs[i] = compiler.compile(
+                    corpus.utterances[i].normalized_tokens
+                )
+        for fb in self.batches:
+            graphs = [self.graphs[i] for i in fb.utt_indices]
             fb.garrs = batch_graphs(graphs)
             fb.graph = ship_graph_to_device(fb.garrs)
             from montreal_forced_aligner_tpu.ops.viterbi import (

@@ -76,6 +76,7 @@ class TrainableAligner:
         working_directory=None,
         features_on_host: bool = False,
         phone_set_type: str = "UNKNOWN",
+        num_graph_workers: int = 0,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.lexicon = Lexicon.load(
@@ -89,6 +90,7 @@ class TrainableAligner:
         )
         self.features_on_host = features_on_host
         self.phone_set_type = phone_set_type
+        self.num_graph_workers = num_graph_workers
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
 
@@ -195,6 +197,7 @@ class TrainableAligner:
         pipeline = TrainingPipeline(
             self.corpus, self.lexicon, batch_size=self.batch_size,
             features_on_host=self.features_on_host,
+            num_graph_workers=self.num_graph_workers,
         )
         pipeline.prepare_features()
         self._excluded = self.filter_training_utterances(pipeline)
