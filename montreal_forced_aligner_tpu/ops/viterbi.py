@@ -216,36 +216,49 @@ def viterbi_align_batch_band(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Band-sparse exact Viterbi; same semantics as viterbi_align_batch.
 
-    The step is a running maximum over D shifted views of alpha (sequential
-    max instead of stack+argmax: fewer and larger VPU ops)."""
+    The forward recursion runs as a Pallas kernel on TPU (sequential grid
+    over frames, alpha carried in VMEM scratch — see ``ops/pallas_viterbi``)
+    and as a ``lax.scan`` whose step is a running maximum over D shifted
+    views of alpha elsewhere (identical tie-breaking either way)."""
     B, T, S = emit.shape
     D = lb + ub + 1
-    emit = acoustic_scale * emit
     t_iota = jnp.arange(T)
-    band_cols = [band[:, :, j] for j in range(D)]
 
-    def step(alpha_prev, inputs):
-        emit_t, t = inputs
-        ap = jnp.pad(
-            alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF
-        )  # alpha[s - d] = ap[s - d + ub]
-        m = jnp.full_like(alpha_prev, NEG_INF)
-        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
-        for j in range(D):
-            d = j - lb
-            c = ap[:, ub - d : ub - d + S] + band_cols[j]
-            take = c > m
-            m = jnp.where(take, c, m)
-            bp = jnp.where(take, jnp.uint8(j), bp)
-        alpha_new = m + emit_t
-        active = (t < frame_lengths)[:, None]
-        alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, bp
-
-    alpha0 = start + emit[:, 0, :]
-    alpha_T, backptrs = jax.lax.scan(
-        step, alpha0, (jnp.moveaxis(emit[:, 1:, :], 1, 0), t_iota[1:])
+    from montreal_forced_aligner_tpu.ops.pallas_viterbi import (
+        band_forward_pallas,
+        band_pallas_eligible,
     )
+
+    if jax.default_backend() == "tpu" and band_pallas_eligible(B, S, D, T):
+        alpha_T, backptrs = band_forward_pallas(
+            emit, frame_lengths, band, start, lb, ub, acoustic_scale
+        )
+    else:
+        emit = acoustic_scale * emit
+        band_cols = [band[:, :, j] for j in range(D)]
+
+        def step(alpha_prev, inputs):
+            emit_t, t = inputs
+            ap = jnp.pad(
+                alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF
+            )  # alpha[s - d] = ap[s - d + ub]
+            m = jnp.full_like(alpha_prev, NEG_INF)
+            bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+            for j in range(D):
+                d = j - lb
+                c = ap[:, ub - d : ub - d + S] + band_cols[j]
+                take = c > m
+                m = jnp.where(take, c, m)
+                bp = jnp.where(take, jnp.uint8(j), bp)
+            alpha_new = m + emit_t
+            active = (t < frame_lengths)[:, None]
+            alpha_out = jnp.where(active, alpha_new, alpha_prev)
+            return alpha_out, bp
+
+        alpha0 = start + emit[:, 0, :]
+        alpha_T, backptrs = jax.lax.scan(
+            step, alpha0, (jnp.moveaxis(emit[:, 1:, :], 1, 0), t_iota[1:])
+        )
     final_scores = alpha_T + final
     best_state_T = jnp.argmax(final_scores, axis=1).astype(jnp.int32)
     best_score = jnp.take_along_axis(final_scores, best_state_T[:, None], axis=1)[:, 0]

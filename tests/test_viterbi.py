@@ -363,3 +363,50 @@ def test_batch_graphs_state_bucketing():
         out[mult] = (np.asarray(sp)[0, :T], float(np.asarray(sc)[0]))
     np.testing.assert_array_equal(out[1][0], out[64][0])
     assert abs(out[1][1] - out[64][1]) < 1e-3
+
+
+def test_band_forward_pallas_matches_scan():
+    """Pallas band-forward == numpy reference (runs only on real TPU; the
+    kernel is gated off on CPU where the XLA scan path serves)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() in ("cpu", "gpu"):
+        pytest.skip("Pallas TPU kernel requires a TPU backend")
+    from montreal_forced_aligner_tpu.ops.pallas_viterbi import (
+        band_forward_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    B, T, S, lb, ub = 8, 40, 64, 4, 16
+    D = lb + ub + 1
+    band = np.full((B, S, D), NEG_INF, np.float32)
+    band[:, :, lb] = np.log(0.5)
+    band[:, 1:, lb + 1] = np.log(0.5)
+    band[:, 3:, lb + 3] = np.log(0.25)
+    start = np.full((B, S), NEG_INF, np.float32)
+    start[:, 0] = 0.0
+    emit = (rng.randn(B, T, S) * 2).astype(np.float32)
+    flens = np.array([T] * 4 + [T - 3, T // 2, 2, 1], np.int32)
+    aT, bp = band_forward_pallas(
+        jnp.asarray(emit), jnp.asarray(flens), jnp.asarray(band),
+        jnp.asarray(start), lb, ub, 0.1,
+    )
+    a = start + 0.1 * emit[:, 0]
+    bps = np.zeros((T - 1, B, S), np.int32)
+    for t in range(1, T):
+        ap = np.pad(a, ((0, 0), (ub, lb)), constant_values=NEG_INF)
+        m = np.full((B, S), NEG_INF, np.float32)
+        bpt = np.zeros((B, S), np.int32)
+        for j in range(D):
+            d = j - lb
+            c = ap[:, ub - d : ub - d + S] + band[:, :, j]
+            take = c > m
+            m = np.where(take, c, m)
+            bpt = np.where(take, j, bpt)
+        act = (t < flens)[:, None]
+        a = np.where(act, m + 0.1 * emit[:, t], a)
+        bps[t - 1] = bpt
+    np.testing.assert_allclose(np.asarray(aT), a, atol=1e-4)
+    mask = (np.arange(1, T)[:, None] < flens[None, :])[:, :, None]
+    assert int(((np.asarray(bp) != bps) & mask).sum()) == 0
