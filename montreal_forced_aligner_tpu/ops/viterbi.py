@@ -192,7 +192,18 @@ def frame_tids_host(
 # ~20x less VPU work. Graphs whose offsets exceed the band fall back to the
 # dense kernel.
 
-BAND_BUCKETS = [(4, 16), (8, 32), (16, 64), (16, 128)]
+# measured on real alignment graphs: offsets concentrate in [-2, 12] (self
+# loops + in-phone chains dominate; the tail is silence-branch junctions), so
+# the low buckets are fine-grained — D directly scales the per-frame VPU work
+BAND_BUCKETS = [
+    (1, 4),
+    (2, 8),
+    (2, 12),
+    (4, 16),
+    (8, 32),
+    (16, 64),
+    (16, 128),
+]
 
 
 def band_limits_for(graphs_offsets_min: int, graphs_offsets_max: int):
