@@ -50,6 +50,88 @@ def cli():
         pass
 
 
+
+def _load_command_config(config_path):
+    """Per-command yaml parameter file (reference ``--config_path``,
+    ``TopLevelMfaWorker.parse_parameters`` ``abc.py:1344``)."""
+    import yaml
+
+    with open(config_path, encoding="utf8") as f:
+        return yaml.safe_load(f) or {}
+
+
+def _config_overrides(ctx, data, keys):
+    """Config-file values for flags the user did not set explicitly
+    (precedence: command defaults < config file < command line, matching
+    the reference)."""
+    from click.core import ParameterSource
+
+    out = {}
+    for k in keys:
+        if k in data and ctx.get_parameter_source(k) in (
+            ParameterSource.DEFAULT,
+            ParameterSource.DEFAULT_MAP,
+        ):
+            out[k] = data[k]
+    return out
+
+
+_TRAIN_STAGE_KINDS = {
+    "monophone": "mono",
+    "triphone": "tri",
+    "lda": "lda",
+    "sat": "sat",
+    "pronunciation_probabilities": "pron_prob",
+}
+_STAGE_DEFAULT_ITERS = {"mono": 40, "tri": 35, "lda": 35, "sat": 35, "pron_prob": 0}
+
+
+def _recipe_from_config(data):
+    """Reference training-recipe yaml (``training:`` list of
+    ``{stage_type: params}`` blocks, e.g. ``tests/data/configs/
+    basic_train_config.yaml``) -> list of StageConfig. Unknown per-stage
+    keys are reported and skipped (beam/retry_beam have no effect on the
+    exact DP)."""
+    from montreal_forced_aligner_tpu.training.trainer import StageConfig
+
+    known = {
+        "num_iterations", "max_gaussians", "num_leaves", "subset", "quick",
+        # accepted for reference-config compatibility; not tunable here
+        "cluster_threshold", "power", "boost_silence", "silence_weight",
+        "fmllr_update_type", "features", "optional",
+    }
+    stages = []
+    counts = {}
+    for item in data.get("training", []):
+        ((name, params),) = item.items()
+        params = params or {}
+        if name not in _TRAIN_STAGE_KINDS:
+            raise click.UsageError(f"unknown training stage type: {name}")
+        unknown = set(params) - known
+        if unknown:
+            click.echo(
+                f"config: ignoring unknown keys for stage {name}: "
+                f"{sorted(unknown)}"
+            )
+        kind = _TRAIN_STAGE_KINDS[name]
+        counts[name] = counts.get(name, 0) + 1
+        stage_name = name if counts[name] == 1 else f"{name}_{counts[name]}"
+        stages.append(
+            StageConfig(
+                stage_name,
+                kind,
+                num_iterations=int(
+                    params.get("num_iterations", _STAGE_DEFAULT_ITERS[kind])
+                ),
+                max_gaussians=int(params.get("max_gaussians", 1000)),
+                num_leaves=int(params.get("num_leaves", 0)),
+                subset=int(params.get("subset", 0)),
+                quick=bool(params.get("quick", params.get("optional", False))),
+            )
+        )
+    return stages
+
+
 @cli.command("align")
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
@@ -70,7 +152,11 @@ def cli():
               help="Phonological rules yaml for pronunciation variants")
 @click.option("--profile_dir", type=click.Path(), default=None,
               help="Write a JAX profiler trace here")
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml parameter file (reference --config_path semantics)")
+@click.pass_context
 def align_cli(
+    ctx,
     corpus_directory,
     dictionary_path,
     acoustic_model_path,
@@ -85,9 +171,24 @@ def align_cli(
     g2p_model_path,
     rules_path,
     profile_dir,
+    config_path,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["beam", "retry_beam", "boost_silence", "batch_size",
+             "graph_workers", "include_silence", "fine_tune"],
+        )
+        beam = ov.get("beam", beam)
+        retry_beam = ov.get("retry_beam", retry_beam)
+        boost_silence = ov.get("boost_silence", boost_silence)
+        batch_size = ov.get("batch_size", batch_size)
+        graph_workers = ov.get("graph_workers", graph_workers)
+        include_silence = ov.get("include_silence", include_silence)
+        fine_tune = ov.get("fine_tune", fine_tune)
     from montreal_forced_aligner_tpu.align.aligner import (
         AlignerConfig,
         PretrainedAligner,
@@ -261,10 +362,15 @@ def version_cli():
               type=click.Choice(["UNKNOWN", "AUTO", "ARPA", "IPA", "PINYIN"],
                                 case_sensitive=False),
               help="Phone-set family for tree roots + phonological questions")
-def train_cli(corpus_directory, dictionary_path, output_model_path,
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml training recipe + parameters (reference schema, "
+                   "e.g. the reference's basic_train_config.yaml)")
+@click.pass_context
+def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
               num_iterations_scale, working_directory,
-              position_dependent_phones, features_on_host, phone_set_type):
+              position_dependent_phones, features_on_host, phone_set_type,
+              config_path):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -276,9 +382,41 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
     from dataclasses import replace as _replace
 
     t0 = time.time()
+    use_pitch = False
+    mfcc_config = None
+    recipe = DEFAULT_RECIPE
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["batch_size", "graph_workers", "position_dependent_phones",
+             "phone_set_type"],
+        )
+        batch_size = ov.get("batch_size", batch_size)
+        graph_workers = ov.get("graph_workers", graph_workers)
+        position_dependent_phones = ov.get(
+            "position_dependent_phones", position_dependent_phones
+        )
+        phone_set_type = ov.get("phone_set_type", phone_set_type)
+        feats = data.get("features") or {}
+        use_pitch = bool(feats.get("use_pitch", False))
+        if "frame_shift" in feats or "use_energy" in feats:
+            from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig
+
+            mfcc_config = MfccConfig(
+                frame_shift_ms=float(feats.get("frame_shift", 10)),
+                use_energy=bool(feats.get("use_energy", False)),
+            )
+        if data.get("training"):
+            recipe = _recipe_from_config(data)
     recipe = [
-        _replace(st, num_iterations=max(2, int(st.num_iterations * num_iterations_scale)))
-        for st in DEFAULT_RECIPE
+        _replace(
+            st,
+            num_iterations=max(2, int(st.num_iterations * num_iterations_scale))
+            if st.num_iterations
+            else 0,
+        )
+        for st in recipe
     ]
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
@@ -287,6 +425,8 @@ def train_cli(corpus_directory, dictionary_path, output_model_path,
         features_on_host=features_on_host,
         phone_set_type=phone_set_type,
         num_graph_workers=graph_workers,
+        use_pitch=use_pitch,
+        mfcc_config=mfcc_config,
     )
     final = ta.train()
     ta.export_model(output_model_path)

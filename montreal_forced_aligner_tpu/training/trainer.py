@@ -77,6 +77,8 @@ class TrainableAligner:
         features_on_host: bool = False,
         phone_set_type: str = "UNKNOWN",
         num_graph_workers: int = 0,
+        use_pitch: bool = False,
+        mfcc_config=None,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.lexicon = Lexicon.load(
@@ -91,6 +93,8 @@ class TrainableAligner:
         self.features_on_host = features_on_host
         self.phone_set_type = phone_set_type
         self.num_graph_workers = num_graph_workers
+        self.use_pitch = use_pitch
+        self.mfcc_config = mfcc_config
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
 
@@ -198,6 +202,8 @@ class TrainableAligner:
             self.corpus, self.lexicon, batch_size=self.batch_size,
             features_on_host=self.features_on_host,
             num_graph_workers=self.num_graph_workers,
+            use_pitch=self.use_pitch,
+            mfcc_config=self.mfcc_config,
         )
         pipeline.prepare_features()
         self._excluded = self.filter_training_utterances(pipeline)

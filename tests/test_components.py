@@ -593,3 +593,65 @@ def test_cli_full_command_battery(tmp_path, monkeypatch):
     r = run("model", "list", "acoustic")
     assert "synth_test" in r.output
     run("model", "inspect", model_path)
+
+
+def test_cli_config_path_yaml(tmp_path):
+    """--config_path consumes the reference's yaml schema: align params and
+    a custom training recipe (reference ``TopLevelMfaWorker.parse_parameters``,
+    ``abc.py:1344``; recipe schema ``tests/data/configs/basic_train_config.yaml``).
+    Command-line flags win over config-file values."""
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import (
+        _config_overrides,
+        _recipe_from_config,
+        cli,
+    )
+
+    recipe = _recipe_from_config(
+        {
+            "training": [
+                {"monophone": {"num_iterations": 4, "max_gaussians": 100,
+                               "subset": 100}},
+                {"triphone": {"num_iterations": 3, "num_leaves": 64,
+                              "max_gaussians": 128, "cluster_threshold": -1}},
+                {"sat": {"num_iterations": 2, "num_leaves": 64,
+                         "max_gaussians": 128, "fmllr_update_type": "full"}},
+            ]
+        }
+    )
+    assert [s.kind for s in recipe] == ["mono", "tri", "sat"]
+    assert recipe[0].num_iterations == 4 and recipe[1].num_leaves == 64
+    assert len({s.name for s in recipe}) == 3
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    cfg = tmp_path / "align.yaml"
+    cfg.write_text("beam: 123\nretry_beam: 456\nbatch_size: 2\n")
+    out = tmp_path / "out_cfg"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["align", str(corpus_dir), str(dict_path), str(model_path), str(out),
+         "--config_path", str(cfg)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert list(out.glob("*.TextGrid"))
+
+    train_cfg = tmp_path / "train.yaml"
+    train_cfg.write_text(
+        "features:\n  use_pitch: false\n"
+        "training:\n"
+        "  - monophone:\n      num_iterations: 3\n      max_gaussians: 60\n"
+    )
+    model_out = tmp_path / "m_cfg.zip"
+    r = runner.invoke(
+        cli,
+        ["train", str(corpus_dir), str(dict_path), str(model_out),
+         "--config_path", str(train_cfg)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert model_out.exists()
