@@ -782,9 +782,19 @@ class PretrainedAligner:
         results: Dict[int, UtteranceAlignment],
         output_directory,
         include_silence: bool = False,
+        output_format: str = "long_textgrid",
     ) -> List[Path]:
-        """Write one TextGrid per corpus file with word/phone tiers per
-        speaker (reference ``textgrid.py:279-560``)."""
+        """Write one file per corpus file with word/phone tiers per speaker;
+        ``output_format`` is one of long_textgrid (default), short_textgrid,
+        json, csv (reference ``textgrid.py:279-560``)."""
+        extensions = {
+            "long_textgrid": ".TextGrid",
+            "short_textgrid": ".TextGrid",
+            "json": ".json",
+            "csv": ".csv",
+        }
+        if output_format not in extensions:
+            raise ValueError(f"unknown output_format: {output_format}")
         output_directory = Path(output_directory)
         output_directory.mkdir(parents=True, exist_ok=True)
         by_file: Dict[str, List[Utterance]] = {}
@@ -817,8 +827,13 @@ class PretrainedAligner:
                 else:
                     tg.tiers[f"{spk} - words"] = words
                     tg.tiers[f"{spk} - phones"] = phones
-            out = output_directory / f"{file_name}.TextGrid"
-            tg.write(out)
+            out = output_directory / f"{file_name}{extensions[output_format]}"
+            if output_format == "json":
+                tg.write_json(out)
+            elif output_format == "csv":
+                tg.write_csv(out)
+            else:
+                tg.write(out, output_format=output_format)
             out_paths.append(out)
         return out_paths
 

@@ -154,6 +154,10 @@ def _recipe_from_config(data):
               help="Write a JAX profiler trace here")
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml parameter file (reference --config_path semantics)")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"]),
+              help="Export format (reference textgrid.py:463)")
 @click.pass_context
 def align_cli(
     ctx,
@@ -172,6 +176,7 @@ def align_cli(
     rules_path,
     profile_dir,
     config_path,
+    output_format,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -180,8 +185,10 @@ def align_cli(
         ov = _config_overrides(
             ctx, data,
             ["beam", "retry_beam", "boost_silence", "batch_size",
-             "graph_workers", "include_silence", "fine_tune"],
+             "graph_workers", "include_silence", "fine_tune",
+             "output_format"],
         )
+        output_format = ov.get("output_format", output_format)
         beam = ov.get("beam", beam)
         retry_beam = ov.get("retry_beam", retry_beam)
         boost_silence = ov.get("boost_silence", boost_silence)
@@ -229,7 +236,8 @@ def align_cli(
         f"(mean log-like/frame {sum(scores)/max(len(scores),1):.3f})"
     )
     outs = aligner.export_textgrids(
-        corpus, results, output_directory, include_silence=include_silence
+        corpus, results, output_directory, include_silence=include_silence,
+        output_format=output_format,
     )
     click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
     click.echo(f"Done! Everything took {time.time() - t0:.1f} seconds")

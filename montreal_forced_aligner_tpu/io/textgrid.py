@@ -27,7 +27,11 @@ class TextGrid:
     tiers: "Dict[str, List[Interval]]" = field(default_factory=dict)
 
     # -- writing -------------------------------------------------------------
-    def write(self, path) -> None:
+    def write(self, path, output_format: str = "long_textgrid") -> None:
+        """Write long (default) or short TextGrid (reference
+        ``export_textgrid`` formats, ``textgrid.py:463``)."""
+        if output_format == "short_textgrid":
+            return self._write_short(path)
         with open(path, "w", encoding="utf-8") as f:
             f.write('File type = "ooTextFile"\n')
             f.write('Object class = "TextGrid"\n\n')
@@ -51,16 +55,74 @@ class TextGrid:
                     label = iv.label.replace('"', '""')
                     f.write(f'            text = "{label}"\n')
 
+    def _write_short(self, path) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write('File type = "ooTextFile"\n')
+            f.write('Object class = "TextGrid"\n\n')
+            f.write(f"{self.xmin}\n{self.xmax}\n<exists>\n{len(self.tiers)}\n")
+            for name, intervals in self.tiers.items():
+                label = name.replace('"', '""')
+                f.write(f'"IntervalTier"\n"{label}"\n')
+                f.write(f"{self.xmin}\n{self.xmax}\n")
+                filled = _fill_gaps(intervals, self.xmin, self.xmax)
+                f.write(f"{len(filled)}\n")
+                for iv in filled:
+                    text = iv.label.replace('"', '""')
+                    f.write(f'{iv.begin}\n{iv.end}\n"{text}"\n')
+
+    def write_json(self, path) -> None:
+        """Reference json schema: {"start", "end", "tiers": {name:
+        {"type": "interval", "entries": [[begin, end, label], ...]}}}."""
+        import json
+
+        data = {"start": self.xmin, "end": self.xmax, "tiers": {}}
+        for name, intervals in self.tiers.items():
+            data["tiers"][name] = {
+                "type": "interval",
+                "entries": [[iv.begin, iv.end, iv.label] for iv in intervals],
+            }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=4, ensure_ascii=False)
+
+    def write_csv(self, path) -> None:
+        """Reference csv schema: Begin, End, Label, Type, Speaker rows; tier
+        names are either "words"/"phones" (single speaker) or
+        "<speaker> - <type>"."""
+        import csv
+
+        with open(path, "w", encoding="utf-8", newline="") as f:
+            writer = csv.DictWriter(
+                f, fieldnames=["Begin", "End", "Label", "Type", "Speaker"]
+            )
+            writer.writeheader()
+            for name, intervals in self.tiers.items():
+                if " - " in name:
+                    speaker, ann_type = name.rsplit(" - ", 1)
+                else:
+                    speaker, ann_type = "speaker", name
+                for iv in intervals:
+                    writer.writerow(
+                        {
+                            "Begin": iv.begin,
+                            "End": iv.end,
+                            "Label": iv.label,
+                            "Type": ann_type,
+                            "Speaker": speaker,
+                        }
+                    )
+
     # -- reading -------------------------------------------------------------
     @classmethod
     def read(cls, path) -> "TextGrid":
         with open(path, "r", encoding="utf-8-sig", errors="replace") as f:
             content = f.read()
-        if "item" in content or "IntervalTier" in content:
+        if re.search(r"item\s*\[", content):
             try:
-                return cls._read_long(content)
+                tg = cls._read_long(content)
+                if tg.tiers:
+                    return tg
             except Exception:
-                return cls._read_short(content)
+                pass
         return cls._read_short(content)
 
     @classmethod

@@ -655,3 +655,51 @@ def test_cli_config_path_yaml(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert model_out.exists()
+
+
+def test_export_output_formats(tmp_path):
+    """short_textgrid/json/csv exports carry the same intervals as the long
+    TextGrid (reference export_textgrid formats, ``textgrid.py:463``); the
+    short format round-trips through our own reader."""
+    import csv as _csv
+    import json as _json
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=2))
+    corpus = Corpus.load(corpus_dir)
+    results = al.align_corpus(corpus)
+
+    outs = {}
+    for fmt in ("long_textgrid", "short_textgrid", "json", "csv"):
+        d = tmp_path / f"out_{fmt}"
+        paths = al.export_textgrids(corpus, results, d, output_format=fmt)
+        assert len(paths) == 1
+        outs[fmt] = paths[0]
+    assert outs["json"].suffix == ".json" and outs["csv"].suffix == ".csv"
+
+    long_tg = TextGrid.read(outs["long_textgrid"])
+    short_tg = TextGrid.read(outs["short_textgrid"])
+    assert set(long_tg.tiers) == set(short_tg.tiers)
+    for name in long_tg.tiers:
+        a = [(i.begin, i.end, i.label) for i in long_tg.tiers[name]]
+        b = [(i.begin, i.end, i.label) for i in short_tg.tiers[name]]
+        assert a == b, name
+
+    data = _json.loads(outs["json"].read_text())
+    assert set(data["tiers"]) == {"words", "phones"}
+    words_json = [e[2] for e in data["tiers"]["words"]["entries"]]
+    assert words_json == ["ab", "a"]
+
+    with open(outs["csv"]) as f:
+        rows = list(_csv.DictReader(f))
+    assert {r["Type"] for r in rows} == {"words", "phones"}
+    assert [r["Label"] for r in rows if r["Type"] == "words"] == ["ab", "a"]
