@@ -783,6 +783,7 @@ class PretrainedAligner:
         output_directory,
         include_silence: bool = False,
         output_format: str = "long_textgrid",
+        include_original_text: bool = False,
     ) -> List[Path]:
         """Write one file per corpus file with word/phone tiers per speaker;
         ``output_format`` is one of long_textgrid (default), short_textgrid,
@@ -811,9 +812,14 @@ class PretrainedAligner:
             for spk in speakers:
                 words: List[Interval] = []
                 phones: List[Interval] = []
+                texts: List[Interval] = []
                 for utt in utts:
                     if utt.speaker != spk or utt.id not in results:
                         continue
+                    if include_original_text:
+                        texts.append(
+                            Interval(utt.begin, utt.end or tg.xmax, utt.text)
+                        )
                     aln = results[utt.id]
                     for w in aln.words:
                         words.append(Interval(w.begin, w.end, w.label))
@@ -821,12 +827,13 @@ class PretrainedAligner:
                         if not include_silence and p.label in ("sil", "sp"):
                             continue
                         phones.append(Interval(p.begin, p.end, p.label))
-                if len(speakers) == 1:
-                    tg.tiers["words"] = words
-                    tg.tiers["phones"] = phones
-                else:
-                    tg.tiers[f"{spk} - words"] = words
-                    tg.tiers[f"{spk} - phones"] = phones
+                prefix = "" if len(speakers) == 1 else f"{spk} - "
+                tg.tiers[f"{prefix}words"] = words
+                tg.tiers[f"{prefix}phones"] = phones
+                # reference adds an original-utterance tier when requested
+                # (``textgrid.py:346``)
+                if include_original_text:
+                    tg.tiers[f"{prefix}utterances"] = texts
             out = output_directory / f"{file_name}{extensions[output_format]}"
             if output_format == "json":
                 tg.write_json(out)

@@ -158,6 +158,20 @@ def _recipe_from_config(data):
               type=click.Choice(
                   ["long_textgrid", "short_textgrid", "json", "csv"]),
               help="Export format (reference textgrid.py:463)")
+@click.option("--include_original_text", is_flag=True, default=False,
+              help="Add an original-utterance tier to the output")
+@click.option("--speaker_characters", "-s", default="0", show_default=True,
+              help="Speaker from the first N filename characters (or "
+                   "'prosodylab'); default uses directory names")
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None,
+              help="Additional root searched for sound files")
+@click.option("--reference_directory", type=click.Path(exists=True),
+              default=None,
+              help="Gold-standard alignments to evaluate against")
+@click.option("--custom_mapping_path", type=click.Path(exists=True),
+              default=None,
+              help="Yaml mapping phones across phone sets for evaluation")
 @click.pass_context
 def align_cli(
     ctx,
@@ -177,6 +191,11 @@ def align_cli(
     profile_dir,
     config_path,
     output_format,
+    include_original_text,
+    speaker_characters,
+    audio_directory,
+    reference_directory,
+    custom_mapping_path,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -217,7 +236,11 @@ def align_cli(
         g2p_model_path=g2p_model_path,
         rules_path=rules_path,
     )
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(
+        corpus_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
+    )
     click.echo(
         f"Loaded corpus: {corpus.num_utterances} utterances, "
         f"{len(corpus.speakers)} speakers"
@@ -238,8 +261,16 @@ def align_cli(
     outs = aligner.export_textgrids(
         corpus, results, output_directory, include_silence=include_silence,
         output_format=output_format,
+        include_original_text=include_original_text,
     )
     click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
+    if reference_directory:
+        _evaluate_alignment_dirs(
+            reference_directory,
+            output_directory,
+            "sil",
+            custom_mapping=_load_custom_mapping(custom_mapping_path),
+        )
     click.echo(f"Done! Everything took {time.time() - t0:.1f} seconds")
 
 
@@ -633,14 +664,31 @@ def create_segments_cli(corpus_directory, dictionary_path,
     )
 
 
-@cli.command("evaluate_alignments")
-@click.argument("reference_directory", type=click.Path(exists=True))
-@click.argument("test_directory", type=click.Path(exists=True))
-@click.option("--silence_phone", default="sil", show_default=True)
-def evaluate_alignments_cli(reference_directory, test_directory, silence_phone):
-    """Compare two directories of TextGrids (reference:
-    ``alignment/base.py:2536`` evaluate_alignments): overlap error, phone
-    error rate, boundary agreement (+-10 ms)."""
+def _load_custom_mapping(custom_mapping_path):
+    """Phone-mapping yaml for cross-phone-set evaluation (reference
+    ``--custom_mapping_path``; many-to-one entries allowed)."""
+    if not custom_mapping_path:
+        return None
+    import yaml
+
+    with open(custom_mapping_path, encoding="utf8") as f:
+        raw = yaml.safe_load(f) or {}
+    mapping = {}
+    for k, v in raw.items():
+        if isinstance(v, list):
+            for item in v:
+                mapping[str(k)] = str(item)
+        else:
+            mapping[str(k)] = str(v)
+    return mapping
+
+
+def _evaluate_alignment_dirs(
+    reference_directory, test_directory, silence_phone, custom_mapping=None
+):
+    """Compare two directories of TextGrids (reference
+    ``alignment/base.py:2536``); prints overlap error, phone error rate and
+    +-10 ms boundary agreement."""
     from pathlib import Path
 
     import numpy as np
@@ -673,7 +721,9 @@ def evaluate_alignments_cli(reference_directory, test_directory, silence_phone):
         test = phones_of(test_tg)
         if not ref or not test:
             continue
-        sc, per, _err = align_phones(ref, test, silence_phone)
+        sc, per, _err = align_phones(
+            ref, test, silence_phone, custom_mapping=custom_mapping
+        )
         ag, nb = boundary_agreement(ref, test, silence_phone)
         if sc is not None:
             scores.append(sc)
@@ -688,6 +738,27 @@ def evaluate_alignments_cli(reference_directory, test_directory, silence_phone):
     click.echo(f"Mean phone error rate: {np.mean(pers):.4f}")
     click.echo(
         f"Boundary agreement (+-10ms): {sum(agrees) / max(sum(totals), 1):.4f}"
+    )
+
+
+@cli.command("evaluate_alignments")
+@click.argument("reference_directory", type=click.Path(exists=True))
+@click.argument("test_directory", type=click.Path(exists=True))
+@click.option("--silence_phone", default="sil", show_default=True)
+@click.option("--custom_mapping_path", type=click.Path(exists=True),
+              default=None,
+              help="Yaml mapping phones across phone sets for evaluation")
+def evaluate_alignments_cli(
+    reference_directory, test_directory, silence_phone, custom_mapping_path
+):
+    """Compare two directories of TextGrids (reference:
+    ``alignment/base.py:2536`` evaluate_alignments): overlap error, phone
+    error rate, boundary agreement (+-10 ms)."""
+    _evaluate_alignment_dirs(
+        reference_directory,
+        test_directory,
+        silence_phone,
+        custom_mapping=_load_custom_mapping(custom_mapping_path),
     )
 
 

@@ -73,7 +73,22 @@ class Corpus:
         return {s: i for i, s in enumerate(self.speakers)}
 
     @classmethod
-    def load(cls, directory) -> "Corpus":
+    def load(
+        cls,
+        directory,
+        speaker_characters=0,
+        audio_directory=None,
+    ) -> "Corpus":
+        """Scan a corpus directory.
+
+        ``speaker_characters``: 0 = speaker from directory names (default);
+        N > 0 = first N characters of the file name; "prosodylab" = second
+        underscore-separated field of the file name (reference
+        ``--speaker_characters``, ``corpus/classes.py:26``).
+        ``audio_directory``: additional root searched for sound files whose
+        transcripts live (by stem) under ``directory`` (reference
+        ``--audio_directory``).
+        """
         directory = Path(directory)
         corpus = cls()
         speakers = set()
@@ -82,8 +97,31 @@ class Corpus:
             for ext in AUDIO_EXTENSIONS
             for p in directory.rglob(f"*{ext}")
         )
+        transcript_index: Dict[str, Path] = {}
+        if audio_directory is not None:
+            audio_directory = Path(audio_directory)
+            seen = {w.stem for w in wavs}
+            wavs += sorted(
+                p
+                for ext in AUDIO_EXTENSIONS
+                for p in audio_directory.rglob(f"*{ext}")
+                if p.stem not in seen
+            )
+            for ext in (".TextGrid", ".textgrid", *TRANSCRIPT_EXTENSIONS):
+                for p in directory.rglob(f"*{ext}"):
+                    transcript_index.setdefault(p.stem, p)
         if not wavs:
             raise FileNotFoundError(f"no .wav files under {directory}")
+
+        def speaker_from_stem(stem: str, default: str) -> str:
+            if speaker_characters in (0, "0", None):
+                return default
+            if speaker_characters == "prosodylab":
+                parts = stem.split("_")
+                return parts[1] if len(parts) > 1 else default
+            n = int(speaker_characters)
+            return stem[:n] if n > 0 else default
+
         uid = 0
         for wav in wavs:
             stem = wav.stem
@@ -100,6 +138,12 @@ class Corpus:
                     if cand.exists():
                         lab_path = cand
                         break
+            if tg_path is None and lab_path is None and stem in transcript_index:
+                cand = transcript_index[stem]
+                if cand.suffix.lower() == ".textgrid":
+                    tg_path = cand
+                else:
+                    lab_path = cand
             corpus.files[stem] = wav
             if tg_path is not None:
                 tg = TextGrid.read(tg_path)
@@ -123,8 +167,8 @@ class Corpus:
                         )
                         uid += 1
             elif lab_path is not None:
-                speaker = (
-                    wav.parent.name if wav.parent != directory else stem
+                speaker = speaker_from_stem(
+                    stem, wav.parent.name if wav.parent != directory else stem
                 )
                 with open(lab_path, "r", encoding="utf-8") as f:
                     text = f.read().strip()

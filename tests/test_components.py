@@ -703,3 +703,69 @@ def test_export_output_formats(tmp_path):
         rows = list(_csv.DictReader(f))
     assert {r["Type"] for r in rows} == {"words", "phones"}
     assert [r["Label"] for r in rows if r["Type"] == "words"] == ["ab", "a"]
+
+
+def test_corpus_speaker_characters_and_audio_directory(tmp_path):
+    """--speaker_characters / --audio_directory semantics (reference
+    ``command_line/align.py:46-60``): N filename characters or prosodylab
+    field as speaker; sound files found under a separate audio root paired
+    with transcripts by stem."""
+    from helpers import build_synthetic_corpus
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    src_wav = next(corpus_dir.rglob("*.wav"))
+    src_lab = next(corpus_dir.rglob("*.lab"))
+    text_root = tmp_path / "text"
+    audio_root = tmp_path / "audio"
+    text_root.mkdir()
+    audio_root.mkdir()
+    import shutil
+
+    shutil.copy(src_wav, audio_root / "spkA_file1.wav")
+    (text_root / "spkA_file1.lab").write_text(src_lab.read_text())
+
+    c = Corpus.load(text_root, audio_directory=audio_root)
+    assert c.num_utterances == 1
+    c2 = Corpus.load(text_root, speaker_characters=4, audio_directory=audio_root)
+    assert c2.speakers == ["spkA"]
+    c3 = Corpus.load(
+        text_root, speaker_characters="prosodylab", audio_directory=audio_root
+    )
+    assert c3.speakers == ["file1"]
+
+
+def test_align_include_original_text_and_inline_eval(tmp_path):
+    """align --include_original_text adds an utterances tier; aligning with
+    --reference_directory pointing at its own output reports perfect
+    agreement (reference ``alignment/base.py:2536``)."""
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    runner = CliRunner()
+    out1 = tmp_path / "o1"
+    r = runner.invoke(
+        cli,
+        ["align", str(corpus_dir), str(dict_path), str(model_path), str(out1),
+         "--include_original_text"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    tg = TextGrid.read(next(out1.glob("*.TextGrid")))
+    assert "utterances" in tg.tiers
+    assert tg.tiers["utterances"][0].label.strip('"') != ""
+
+    out2 = tmp_path / "o2"
+    r = runner.invoke(
+        cli,
+        ["align", str(corpus_dir), str(dict_path), str(model_path), str(out2),
+         "--reference_directory", str(out1)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "Boundary agreement (+-10ms): 1.0000" in r.output
