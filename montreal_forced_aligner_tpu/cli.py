@@ -811,11 +811,24 @@ def train_lm_cli(source_path, output_model_path, order):
 @click.option("--rescore_lm_path", type=click.Path(exists=True), default=None,
               help="larger ARPA LM for N-best rescoring (needs --nbest > 1)")
 @click.option("--rescore_weight", default=1.0, show_default=True)
-def transcribe_cli(corpus_directory, dictionary_path, acoustic_model_path,
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml parameter file (reference --config_path semantics)")
+@click.pass_context
+def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
                    output_directory, language_model_path, evaluate, batch_size,
-                   nbest, rescore_lm_path, rescore_weight):
+                   nbest, rescore_lm_path, rescore_weight, config_path):
     """Transcribe a corpus (reference: ``mfa transcribe``,
     ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["batch_size", "nbest", "rescore_weight", "evaluate"],
+        )
+        batch_size = ov.get("batch_size", batch_size)
+        nbest = ov.get("nbest", nbest)
+        rescore_weight = ov.get("rescore_weight", rescore_weight)
+        evaluate = ov.get("evaluate", evaluate)
     from pathlib import Path as _P
 
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
