@@ -811,24 +811,36 @@ def train_lm_cli(source_path, output_model_path, order):
 @click.option("--rescore_lm_path", type=click.Path(exists=True), default=None,
               help="larger ARPA LM for N-best rescoring (needs --nbest > 1)")
 @click.option("--rescore_weight", default=1.0, show_default=True)
+@click.option("--language_model_weight", default=1.0, show_default=True,
+              help="LM scale during decoding (reference semantics)")
+@click.option("--word_insertion_penalty", default=0.0, show_default=True,
+              help="Per-word entry cost (reference semantics)")
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml parameter file (reference --config_path semantics)")
 @click.pass_context
 def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
                    output_directory, language_model_path, evaluate, batch_size,
-                   nbest, rescore_lm_path, rescore_weight, config_path):
+                   nbest, rescore_lm_path, rescore_weight,
+                   language_model_weight, word_insertion_penalty, config_path):
     """Transcribe a corpus (reference: ``mfa transcribe``,
     ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
     if config_path:
         data = _load_command_config(config_path)
         ov = _config_overrides(
             ctx, data,
-            ["batch_size", "nbest", "rescore_weight", "evaluate"],
+            ["batch_size", "nbest", "rescore_weight", "evaluate",
+             "language_model_weight", "word_insertion_penalty"],
         )
         batch_size = ov.get("batch_size", batch_size)
         nbest = ov.get("nbest", nbest)
         rescore_weight = ov.get("rescore_weight", rescore_weight)
         evaluate = ov.get("evaluate", evaluate)
+        language_model_weight = ov.get(
+            "language_model_weight", language_model_weight
+        )
+        word_insertion_penalty = ov.get(
+            "word_insertion_penalty", word_insertion_penalty
+        )
     from pathlib import Path as _P
 
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
@@ -837,7 +849,9 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
 
     lm = ArpaModel.read(language_model_path) if language_model_path else None
     tr = Transcriber(
-        acoustic_model_path, dictionary_path, lm=lm, batch_size=batch_size
+        acoustic_model_path, dictionary_path, lm=lm, batch_size=batch_size,
+        lm_scale=language_model_weight,
+        word_insertion_penalty=word_insertion_penalty,
     )
     corpus = Corpus.load(corpus_directory)
     rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
