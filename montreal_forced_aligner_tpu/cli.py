@@ -962,9 +962,19 @@ def train_g2p_cli(dictionary_path, output_model_path, order,
 @click.argument("g2p_model_path", type=click.Path(exists=True))
 @click.argument("output_path", type=click.Path())
 @click.option("--num_pronunciations", default=1, show_default=True)
-def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations):
-    """Generate pronunciations for a word list (one word per line)
-    (reference: ``mfa g2p``, ``g2p/generator.py``)."""
+@click.option("--dictionary_path", type=click.Path(exists=True), default=None,
+              help="Existing dictionary: only OOV words get pronunciations")
+@click.option("--include_bracketed", is_flag=True, default=False,
+              help="Also generate for [bracketed]/(...)/<...> words")
+@click.option("--export_scores", is_flag=True, default=False,
+              help="Add a column with each pronunciation's score")
+@click.option("--sorted", "sorted_output", is_flag=True, default=False,
+              help="Sort the output alphabetically")
+def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations,
+            dictionary_path, include_bracketed, export_scores, sorted_output):
+    """Generate pronunciations for a word list (one word per line) or a
+    corpus directory's vocabulary (reference: ``mfa g2p``,
+    ``g2p/generator.py:475-1100``)."""
     from pathlib import Path as _P
 
     from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
@@ -972,16 +982,46 @@ def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations):
 
     model = G2PModel.load(g2p_model_path)
     gen = G2PGenerator(model)
-    words = [
-        w.strip().lower()
-        for w in _P(input_path).read_text(encoding="utf-8").splitlines()
-        if w.strip()
-    ]
+    input_path = _P(input_path)
+    if input_path.is_dir():
+        # corpus mode: vocabulary from every transcript (reference
+        # PyniniCorpusGenerator / PyniniDictionaryCorpusGenerator)
+        from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+        from montreal_forced_aligner_tpu.dictionary.tokenizer import (
+            SimpleTokenizer,
+        )
+
+        corpus = Corpus.load(input_path)
+        tok = SimpleTokenizer()
+        vocab = set()
+        for utt in corpus.utterances:
+            vocab.update(tok.tokenize(utt.text))
+        words = sorted(vocab)
+    else:
+        words = [
+            w.strip().lower()
+            for w in input_path.read_text(encoding="utf-8").splitlines()
+            if w.strip()
+        ]
+    if not include_bracketed:
+        words = [
+            w for w in words if not (w[:1] in "[(<" and w[-1:] in "])>")
+        ]
+    if dictionary_path:
+        from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+
+        known = set(Lexicon.load(dictionary_path).words)
+        words = [w for w in words if w not in known]
+    if sorted_output:
+        words = sorted(words)
     with open(output_path, "w", encoding="utf-8") as f:
         n = 0
         for w in words:
-            for phones, _score in gen.generate(w, num_pronunciations):
-                f.write(f"{w}\t{' '.join(phones)}\n")
+            for phones, score in gen.generate(w, num_pronunciations):
+                if export_scores:
+                    f.write(f"{w}\t{score:.4f}\t{' '.join(phones)}\n")
+                else:
+                    f.write(f"{w}\t{' '.join(phones)}\n")
                 n += 1
     click.echo(f"Wrote {n} pronunciations for {len(words)} words to {output_path}")
 
