@@ -404,12 +404,14 @@ def version_cli():
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml training recipe + parameters (reference schema, "
                    "e.g. the reference's basic_train_config.yaml)")
+@click.option("--rules_path", type=click.Path(exists=True), default=None,
+              help="Phonological rules yaml applied to the dictionary")
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
               num_iterations_scale, working_directory,
               position_dependent_phones, features_on_host, phone_set_type,
-              config_path):
+              config_path, rules_path):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -466,6 +468,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         num_graph_workers=graph_workers,
         use_pitch=use_pitch,
         mfcc_config=mfcc_config,
+        rules_path=rules_path,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -79,11 +79,22 @@ class TrainableAligner:
         num_graph_workers: int = 0,
         use_pitch: bool = False,
         mfcc_config=None,
+        rules_path=None,
     ):
         self.corpus = Corpus.load(corpus_directory)
+        self.rules_path = rules_path
         self.lexicon = Lexicon.load(
             dictionary_path, position_dependent=position_dependent_phones
         )
+        if rules_path is not None:
+            from montreal_forced_aligner_tpu.dictionary.rules import (
+                PhonologicalRule,
+                apply_rules_to_lexicon,
+            )
+
+            apply_rules_to_lexicon(
+                self.lexicon, PhonologicalRule.load_rules(rules_path)
+            )
         self.recipe = recipe if recipe is not None else DEFAULT_RECIPE
         self.base_config = base_config or TrainerConfig()
         self.batch_size = batch_size
