@@ -124,10 +124,18 @@ def _pallas_emission_eligible(num_pdfs: int, num_gauss: int) -> bool:
     """The Pallas likelihood-on-demand kernel beats the all-pdf one-hot path
     once the model is big enough that evaluating every pdf wastes MXU work
     (measured: 2.5x at P=8000/G=32, 1.4x at P=2000/G=16, parity below).
-    Mosaic only compiles for real TPU backends."""
+    Mosaic only compiles for real TPU backends.
+
+    Upper bound: the kernel's VMEM scratch is (S_TILE=128, G, D2p~128)
+    float32 per tile, so the padded per-pdf Gaussian count must stay small
+    enough to fit (~8 MB). Mixed-up training models can concentrate
+    thousands of Gaussians in one pdf (padding every row to that G), which
+    would otherwise demand hundreds of MB of VMEM."""
     import jax as _jax
 
     if _jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if num_gauss * 128 * 128 * 4 > 8 * 1024 * 1024:  # scratch bytes per tile
         return False
     return num_pdfs * num_gauss >= 16384
 
@@ -838,7 +846,9 @@ class PretrainedAligner:
             if output_format == "json":
                 tg.write_json(out)
             elif output_format == "csv":
-                tg.write_csv(out)
+                tg.write_csv(
+                    out, default_speaker=speakers[0] if speakers else "speaker"
+                )
             else:
                 tg.write(out, output_format=output_format)
             out_paths.append(out)

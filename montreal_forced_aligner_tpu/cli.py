@@ -208,6 +208,12 @@ def align_cli(
              "output_format"],
         )
         output_format = ov.get("output_format", output_format)
+        valid_formats = ("long_textgrid", "short_textgrid", "json", "csv")
+        if output_format not in valid_formats:
+            raise click.UsageError(
+                f"config output_format must be one of {valid_formats}, "
+                f"got {output_format!r}"
+            )
         beam = ov.get("beam", beam)
         retry_beam = ov.get("retry_beam", retry_beam)
         boost_silence = ov.get("boost_silence", boost_silence)
@@ -265,9 +271,18 @@ def align_cli(
     )
     click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
     if reference_directory:
+        eval_dir = output_directory
+        if output_format in ("json", "csv"):
+            # the evaluator reads TextGrids; export a temporary copy
+            import tempfile
+
+            eval_dir = tempfile.mkdtemp(prefix="mfa_tpu_eval_")
+            aligner.export_textgrids(
+                corpus, results, eval_dir, include_silence=include_silence
+            )
         _evaluate_alignment_dirs(
             reference_directory,
-            output_directory,
+            eval_dir,
             "sil",
             custom_mapping=_load_custom_mapping(custom_mapping_path),
         )
@@ -679,8 +694,8 @@ def _load_custom_mapping(custom_mapping_path):
     mapping = {}
     for k, v in raw.items():
         if isinstance(v, list):
-            for item in v:
-                mapping[str(k)] = str(item)
+            # many-to-one entries stay lists (compare_labels membership test)
+            mapping[str(k)] = [str(item) for item in v]
         else:
             mapping[str(k)] = str(v)
     return mapping
@@ -988,17 +1003,26 @@ def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations,
     input_path = _P(input_path)
     if input_path.is_dir():
         # corpus mode: vocabulary from every transcript (reference
-        # PyniniCorpusGenerator / PyniniDictionaryCorpusGenerator)
-        from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+        # PyniniCorpusGenerator / PyniniDictionaryCorpusGenerator). The
+        # transcripts are scanned directly so text-only corpora (no audio)
+        # work too.
         from montreal_forced_aligner_tpu.dictionary.tokenizer import (
             SimpleTokenizer,
         )
+        from montreal_forced_aligner_tpu.io.textgrid import TextGrid
 
-        corpus = Corpus.load(input_path)
         tok = SimpleTokenizer()
         vocab = set()
-        for utt in corpus.utterances:
-            vocab.update(tok.tokenize(utt.text))
+        for ext in (".lab", ".txt"):
+            for f in input_path.rglob(f"*{ext}"):
+                vocab.update(tok.tokenize(f.read_text(encoding="utf-8")))
+        for ext in (".TextGrid", ".textgrid"):
+            for f in input_path.rglob(f"*{ext}"):
+                tg = TextGrid.read(f)
+                for ivs in tg.tiers.values():
+                    for iv in ivs:
+                        if iv.label.strip():
+                            vocab.update(tok.tokenize(iv.label))
         words = sorted(vocab)
     else:
         words = [

@@ -60,7 +60,9 @@ def compare_labels(
     if mapping is not None:
         am = mapping.get(a, a)
         bm = mapping.get(b, b)
-        if am == bm or (isinstance(am, (list, set, tuple)) and b in am):
+        a_set = set(am) if isinstance(am, (list, set, tuple)) else {am}
+        b_set = set(bm) if isinstance(bm, (list, set, tuple)) else {bm}
+        if (a_set & b_set) or b in a_set or a in b_set:
             return 0
     a, b = a.lower(), b.lower()
     if a == b:

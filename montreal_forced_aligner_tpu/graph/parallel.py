@@ -91,3 +91,71 @@ class ParallelGraphCompiler:
             self.close()
         except Exception:
             pass
+
+
+# --- shared pool with per-call compiler tables -----------------------------
+# Training rebuilds the compiler every stage (new tree/transition model), so
+# the fixed-initializer pool above would respawn workers per stage (~1-2 s
+# each time). This variant keeps workers alive and ships each stage's pickled
+# table through a temp file that every worker loads once per version.
+
+_WORKER_TABLES: Dict[int, Dict[str, AlignmentGraphCompiler]] = {}
+
+
+def _compile_one_versioned(item):
+    path, version, key, tokens = item
+    table = _WORKER_TABLES.get(version)
+    if table is None:
+        with open(path, "rb") as f:
+            table = pickle.load(f)
+        _WORKER_TABLES.clear()  # stages are sequential; drop stale tables
+        _WORKER_TABLES[version] = table
+    return table[key].compile(list(tokens))
+
+
+class SharedGraphCompilerPool:
+    """Persistent worker pool reused across compiler-table changes."""
+
+    def __init__(self, num_workers: int):
+        import tempfile
+
+        self.num_workers = num_workers
+        self._pool = ProcessPoolExecutor(
+            max_workers=num_workers,
+            mp_context=mp.get_context("spawn"),
+            initializer=_init_worker,
+            initargs=(pickle.dumps({}),),
+        )
+        self._version = 0
+        self._tmpdir = tempfile.mkdtemp(prefix="mfa_tpu_graph_tables_")
+
+    def compile_all(
+        self,
+        items: Sequence[Tuple[str, Sequence[str]]],
+        compilers: Dict[str, AlignmentGraphCompiler],
+    ) -> List[CompiledGraph]:
+        import os
+
+        self._version += 1
+        path = os.path.join(self._tmpdir, f"table_{self._version}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(compilers, f, protocol=pickle.HIGHEST_PROTOCOL)
+        args = [(path, self._version, k, tuple(t)) for k, t in items]
+        chunksize = max(1, len(args) // (self.num_workers * 4))
+        out = list(
+            self._pool.map(_compile_one_versioned, args, chunksize=chunksize)
+        )
+        os.unlink(path)  # map() has completed; no worker will re-read it
+        return out
+
+    def close(self) -> None:
+        import shutil
+
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        shutil.rmtree(self._tmpdir, ignore_errors=True)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

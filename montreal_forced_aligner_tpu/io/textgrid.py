@@ -84,10 +84,10 @@ class TextGrid:
         with open(path, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=4, ensure_ascii=False)
 
-    def write_csv(self, path) -> None:
+    def write_csv(self, path, default_speaker: str = "speaker") -> None:
         """Reference csv schema: Begin, End, Label, Type, Speaker rows; tier
-        names are either "words"/"phones" (single speaker) or
-        "<speaker> - <type>"."""
+        names are either "words"/"phones" (single speaker, whose real name
+        the caller passes as ``default_speaker``) or "<speaker> - <type>"."""
         import csv
 
         with open(path, "w", encoding="utf-8", newline="") as f:
@@ -99,7 +99,7 @@ class TextGrid:
                 if " - " in name:
                     speaker, ann_type = name.rsplit(" - ", 1)
                 else:
-                    speaker, ann_type = "speaker", name
+                    speaker, ann_type = default_speaker, name
                 for iv in intervals:
                     writer.writerow(
                         {
@@ -116,14 +116,21 @@ class TextGrid:
     def read(cls, path) -> "TextGrid":
         with open(path, "r", encoding="utf-8-sig", errors="replace") as f:
             content = f.read()
+        long_tg = None
         if re.search(r"item\s*\[", content):
             try:
-                tg = cls._read_long(content)
-                if tg.tiers:
-                    return tg
+                long_tg = cls._read_long(content)
+                if long_tg.tiers:
+                    return long_tg
             except Exception:
-                pass
-        return cls._read_short(content)
+                long_tg = None
+        try:
+            return cls._read_short(content)
+        except Exception:
+            # long-format content that legitimately parsed to zero tiers
+            if long_tg is not None:
+                return long_tg
+            raise
 
     @classmethod
     def _read_long(cls, content: str) -> "TextGrid":

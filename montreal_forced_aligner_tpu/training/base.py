@@ -106,8 +106,10 @@ class TrainingPipeline:
         # device ops transfer per step (trades HBM residency for PCIe
         # traffic — the reference's ark-files-on-disk analogue)
         self.features_on_host = features_on_host
-        # fan host graph compilation out over a spawn pool (0 = in-process)
+        # fan host graph compilation out over a spawn pool (0 = in-process);
+        # the pool persists across training stages (lazily created)
         self.num_graph_workers = num_graph_workers
+        self._graph_pool = None
         self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
         self.batches: List[FeatureBatch] = []
         self.graphs: List[CompiledGraph] = []
@@ -287,20 +289,22 @@ class TrainingPipeline:
             if utt.normalized_tokens is None:
                 utt.normalized_tokens = self.tokenizer.tokenize(utt.text)
         if num_workers > 0 and len(flat_indices) >= 4 * num_workers:
-            from montreal_forced_aligner_tpu.graph.parallel import (
-                ParallelGraphCompiler,
-            )
-
-            pool = ParallelGraphCompiler({"": compiler}, num_workers)
-            try:
-                compiled = pool.compile_all(
-                    [
-                        ("", corpus.utterances[i].normalized_tokens)
-                        for i in flat_indices
-                    ]
+            if self._graph_pool is None:
+                from montreal_forced_aligner_tpu.graph.parallel import (
+                    SharedGraphCompilerPool,
                 )
-            finally:
-                pool.close()
+
+                # persistent across stages: each stage rebuilds the compiler
+                # (new tree/model), so the table ships per call instead of
+                # respawning workers per stage
+                self._graph_pool = SharedGraphCompilerPool(num_workers)
+            compiled = self._graph_pool.compile_all(
+                [
+                    ("", corpus.utterances[i].normalized_tokens)
+                    for i in flat_indices
+                ],
+                {"": compiler},
+            )
             for i, g in zip(flat_indices, compiled):
                 self.graphs[i] = g
         else:

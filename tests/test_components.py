@@ -769,3 +769,62 @@ def test_align_include_original_text_and_inline_eval(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert "Boundary agreement (+-10ms): 1.0000" in r.output
+
+
+def test_custom_mapping_many_to_one(tmp_path):
+    """Many-to-one custom-mapping yaml entries survive loading and make the
+    mapped phones compare equal in both directions."""
+    from montreal_forced_aligner_tpu.cli import _load_custom_mapping
+    from montreal_forced_aligner_tpu.evaluation import compare_labels
+
+    p = tmp_path / "map.yaml"
+    p.write_text("ah:\n  - aa\n  - ax\nr: er\n")
+    mapping = _load_custom_mapping(p)
+    assert mapping["ah"] == ["aa", "ax"]
+    assert compare_labels("ah", "aa", "sil", mapping) == 0
+    assert compare_labels("ah", "ax", "sil", mapping) == 0
+    assert compare_labels("aa", "ah", "sil", mapping) == 0  # symmetric
+    assert compare_labels("r", "er", "sil", mapping) == 0
+    assert compare_labels("ah", "iy", "sil", mapping) == 2
+
+
+def test_textgrid_read_edge_cases(tmp_path):
+    """A long-format TextGrid parsing to zero tiers returns the (empty)
+    long parse instead of crashing in the short parser."""
+    from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+    p = tmp_path / "empty.TextGrid"
+    p.write_text(
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+        "xmin = 0.0\nxmax = 1.0\ntiers? <exists>\nsize = 0\nitem []:\n"
+    )
+    tg = TextGrid.read(p)
+    assert tg.tiers == {} and tg.xmax == 1.0
+
+
+def test_g2p_text_only_corpus(tmp_path):
+    """g2p corpus mode scans transcripts directly, so a text-only corpus
+    (no audio) yields its vocabulary."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PTrainer
+
+    d = tmp_path / "dict.txt"
+    d.write_text("ab\ta b\nba\tb a\naa\ta a\nbb\tb b\n")
+    trainer = G2PTrainer(order=3, num_alignment_iterations=2)
+    model = trainer.train_from_dictionary(d)
+    mp = tmp_path / "g2p.zip"
+    model.save(mp)
+
+    corp = tmp_path / "texts"
+    (corp / "s1").mkdir(parents=True)
+    (corp / "s1" / "u1.lab").write_text("ab ba")
+    (corp / "s1" / "u2.txt").write_text("abba")
+    out = tmp_path / "out.dict"
+    r = CliRunner().invoke(
+        cli, ["g2p", str(corp), str(mp), str(out)], catch_exceptions=False
+    )
+    assert r.exit_code == 0, r.output
+    got = {ln.split("\t")[0] for ln in out.read_text().splitlines()}
+    assert got == {"ab", "ba", "abba"}
