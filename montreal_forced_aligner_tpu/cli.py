@@ -421,12 +421,21 @@ def version_cli():
                    "e.g. the reference's basic_train_config.yaml)")
 @click.option("--rules_path", type=click.Path(exists=True), default=None,
               help="Phonological rules yaml applied to the dictionary")
+@click.option("--topology_path", type=click.Path(exists=True), default=None,
+              help="Yaml of per-phone {min_states, max_states} HMM-topology "
+                   "overrides (reference --topology_path)")
+@click.option("--variable_length_topology/--chain_topology", default=True,
+              show_default=True,
+              help="Variable-length phone topology (MFA 2.0+ default, min "
+                   "1 frame) vs classic Bakis chains (stronger duration "
+                   "priors)")
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
               num_iterations_scale, working_directory,
               position_dependent_phones, features_on_host, phone_set_type,
-              config_path, rules_path):
+              config_path, rules_path, topology_path,
+              variable_length_topology):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -484,6 +493,8 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         use_pitch=use_pitch,
         mfcc_config=mfcc_config,
         rules_path=rules_path,
+        topology_path=topology_path,
+        variable_length_topology=variable_length_topology,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -224,27 +224,71 @@ class HmmTopology:
         silence_phones: Optional[List[int]] = None,
         num_non_silence_states: int = 3,
         num_silence_states: int = 5,
+        phone_topologies: Optional[Dict[int, Tuple[int, int]]] = None,
+        variable_length: bool = True,
     ) -> "HmmTopology":
         """Build the reference's default topology.
 
         Semantics from reference ``dictionary/mixins.py:699-790``: non-silence
-        phones are left-to-right with ``num_non_silence_states`` emitting
-        states (self-loop 0.5 / forward 0.5); silence phones have
-        ``num_silence_states`` emitting states where the initial state fans out
-        to all non-final intermediate states, intermediate states are ergodic
-        over {intermediates, final-emitting}, and the last emitting state has
-        self-loop 0.75 / exit 0.25.
+        phones default to (min_states=1, max_states=num_non_silence_states) —
+        the initial state fans out to states min..max (phones as short as one
+        frame), interior states self-loop 0.5 / forward 0.5, and the last
+        emitting state exits with probability 1. ``phone_topologies`` maps a
+        phone id to per-phone (min_states, max_states) overrides
+        (``--topology_path`` yaml, ``multispeaker.py:252``); min == max gives
+        a strict left-to-right chain. ``variable_length=False`` switches the
+        non-silence default to classic Bakis chains with a self-loop on every
+        state (the pre-2.0 MFA/Kaldi topology, also what the checked-in MFA
+        test model uses): stronger duration priors, useful when acoustics
+        alone underdetermine boundaries. Silence phones have
+        ``num_silence_states`` emitting states where the initial state fans
+        out to all non-final intermediate states, intermediate states are
+        ergodic over {intermediates, final-emitting}, and the last emitting
+        state has self-loop 0.75 / exit 0.25.
         """
         silence_phones = sorted(silence_phones or [])
         silence_set = set(silence_phones)
         nonsil = [p for p in phones if p not in silence_set]
+        phone_topologies = phone_topologies or {}
 
         entries: List[List[TopologyState]] = []
 
-        def ns_entry() -> List[TopologyState]:
+        def ns_entry(min_states: int, max_states: int) -> List[TopologyState]:
+            n = max_states
             states = []
-            for i in range(num_non_silence_states):
-                states.append(TopologyState(i, i, [(i, 0.5), (i + 1, 0.5)]))
+            if min_states == 0:
+                # legacy Bakis chain: every state self-loops 0.5 / forwards 0.5
+                for i in range(n):
+                    states.append(
+                        TopologyState(i, i, [(i, 0.5), (i + 1, 0.5)])
+                    )
+                states.append(TopologyState(KNOPDF, KNOPDF, []))
+                return states
+            if min_states == max_states:
+                # strict chain (reference min==max branch): initial and
+                # interior states self-loop 0.5 / forward 0.5, last emitting
+                # state exits with probability 1 (n == 1: the initial state
+                # is also last and keeps its 0.5/0.5 split)
+                for i in range(n - 1):
+                    states.append(
+                        TopologyState(i, i, [(i, 0.5), (i + 1, 0.5)])
+                    )
+                if n == 1:
+                    states.append(TopologyState(0, 0, [(0, 0.5), (1, 0.5)]))
+                else:
+                    states.append(TopologyState(n - 1, n - 1, [(n, 1.0)]))
+            else:
+                p = 1.0 / max_states
+                states.append(
+                    TopologyState(
+                        0, 0, [(t, p) for t in range(min_states, max_states + 1)]
+                    )
+                )
+                for i in range(1, n - 1):
+                    states.append(
+                        TopologyState(i, i, [(i, 0.5), (i + 1, 0.5)])
+                    )
+                states.append(TopologyState(n - 1, n - 1, [(n, 1.0)]))
             states.append(TopologyState(KNOPDF, KNOPDF, []))
             return states
 
@@ -271,12 +315,27 @@ class HmmTopology:
 
         phone2idx = np.full(max(phones) + 1, -1, dtype=np.int32)
         all_sorted = sorted(phones)
-        entry_index: Dict[str, int] = {}
+        entry_index: Dict[tuple, int] = {}
         for p in all_sorted:
-            kind = "sil" if p in silence_set else "ns"
+            if p in silence_set:
+                kind = ("sil",)
+            else:
+                default = (
+                    (1, num_non_silence_states)
+                    if variable_length
+                    else (0, num_non_silence_states)  # sentinel: legacy chain
+                )
+                mn, mx = phone_topologies.get(p, default)
+                if mn > mx:
+                    raise ValueError(
+                        f"phone {p}: min_states {mn} > max_states {mx}"
+                    )
+                kind = ("ns", mn, mx)
             if kind not in entry_index:
                 entry_index[kind] = len(entries)
-                entries.append(sil_entry() if kind == "sil" else ns_entry())
+                entries.append(
+                    sil_entry() if kind[0] == "sil" else ns_entry(*kind[1:])
+                )
             phone2idx[p] = entry_index[kind]
         return cls(
             phones=np.array(all_sorted, dtype=np.int32),

@@ -33,10 +33,16 @@ class MonophoneTrainer(ViterbiEmTrainer):
         config: Optional[TrainerConfig] = None,
         num_silence_states: int = 5,
         num_non_silence_states: int = 3,
+        phone_topologies=None,
+        variable_length_topology: bool = True,
     ):
         super().__init__(lexicon, config)
         self.num_silence_states = num_silence_states
         self.num_non_silence_states = num_non_silence_states
+        self.variable_length_topology = variable_length_topology
+        # per-phone-id (min_states, max_states) overrides
+        # (reference --topology_path, ``multispeaker.py:252``)
+        self.phone_topologies = phone_topologies
 
     @property
     def realignment_iterations(self) -> List[int]:
@@ -62,6 +68,8 @@ class MonophoneTrainer(ViterbiEmTrainer):
             silence_phones=silence,
             num_non_silence_states=self.num_non_silence_states,
             num_silence_states=self.num_silence_states,
+            phone_topologies=self.phone_topologies,
+            variable_length=self.variable_length_topology,
         )
         self.tree = ContextDependency.monophone(phones, topo)
         self.tm = TransitionModel.from_topology_and_tree(topo, self.tree)

@@ -80,9 +80,15 @@ class TrainableAligner:
         use_pitch: bool = False,
         mfcc_config=None,
         rules_path=None,
+        topology_path=None,
+        variable_length_topology: bool = True,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.rules_path = rules_path
+        self.topology_path = topology_path
+        # reference default since MFA 2.0: phones as short as one frame
+        # (changelog_2.0_pre_release.rst:77); False = classic Bakis chains
+        self.variable_length_topology = variable_length_topology
         self.lexicon = Lexicon.load(
             dictionary_path, position_dependent=position_dependent_phones
         )
@@ -95,6 +101,7 @@ class TrainableAligner:
             apply_rules_to_lexicon(
                 self.lexicon, PhonologicalRule.load_rules(rules_path)
             )
+        self.phone_topologies = self._load_phone_topologies(topology_path)
         self.recipe = recipe if recipe is not None else DEFAULT_RECIPE
         self.base_config = base_config or TrainerConfig()
         self.batch_size = batch_size
@@ -108,6 +115,32 @@ class TrainableAligner:
         self.mfcc_config = mfcc_config
         self.models: Dict[str, AcousticModel] = {}
         self.trainers: Dict[str, object] = {}
+
+    def _load_phone_topologies(self, topology_path):
+        """Per-phone (min_states, max_states) overrides from a yaml of
+        ``{phone: {min_states: N, max_states: M}}`` keyed by base phone name
+        (reference ``--topology_path``, ``multispeaker.py:252``); expanded to
+        every positional variant's phone id."""
+        if topology_path is None:
+            return None
+        import yaml
+
+        with open(topology_path, encoding="utf8") as f:
+            raw = yaml.safe_load(f) or {}
+        out = {}
+        for name, pid in self.lexicon.phone_table.items():
+            base = name
+            for pos in ("_B", "_E", "_I", "_S"):
+                if base.endswith(pos):
+                    base = base[: -len(pos)]
+                    break
+            if base in raw:
+                v = raw[base] or {}
+                out[pid] = (
+                    int(v.get("min_states", 1)),
+                    int(v.get("max_states", 3)),
+                )
+        return out or None
 
     def _checkpoint_paths(self, stage_name: str):
         if self.working_directory is None:
@@ -249,7 +282,11 @@ class TrainableAligner:
                 max_gaussians=stage.max_gaussians,
             )
             if stage.kind == "mono":
-                trainer = MonophoneTrainer(self.lexicon, cfg)
+                trainer = MonophoneTrainer(
+                    self.lexicon, cfg,
+                    phone_topologies=self.phone_topologies,
+                    variable_length_topology=self.variable_length_topology,
+                )
             elif stage.kind == "tri":
                 trainer = TriphoneTrainer(
                     self.lexicon, topo, cfg, num_leaves=stage.num_leaves,

@@ -21,17 +21,19 @@ TINY_RECIPE = [
 @pytest.fixture(scope="module")
 def full_train(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("full_train")
-    corpus_dir, truths = make_training_corpus(tmp, n_utts=8)
+    corpus_dir, truths = make_training_corpus(tmp, n_utts=14)
     dict_path = tmp / "train.dict"
     dict_path.write_text(
         "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
     )
+    # chain topology for the synthetic tones (see test_training.py)
     ta = TrainableAligner(
         corpus_dir,
         dict_path,
         recipe=TINY_RECIPE,
         base_config=TrainerConfig(boost_silence=1.0),
         batch_size=4,
+        variable_length_topology=False,
     )
     final = ta.train()
     return tmp, corpus_dir, dict_path, ta, final, truths

@@ -66,9 +66,15 @@ def trained_model(tmp_path_factory):
     corpus = Corpus.load(corpus_dir)
     pipeline = TrainingPipeline(corpus, lexicon, batch_size=4)
     pipeline.prepare_features()
+    # classic chain topology: on these constant-duration synthetic tones the
+    # acoustics alone underdetermine boundaries (all of a phone's pdfs see
+    # the same stationary tone), so the chains' stronger duration priors
+    # regularize them. The faithful variable-length default
+    # (changelog_2.0_pre_release.rst:77) has its own structural test.
     trainer = MonophoneTrainer(
         lexicon,
-        TrainerConfig(num_iterations=10, max_gaussians=40, boost_silence=1.0),
+        TrainerConfig(num_iterations=10, max_gaussians=74, boost_silence=1.0),
+        variable_length_topology=False,
     )
     model = trainer.train(pipeline)
     return tmp, corpus_dir, dict_path, model, trainer, truths

@@ -25,8 +25,11 @@ def tri_setup(tmp_path_factory):
     corpus = Corpus.load(corpus_dir)
     pipeline = TrainingPipeline(corpus, lexicon, batch_size=4)
     pipeline.prepare_features()
+    # chain topology for the synthetic tones (see test_training.py)
     mono = MonophoneTrainer(
-        lexicon, TrainerConfig(num_iterations=8, max_gaussians=40, boost_silence=1.0)
+        lexicon,
+        TrainerConfig(num_iterations=8, max_gaussians=40, boost_silence=1.0),
+        variable_length_topology=False,
     )
     mono_model = mono.train(pipeline)
     tri = TriphoneTrainer(
@@ -220,6 +223,7 @@ def test_triphone_training_with_ipa_questions(tri_setup):
     mono = MonophoneTrainer(
         lexicon,
         TrainerConfig(num_iterations=4, max_gaussians=24, boost_silence=1.0),
+        variable_length_topology=False,
     )
     mono.train(pipeline)
     tri = TriphoneTrainer(
@@ -231,3 +235,46 @@ def test_triphone_training_with_ipa_questions(tri_setup):
     )
     model = tri.train(pipeline)
     assert model.gmm.num_pdfs > 0
+
+
+def test_default_topology_is_variable_length():
+    """The default non-silence topology matches the reference writer
+    (``dictionary/mixins.py:699-790``; changelog_2.0_pre_release.rst:77):
+    initial state fans out to states 1..3 (phones as short as one frame,
+    no initial self-loop), interior states self-loop 0.5/forward 0.5, last
+    emitting state exits with probability 1. Per-phone (min, max) overrides
+    and the legacy chain variant produce their documented structures."""
+    from montreal_forced_aligner_tpu.models.transition_model import (
+        KNOPDF,
+        HmmTopology,
+    )
+
+    topo = HmmTopology.standard([1, 2, 3], silence_phones=[1])
+    ns = topo.entry_for_phone(2)
+    assert len(ns) == 4  # 3 emitting + final
+    assert ns[0].transitions == [(1, 1 / 3), (2, 1 / 3), (3, 1 / 3)]
+    assert ns[1].transitions == [(1, 0.5), (2, 0.5)]
+    assert ns[2].transitions == [(3, 1.0)]
+    assert ns[3].forward_pdf_class == KNOPDF
+
+    # per-phone override: strict 2-state chain for phone 3 only
+    topo2 = HmmTopology.standard(
+        [1, 2, 3], silence_phones=[1], phone_topologies={3: (2, 2)}
+    )
+    ov = topo2.entry_for_phone(3)
+    assert len(ov) == 3
+    assert ov[0].transitions == [(0, 0.5), (1, 0.5)]
+    assert ov[1].transitions == [(2, 1.0)]
+    # phone 2 keeps the default
+    assert topo2.entry_for_phone(2)[0].transitions[0] == (1, 1 / 3)
+
+    # legacy chains: every state self-loops
+    topo3 = HmmTopology.standard(
+        [1, 2, 3], silence_phones=[1], variable_length=False
+    )
+    ch = topo3.entry_for_phone(2)
+    assert [s.transitions for s in ch[:3]] == [
+        [(0, 0.5), (1, 0.5)],
+        [(1, 0.5), (2, 0.5)],
+        [(2, 0.5), (3, 0.5)],
+    ]
