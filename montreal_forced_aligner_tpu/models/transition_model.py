@@ -253,10 +253,10 @@ class HmmTopology:
 
         entries: List[List[TopologyState]] = []
 
-        def ns_entry(min_states: int, max_states: int) -> List[TopologyState]:
+        def ns_entry(min_states, max_states: int) -> List[TopologyState]:
             n = max_states
             states = []
-            if min_states == 0:
+            if min_states is None:
                 # legacy Bakis chain: every state self-loops 0.5 / forwards 0.5
                 for i in range(n):
                     states.append(
@@ -278,10 +278,22 @@ class HmmTopology:
                 else:
                     states.append(TopologyState(n - 1, n - 1, [(n, 1.0)]))
             else:
-                p = 1.0 / max_states
+                # the initial state (1 frame) fans out to entry points that
+                # realize every duration in [min_states, max_states]: landing
+                # on state k then chaining forward spends max - k + 1 frames,
+                # so the targets are k in [1, max - min + 1] (k == n meaning
+                # the final state, i.e. a 1-frame phone, only when
+                # min_states == 1 — where this reduces exactly to the
+                # reference writer's default (1, N) entry). Unlike the
+                # reference's literal off-default branch (unnormalized fan to
+                # range(min, max+1), which leaves dead states and violates
+                # the floor), probabilities sum to 1 and the duration floor
+                # holds.
+                n_targets = max_states - min_states + 1
+                p = 1.0 / n_targets
                 states.append(
                     TopologyState(
-                        0, 0, [(t, p) for t in range(min_states, max_states + 1)]
+                        0, 0, [(t, p) for t in range(1, n_targets + 1)]
                     )
                 )
                 for i in range(1, n - 1):
@@ -323,12 +335,13 @@ class HmmTopology:
                 default = (
                     (1, num_non_silence_states)
                     if variable_length
-                    else (0, num_non_silence_states)  # sentinel: legacy chain
+                    else (None, num_non_silence_states)  # legacy chain
                 )
                 mn, mx = phone_topologies.get(p, default)
-                if mn > mx:
+                if mn is not None and (mn < 1 or mn > mx):
                     raise ValueError(
-                        f"phone {p}: min_states {mn} > max_states {mx}"
+                        f"phone {p}: need 1 <= min_states <= max_states, "
+                        f"got ({mn}, {mx})"
                     )
                 kind = ("ns", mn, mx)
             if kind not in entry_index:

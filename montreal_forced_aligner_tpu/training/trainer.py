@@ -118,28 +118,52 @@ class TrainableAligner:
 
     def _load_phone_topologies(self, topology_path):
         """Per-phone (min_states, max_states) overrides from a yaml of
-        ``{phone: {min_states: N, max_states: M}}`` keyed by base phone name
-        (reference ``--topology_path``, ``multispeaker.py:252``); expanded to
-        every positional variant's phone id."""
+        ``{phone: {min_states: N, max_states: M}}`` (reference
+        ``--topology_path``, ``multispeaker.py:252``). Keys match either the
+        exact phone, its position-stripped form, or (ARPA/PINYIN/IPA phone
+        sets) its stress/tone-stripped base phone, and expand to every
+        positional variant's phone id. Unmatched yaml keys are reported."""
         if topology_path is None:
             return None
         import yaml
 
+        from montreal_forced_aligner_tpu.data import PhoneSetType
+        from montreal_forced_aligner_tpu.dictionary.lexicon import POSITIONS
+
         with open(topology_path, encoding="utf8") as f:
             raw = yaml.safe_load(f) or {}
+        try:
+            pst = PhoneSetType[self.phone_set_type.upper()]
+        except (KeyError, AttributeError):
+            pst = PhoneSetType.UNKNOWN
         out = {}
+        matched = set()
+        default_max = 3  # reference num_non_silence_states default
         for name, pid in self.lexicon.phone_table.items():
-            base = name
-            for pos in ("_B", "_E", "_I", "_S"):
-                if base.endswith(pos):
-                    base = base[: -len(pos)]
+            stripped = name
+            for pos in POSITIONS:
+                if stripped.endswith(pos):
+                    stripped = stripped[: -len(pos)]
                     break
-            if base in raw:
-                v = raw[base] or {}
-                out[pid] = (
-                    int(v.get("min_states", 1)),
-                    int(v.get("max_states", 3)),
-                )
+            for key in (name, stripped, pst.base_phone(stripped)):
+                if key in raw:
+                    v = raw[key] or {}
+                    mn = int(v.get("min_states", 1))
+                    mx = int(v.get("max_states", default_max))
+                    if mn < 1 or mn > mx:
+                        raise ValueError(
+                            f"topology for {key}: need 1 <= min_states <= "
+                            f"max_states, got ({mn}, {mx})"
+                        )
+                    out[pid] = (mn, mx)
+                    matched.add(key)
+                    break
+        unmatched = set(raw) - matched
+        if unmatched:
+            logger.warning(
+                "topology config entries matched no phone: %s",
+                sorted(unmatched),
+            )
         return out or None
 
     def _checkpoint_paths(self, stage_name: str):

@@ -166,7 +166,10 @@ class TriphoneTrainer(ViterbiEmTrainer):
                     left[row, seg_start[k] : seg_end[k]] = seg_left[k]
                     right[row, seg_start[k] : seg_end[k]] = seg_right[k]
             out.append(
-                dict(phone=phone, hmm_pos=hmm_pos, left=left, right=right, fb=fb)
+                dict(
+                    phone=phone, hmm_pos=hmm_pos, inst=inst,
+                    left=left, right=right, fb=fb,
+                )
             )
         return out
 
@@ -259,22 +262,35 @@ class TriphoneTrainer(ViterbiEmTrainer):
                         self_tid = next(
                             (tid for tid, dst, _ in trans if dst == hp), 0
                         )
+                        by_dst = {dst: tid for tid, dst, _ in trans}
                         fwd_tid = next(
                             (tid for tid, dst, _ in trans if dst != hp), self_tid
                         )
-                        cached = (fwd, self_tid, fwd_tid)
+                        final_idx = len(entry) - 1
+                        cached = (fwd, self_tid, fwd_tid, by_dst, final_idx)
                         prev_key = key
-                    fwd, self_tid, fwd_tid = cached
+                    fwd, self_tid, fwd_tid, by_dst, final_idx = cached
                     frame_pdf[row, t] = fwd
-                    # frame t consumes the arc leaving its state: self-loop if
-                    # the next frame stays in the same (instance, hmm state)
-                    same_next = (
+                    # frame t consumes the arc leaving its state; with
+                    # variable-length topologies a state can have several
+                    # forward arcs (skips, direct exit), so the arc is
+                    # resolved by the actual destination: self-loop when the
+                    # next frame stays in the same (instance, hmm state),
+                    # the matching in-phone arc when the instance continues
+                    # elsewhere, and the exit arc when the instance ends
+                    same_inst = (
                         t + 1 < L
-                        and lab["hmm_pos"][row, t + 1] == hp
-                        and lab["phone"][row, t + 1] == ph
-                        and lab["fb"].garrs is not None
+                        and lab["inst"][row, t + 1] == lab["inst"][row, t]
                     )
-                    frame_tid[row, t] = self_tid if same_next else fwd_tid
+                    if same_inst and lab["hmm_pos"][row, t + 1] == hp:
+                        tid = self_tid
+                    elif same_inst:
+                        tid = by_dst.get(
+                            int(lab["hmm_pos"][row, t + 1]), fwd_tid
+                        )
+                    else:
+                        tid = by_dst.get(final_idx, fwd_tid)
+                    frame_tid[row, t] = tid
             fb.frame_pdf = jnp.asarray(frame_pdf)
             fb.frame_tid = frame_tid
 
