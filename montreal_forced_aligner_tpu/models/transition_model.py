@@ -27,6 +27,9 @@ from montreal_forced_aligner_tpu.io.kaldi_io import (
 
 KNOPDF = -1  # pdf-class of a non-emitting (final) topology state
 
+# reference default (``dictionary/mixins.py``): 3 emitting non-silence states
+DEFAULT_NUM_NON_SILENCE_STATES = 3
+
 
 @dataclass
 class TopologyState:
@@ -222,7 +225,7 @@ class HmmTopology:
         cls,
         phones: List[int],
         silence_phones: Optional[List[int]] = None,
-        num_non_silence_states: int = 3,
+        num_non_silence_states: int = DEFAULT_NUM_NON_SILENCE_STATES,
         num_silence_states: int = 5,
         phone_topologies: Optional[Dict[int, Tuple[int, int]]] = None,
         variable_length: bool = True,

@@ -101,7 +101,6 @@ class TrainableAligner:
             apply_rules_to_lexicon(
                 self.lexicon, PhonologicalRule.load_rules(rules_path)
             )
-        self.phone_topologies = self._load_phone_topologies(topology_path)
         self.recipe = recipe if recipe is not None else DEFAULT_RECIPE
         self.base_config = base_config or TrainerConfig()
         self.batch_size = batch_size
@@ -111,6 +110,9 @@ class TrainableAligner:
         self.features_on_host = features_on_host
         self.phone_set_type = phone_set_type
         self.num_graph_workers = num_graph_workers
+        # after phone_set_type: topology yaml keys may match stress/tone-
+        # stripped base phones of the resolved set
+        self.phone_topologies = self._load_phone_topologies(topology_path)
         self.use_pitch = use_pitch
         self.mfcc_config = mfcc_config
         self.models: Dict[str, AcousticModel] = {}
@@ -129,27 +131,43 @@ class TrainableAligner:
 
         from montreal_forced_aligner_tpu.data import PhoneSetType
         from montreal_forced_aligner_tpu.dictionary.lexicon import POSITIONS
+        from montreal_forced_aligner_tpu.models.transition_model import (
+            DEFAULT_NUM_NON_SILENCE_STATES,
+        )
 
         with open(topology_path, encoding="utf8") as f:
             raw = yaml.safe_load(f) or {}
         try:
-            pst = PhoneSetType[self.phone_set_type.upper()]
-        except (KeyError, AttributeError):
+            pst = PhoneSetType[str(self.phone_set_type).upper()]
+        except KeyError:
             pst = PhoneSetType.UNKNOWN
+
+        def strip_pos(name):
+            for pos in POSITIONS:
+                if name.endswith(pos):
+                    return name[: -len(pos)]
+            return name
+
+        if pst is PhoneSetType.AUTO:
+            pst = PhoneSetType.detect(
+                {strip_pos(n) for n in self.lexicon.phone_table if n}
+            )
+        # the reference only applies topologies to non-silence phones
+        # (``multispeaker.py:261`` filters on non_silence_phones)
+        silence_bases = {"sil", "sp", "spn", "<eps>"}
         out = {}
         matched = set()
-        default_max = 3  # reference num_non_silence_states default
         for name, pid in self.lexicon.phone_table.items():
-            stripped = name
-            for pos in POSITIONS:
-                if stripped.endswith(pos):
-                    stripped = stripped[: -len(pos)]
-                    break
+            stripped = strip_pos(name)
+            if stripped in silence_bases or pid <= 0:
+                continue
             for key in (name, stripped, pst.base_phone(stripped)):
                 if key in raw:
                     v = raw[key] or {}
                     mn = int(v.get("min_states", 1))
-                    mx = int(v.get("max_states", default_max))
+                    mx = int(
+                        v.get("max_states", DEFAULT_NUM_NON_SILENCE_STATES)
+                    )
                     if mn < 1 or mn > mx:
                         raise ValueError(
                             f"topology for {key}: need 1 <= min_states <= "
@@ -161,7 +179,8 @@ class TrainableAligner:
         unmatched = set(raw) - matched
         if unmatched:
             logger.warning(
-                "topology config entries matched no phone: %s",
+                "topology config entries matched no non-silence phone "
+                "(silence topologies are fixed, as in the reference): %s",
                 sorted(unmatched),
             )
         return out or None
