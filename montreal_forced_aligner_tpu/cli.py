@@ -144,6 +144,11 @@ def _recipe_from_config(data):
 @click.option("--graph_workers", default=0, show_default=True,
               help="Processes for host graph compilation (0 = in-process)")
 @click.option("--include_silence/--no_include_silence", default=False)
+@click.option("--use_phone_model/--no_use_phone_model", default=False,
+              help="After alignment, decode a free phone transcription with "
+                   "a phone LM trained from the alignments and evaluate it "
+                   "against the forced alignment (reference "
+                   "--use_phone_model)")
 @click.option("--fine_tune/--no_fine_tune", default=False,
               help="Refine boundaries at 1 ms resolution")
 @click.option("--g2p_model_path", type=click.Path(exists=True), default=None,
@@ -185,6 +190,7 @@ def align_cli(
     batch_size,
     graph_workers,
     include_silence,
+    use_phone_model,
     fine_tune,
     g2p_model_path,
     rules_path,
@@ -205,7 +211,7 @@ def align_cli(
             ctx, data,
             ["beam", "retry_beam", "boost_silence", "batch_size",
              "graph_workers", "include_silence", "fine_tune",
-             "output_format"],
+             "use_phone_model", "output_format"],
         )
         output_format = ov.get("output_format", output_format)
         valid_formats = ("long_textgrid", "short_textgrid", "json", "csv")
@@ -221,6 +227,7 @@ def align_cli(
         graph_workers = ov.get("graph_workers", graph_workers)
         include_silence = ov.get("include_silence", include_silence)
         fine_tune = ov.get("fine_tune", fine_tune)
+        use_phone_model = ov.get("use_phone_model", use_phone_model)
     from montreal_forced_aligner_tpu.align.aligner import (
         AlignerConfig,
         PretrainedAligner,
@@ -252,6 +259,26 @@ def align_cli(
         f"{len(corpus.speakers)} speakers"
     )
     results = aligner.align_corpus(corpus, profile_dir=profile_dir)
+    phone_transcripts = None
+    if use_phone_model:
+        # reference alignment/base.py:543: phone transcription replaces
+        # fine-tuning when both are requested
+        from montreal_forced_aligner_tpu.transcription.phone_transcriber import (
+            transcribe_phones,
+        )
+
+        if fine_tune:
+            click.echo(
+                "--use_phone_model supersedes --fine_tune (reference "
+                "behavior); skipping fine-tuning"
+            )
+            fine_tune = False
+        phone_transcripts = transcribe_phones(
+            acoustic_model_path, corpus, results, batch_size=batch_size
+        )
+        click.echo(
+            f"Phone-transcribed {len(phone_transcripts)} utterances"
+        )
     if fine_tune:
         from montreal_forced_aligner_tpu.align.fine_tune import (
             fine_tune_alignments,
@@ -270,6 +297,24 @@ def align_cli(
         include_original_text=include_original_text,
     )
     click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
+    if phone_transcripts is not None:
+        from montreal_forced_aligner_tpu.transcription.phone_transcriber import (
+            evaluate_against_alignments,
+        )
+
+        overlap, per = evaluate_against_alignments(
+            results,
+            phone_transcripts,
+            corpus,
+            output_path=Path(output_directory)
+            / "phone_transcript_evaluation.csv",
+            silence_phone=aligner.lexicon.silence_phone,
+        )
+        click.echo(
+            "Phone-transcript evaluation: overlap error "
+            f"{'n/a' if overlap is None else f'{overlap:.4f}'}, "
+            f"PER {per:.4f} (phone_transcript_evaluation.csv)"
+        )
     if reference_directory:
         eval_dir = output_directory
         if output_format in ("json", "csv"):

@@ -261,3 +261,62 @@ def test_lm_scale_and_insertion_penalty(transcriber_setup):
     )
     out = tr3.transcribe_corpus(corpus)[0].text
     assert len(out.split()) < 2  # words priced out
+
+
+def test_phone_transcription_workflow(tmp_path):
+    """`align --use_phone_model`: phone decode + evaluation vs alignment
+    (reference WorkflowType.phone_transcription, alignment/base.py:543)."""
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.transcription.phone_transcriber import (
+        evaluate_against_alignments,
+        transcribe_phones,
+    )
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    aligner = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=4))
+    corpus = Corpus.load(corpus_dir)
+    results = aligner.align_corpus(corpus)
+
+    transcripts = transcribe_phones(model_path, corpus, results, batch_size=4)
+    assert set(transcripts) == set(results)
+    hyp = [iv.label for iv in transcripts[0]]
+    # the free phone decode should recover the aligned phone sequence
+    ref = [p.label for p in results[0].phones if p.label != "sil"]
+    assert [h for h in hyp if h != "sil"] == ref
+
+    csv_path = tmp_path / "phone_eval.csv"
+    overlap, per = evaluate_against_alignments(
+        results, transcripts, corpus, output_path=csv_path
+    )
+    assert per <= 0.05
+    assert overlap is not None and overlap < 0.05
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("file,")
+    assert len(lines) == 1 + len(results)
+
+
+def test_align_cli_use_phone_model(tmp_path):
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    out = tmp_path / "out"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["align", str(corpus_dir), str(dict_path), str(model_path), str(out),
+         "--use_phone_model", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "Phone-transcript evaluation" in r.output
+    assert (out / "phone_transcript_evaluation.csv").exists()
