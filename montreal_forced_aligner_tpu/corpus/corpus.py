@@ -147,8 +147,19 @@ class Corpus:
             corpus.files[stem] = wav
             if tg_path is not None:
                 tg = TextGrid.read(tg_path)
-                for tier_name, intervals in tg.tiers.items():
+                # stereo files map the second half of speaker tiers onto
+                # channel 1 (reference corpus/classes.py:188-190)
+                from montreal_forced_aligner_tpu.io.wav import probe_channels
+
+                num_channels = probe_channels(wav)
+                num_tiers = max(len(tg.tiers), 1)
+                for tier_index, (tier_name, intervals) in enumerate(
+                    tg.tiers.items()
+                ):
                     speaker = tier_name.strip() or stem
+                    channel = 0
+                    if num_channels == 2 and tier_index >= num_tiers / 2:
+                        channel = 1
                     for iv in intervals:
                         if not iv.label.strip():
                             continue
@@ -161,7 +172,7 @@ class Corpus:
                                 file_name=stem,
                                 begin=iv.begin,
                                 end=iv.end,
-                                channel=0,
+                                channel=channel,
                                 text=iv.label.strip(),
                             )
                         )

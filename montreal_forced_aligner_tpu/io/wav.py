@@ -78,6 +78,41 @@ def _parse_wav(data: bytes, native: bool = False) -> Tuple[np.ndarray, int, int]
     return samples, sample_rate, num_channels
 
 
+def probe_channels(path) -> int:
+    """Channel count from the container header without decoding samples
+    (the reference's ``get_wav_info``, ``corpus/classes.py:166-172``, used
+    to map TextGrid tiers onto stereo channels)."""
+    lower = str(path).lower()
+    try:
+        if lower.endswith(".flac"):
+            with open(path, "rb") as f:
+                head = f.read(64)
+            if head[:4] != b"fLaC":
+                return 1
+            # STREAMINFO is the mandatory first metadata block (body at
+            # offset 8); channels-1 occupies the 3 bits after the 20-bit
+            # sample rate, i.e. bits 1-3 of body byte 12 (file byte 20)
+            return ((head[20] >> 1) & 0x7) + 1
+        if lower.endswith(".mp3") or lower.endswith(".opus"):
+            return 1  # decoded downmixed; segment channel is always 0
+        with open(path, "rb") as f:
+            data = f.read(64 * 1024)
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return 1
+        pos = 12
+        while pos + 8 <= len(data):
+            chunk_id = data[pos : pos + 4]
+            chunk_size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if chunk_id == b"fmt ":
+                return struct.unpack(
+                    "<HH", data[pos + 8 : pos + 12]
+                )[1]
+            pos += 8 + chunk_size + (chunk_size & 1)
+    except Exception:
+        pass
+    return 1
+
+
 def read_wave(
     path,
     begin: float = 0.0,
@@ -143,15 +178,25 @@ def read_wave(
 
 
 def write_wave(path, samples: np.ndarray, sample_rate: int) -> None:
-    """Write int16-scaled float samples to a 16-bit PCM mono WAV."""
+    """Write int16-scaled float samples to a 16-bit PCM WAV.
+
+    1-D input writes mono; (num_samples, num_channels) writes interleaved
+    multichannel."""
     pcm = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
-    data = pcm.tobytes()
+    num_channels = 1 if pcm.ndim == 1 else pcm.shape[1]
+    data = pcm.tobytes()  # C order interleaves channels
+    block_align = 2 * num_channels
     with open(path, "wb") as f:
         f.write(b"RIFF")
         f.write(struct.pack("<I", 36 + len(data)))
         f.write(b"WAVE")
         f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+        f.write(
+            struct.pack(
+                "<IHHIIHH", 16, 1, num_channels, sample_rate,
+                sample_rate * block_align, block_align, 16,
+            )
+        )
         f.write(b"data")
         f.write(struct.pack("<I", len(data)))
         f.write(data)

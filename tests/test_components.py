@@ -828,3 +828,57 @@ def test_g2p_text_only_corpus(tmp_path):
     assert r.exit_code == 0, r.output
     got = {ln.split("\t")[0] for ln in out.read_text().splitlines()}
     assert got == {"ab", "ba", "abba"}
+
+
+def test_stereo_textgrid_channel_mapping(tmp_path):
+    """Stereo files map the second half of TextGrid tiers to channel 1
+    (reference corpus/classes.py:188-190); alignment reads the right
+    channel's audio."""
+    import numpy as np
+
+    from helpers import SR, build_synthetic_model, synth_wave
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
+    from montreal_forced_aligner_tpu.io.wav import probe_channels, read_wave, write_wave
+
+    wave = synth_wave()
+    n = len(wave)
+    dur = n / SR
+    stereo = np.stack([wave, np.zeros_like(wave)], axis=1)
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    write_wave(corpus_dir / "conv.wav", stereo, SR)
+    assert probe_channels(corpus_dir / "conv.wav") == 2
+
+    tg = TextGrid(xmin=0.0, xmax=dur, tiers={
+        "alice": [Interval(0.0, dur, "ab a")],
+        "bob": [Interval(0.0, dur, "ab a")],
+    })
+    tg.write(corpus_dir / "conv.TextGrid")
+
+    corpus = Corpus.load(tmp_path / "corpus")
+    by_speaker = {u.speaker: u for u in corpus.utterances}
+    assert by_speaker["alice"].channel == 0
+    assert by_speaker["bob"].channel == 1
+    # channel selection reaches the decoded audio
+    a = read_wave(corpus_dir / "conv.wav", channel=0).samples
+    b = read_wave(corpus_dir / "conv.wav", channel=1).samples
+    assert np.abs(a).max() > 0 and np.abs(b).max() == 0
+    loaded = corpus.load_audio(by_speaker["bob"])
+    assert np.abs(loaded.samples).max() == 0
+
+    # alignment on the speech channel still works end to end
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=4))
+    results = al.align_corpus(corpus)
+    # alice's channel carries the synthetic speech: boundaries match the
+    # mono fixture (word "ab" starts at the 0.4 s speech onset)
+    alice_words = results[by_speaker["alice"].id].words
+    assert [w.label for w in alice_words] == ["ab", "a"]
+    assert abs(alice_words[0].begin - 0.40) < 0.05
+    assert by_speaker["bob"].id in results  # silent channel still aligns
