@@ -404,6 +404,71 @@ def model_add_cli(model_type, path, name):
     click.echo(f"Registered {dst}")
 
 
+@model_cli.command("save")
+@click.argument("model_type")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--name", default=None,
+              help="Name to use as reference (defaults to the file stem)")
+@click.option("--overwrite/--no_overwrite", default=False)
+def model_save_cli(model_type, path, name, overwrite):
+    """Save a model into the pretrained registry for later use by name
+    (reference: ``mfa model save``, ``command_line/model.py:196``)."""
+    from montreal_forced_aligner_tpu.model_manager import ModelManager
+
+    mm = ModelManager()
+    resolved = name or Path(path).stem
+    try:
+        existing = mm.resolve(model_type, resolved)
+    except Exception:
+        existing = None
+    if existing is not None and not overwrite:
+        raise click.ClickException(
+            f"{model_type} model {resolved!r} already saved at {existing}; "
+            "pass --overwrite to replace it"
+        )
+    dst = mm.add(model_type, path, resolved)
+    click.echo(f"Saved {dst}")
+
+
+@model_cli.command("add_words")
+@click.argument("dictionary_path", type=click.Path(exists=True))
+@click.argument("new_pronunciations_path", type=click.Path(exists=True))
+def model_add_words_cli(dictionary_path, new_pronunciations_path):
+    """Merge pronunciations from one dictionary into another, so long as
+    the new entries introduce no new phones (reference:
+    ``mfa model add_words``, ``command_line/model.py:156-193``)."""
+    from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+
+    base = Lexicon.load(dictionary_path)
+    new = Lexicon.load(new_pronunciations_path)
+
+    def phone_set(lex):
+        return {
+            p
+            for prons in lex.words.values()
+            for pron in prons
+            for p in pron.phones
+        }
+
+    new_phones = phone_set(new) - phone_set(base)
+    if new_phones:
+        raise click.ClickException(
+            "new pronunciations contain phones missing from the base "
+            f"dictionary: {sorted(new_phones)}"
+        )
+    added = 0
+    for word, prons in new.words.items():
+        for pron in prons:
+            before = len(base.words.get(word, ()))
+            base.add_pronunciation(word, pron)
+            added += len(base.words[word]) > before
+    base.write(dictionary_path)
+    click.echo(
+        f"Added {added} pronunciations from {new_pronunciations_path} "
+        f"to {dictionary_path}"
+    )
+
+
 @model_cli.command("list")
 @click.argument("model_type", required=False)
 def model_list_cli(model_type):
@@ -1342,6 +1407,10 @@ def history_cli(depth):
             + " ".join(entry["command"])
         )
 
+
+# the reference registers the model group under both names
+# (command_line/mfa.py:190-191)
+cli.add_command(model_cli, name="models")
 
 if __name__ == "__main__":
     cli()

@@ -292,7 +292,7 @@ def test_cli_commands_exist_and_config(tmp_path, monkeypatch):
         "validate_dictionary", "transcribe", "train_lm", "train_g2p", "g2p",
         "train_ivector", "diarize_speakers", "train_tokenizer", "tokenize",
         "train_dictionary", "create_segments_vad", "create_segments", "evaluate_alignments",
-        "model", "configure", "history", "version",
+        "model", "models", "configure", "history", "version",
         "transcribe_whisper", "transcribe_speechbrain",
     }
     assert expected <= set(cli.commands)
@@ -882,3 +882,44 @@ def test_stereo_textgrid_channel_mapping(tmp_path):
     assert [w.label for w in alice_words] == ["ab", "a"]
     assert abs(alice_words[0].begin - 0.40) < 0.05
     assert by_speaker["bob"].id in results  # silent channel still aligns
+
+
+def test_model_save_and_add_words_cli(tmp_path, monkeypatch):
+    """`mfa model save` + `mfa model add_words` (+ the `models` group alias),
+    reference command_line/model.py:156-230."""
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    monkeypatch.setenv("MFA_TPU_TEMP_DIR", str(tmp_path / "mfatmp"))
+    import montreal_forced_aligner_tpu.config as C
+
+    C._config = None
+    model_path, dict_path = build_synthetic_model(tmp_path)
+    base = tmp_path / "base.dict"
+    base.write_text("ab\taa bb\n")
+    new = tmp_path / "new.dict"
+    new.write_text("ba\tbb aa\nab\t0.8\taa aa\n")
+    bad = tmp_path / "bad.dict"
+    bad.write_text("zz\tcc\n")
+
+    runner = CliRunner()
+    r = runner.invoke(cli, ["models", "add_words", str(base), str(new)])
+    assert r.exit_code == 0, r.output
+    text = base.read_text()
+    assert "ba\tbb\taa" in text and "0.80" in text
+    r = runner.invoke(cli, ["model", "add_words", str(base), str(bad)])
+    assert r.exit_code != 0
+    assert "cc" in r.output
+
+    r = runner.invoke(cli, ["model", "save", "acoustic", str(model_path),
+                            "--name", "saved_synth"])
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(cli, ["model", "save", "acoustic", str(model_path),
+                            "--name", "saved_synth"])
+    assert r.exit_code != 0 and "overwrite" in r.output
+    r = runner.invoke(cli, ["model", "save", "acoustic", str(model_path),
+                            "--name", "saved_synth", "--overwrite"])
+    assert r.exit_code == 0, r.output
+    C._config = None
