@@ -534,6 +534,10 @@ def version_cli():
 @click.option("--topology_path", type=click.Path(exists=True), default=None,
               help="Yaml of per-phone {min_states, max_states} HMM-topology "
                    "overrides (reference --topology_path)")
+@click.option("--phone_groups_path", type=click.Path(exists=True),
+              default=None,
+              help="Yaml of phone groups sharing a tree root (reference "
+                   "--phone_groups_path)")
 @click.option("--variable_length_topology/--chain_topology", default=True,
               show_default=True,
               help="Variable-length phone topology (MFA 2.0+ default, min "
@@ -544,7 +548,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
               num_iterations_scale, working_directory,
               position_dependent_phones, features_on_host, phone_set_type,
-              config_path, rules_path, topology_path,
+              config_path, rules_path, topology_path, phone_groups_path,
               variable_length_topology):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
@@ -604,6 +608,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         mfcc_config=mfcc_config,
         rules_path=rules_path,
         topology_path=topology_path,
+        phone_groups_path=phone_groups_path,
         variable_length_topology=variable_length_topology,
     )
     final = ta.train()

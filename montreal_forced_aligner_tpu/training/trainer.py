@@ -82,6 +82,7 @@ class TrainableAligner:
         rules_path=None,
         topology_path=None,
         variable_length_topology: bool = True,
+        phone_groups_path=None,
     ):
         self.corpus = Corpus.load(corpus_directory)
         self.rules_path = rules_path
@@ -113,6 +114,7 @@ class TrainableAligner:
         # after phone_set_type: topology yaml keys may match stress/tone-
         # stripped base phones of the resolved set
         self.phone_topologies = self._load_phone_topologies(topology_path)
+        self.phone_groups = self._load_phone_groups(phone_groups_path)
         self.use_pitch = use_pitch
         self.mfcc_config = mfcc_config
         self.models: Dict[str, AcousticModel] = {}
@@ -184,6 +186,69 @@ class TrainableAligner:
                 sorted(unmatched),
             )
         return out or None
+
+    def _load_phone_groups(self, phone_groups_path):
+        """Tree-root phone groups from a yaml of ``{group: [phones...]}``
+        or ``[[phones...], ...]`` (reference ``--phone_groups_path``,
+        ``dictionary/multispeaker.py:206-240``). Phones within a group must
+        share an HMM topology, as in the reference
+        (``PhoneGroupTopologyMismatchError``)."""
+        if phone_groups_path is None:
+            return None
+        import yaml
+
+        from montreal_forced_aligner_tpu.dictionary.lexicon import POSITIONS
+        from montreal_forced_aligner_tpu.models.transition_model import (
+            DEFAULT_NUM_NON_SILENCE_STATES,
+        )
+
+        with open(phone_groups_path, encoding="utf8") as f:
+            raw = yaml.safe_load(f) or {}
+        if isinstance(raw, dict):
+            raw = list(raw.values())
+
+        def strip_pos(name):
+            for pos in POSITIONS:
+                if name.endswith(pos):
+                    return name[: -len(pos)]
+            return name
+
+        known_bases = {
+            strip_pos(n) for n, pid in self.lexicon.phone_table.items()
+            if pid > 0
+        }
+        pid_by_base = {}
+        for name, pid in self.lexicon.phone_table.items():
+            if pid > 0:
+                pid_by_base.setdefault(strip_pos(name), []).append(pid)
+        groups: List[List[str]] = []
+        errors = []
+        for members in raw:
+            if not members:
+                continue
+            members = sorted(
+                {m for m in members if m in known_bases}
+            )
+            if not members:
+                continue
+            topos = set()
+            for base in members:
+                mn, mx = 1, DEFAULT_NUM_NON_SILENCE_STATES
+                if self.phone_topologies:
+                    for pid in pid_by_base.get(base, ()):
+                        if pid in self.phone_topologies:
+                            mn, mx = self.phone_topologies[pid]
+                            break
+                topos.add((mn, mx))
+            if len(topos) > 1:
+                errors.append((members, sorted(topos)))
+            groups.append(members)
+        if errors:
+            raise ValueError(
+                "phones grouped together must share a topology (reference "
+                f"PhoneGroupTopologyMismatchError): {errors}"
+            )
+        return groups or None
 
     def _checkpoint_paths(self, stage_name: str):
         if self.working_directory is None:
@@ -334,11 +399,13 @@ class TrainableAligner:
                 trainer = TriphoneTrainer(
                     self.lexicon, topo, cfg, num_leaves=stage.num_leaves,
                     phone_set_type=self.phone_set_type,
+                    custom_phone_groups=self.phone_groups,
                 )
             elif stage.kind == "lda":
                 trainer = LdaTrainer(
                     self.lexicon, topo, cfg, num_leaves=stage.num_leaves,
                     phone_set_type=self.phone_set_type,
+                    custom_phone_groups=self.phone_groups,
                 )
             elif stage.kind == "sat":
                 trainer = SatTrainer(
@@ -348,6 +415,7 @@ class TrainableAligner:
                     num_leaves=stage.num_leaves,
                     lda_mat=lda_mat,
                     phone_set_type=self.phone_set_type,
+                    custom_phone_groups=self.phone_groups,
                     quick=stage.quick,
                 )
             elif stage.kind == "pron_prob":

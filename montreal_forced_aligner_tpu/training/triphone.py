@@ -52,6 +52,7 @@ class TriphoneTrainer(ViterbiEmTrainer):
         initial_gaussians: Optional[int] = None,
         cluster_pdf_class: int = 1,
         phone_set_type=None,
+        custom_phone_groups=None,
     ):
         super().__init__(lexicon, config)
         self.topo = topo
@@ -65,6 +66,10 @@ class TriphoneTrainer(ViterbiEmTrainer):
         elif isinstance(phone_set_type, str):
             phone_set_type = PhoneSetType[phone_set_type.upper()]
         self.phone_set_type = phone_set_type
+        # user-supplied tree-root groups of base phones (reference
+        # ``--phone_groups_path``, ``dictionary/multispeaker.py:206-240``);
+        # list of lists of base-phone names
+        self.custom_phone_groups = custom_phone_groups
 
     def _resolved_phone_set(self):
         """AUTO inspects the dictionary's base phone labels (reference
@@ -99,6 +104,23 @@ class TriphoneTrainer(ViterbiEmTrainer):
         from montreal_forced_aligner_tpu.data import PhoneSetType
 
         groups = self._positional_bases()
+        if self.custom_phone_groups:
+            # explicit groups win (reference load_phone_groups,
+            # ``multispeaker.py:206``): listed base phones pool into their
+            # group's root; unlisted phones keep per-base roots
+            out: List[List[int]] = []
+            grouped: set = set()
+            for members in self.custom_phone_groups:
+                pids: List[int] = []
+                for base in members:
+                    pids.extend(groups.get(base, ()))
+                    grouped.add(base)
+                if pids:
+                    out.append(sorted(pids))
+            for base, pids in sorted(groups.items()):
+                if base not in grouped:
+                    out.append(sorted(pids))
+            return out
         pst = self._resolved_phone_set()
         if pst not in (PhoneSetType.UNKNOWN, PhoneSetType.AUTO):
             merged: Dict[str, List[int]] = defaultdict(list)

@@ -278,3 +278,66 @@ def test_default_topology_is_variable_length():
         [(1, 0.5), (2, 0.5)],
         [(2, 0.5), (3, 0.5)],
     ]
+
+
+def test_custom_phone_groups(tmp_path):
+    """--phone_groups_path: explicit groups pool into one tree root,
+    unlisted phones keep their own roots; grouped phones must share a
+    topology (reference dictionary/multispeaker.py:206-240)."""
+    import pytest
+
+    from montreal_forced_aligner_tpu.models.transition_model import HmmTopology
+    from montreal_forced_aligner_tpu.training.trainer import TrainableAligner
+
+    dict_path = tmp_path / "d.dict"
+    dict_path.write_text(
+        "cat\tK AE1 T\nthe\tDH AH0\nsee\tS IY1\nup\tAH1 P\n"
+    )
+    lex = Lexicon.load(dict_path, position_dependent=True)
+    pids = sorted(p for p in lex.phone_table.values() if p > 0)
+    topo = HmmTopology.standard(pids)
+    name_by_id = {v: k for k, v in lex.phone_table.items()}
+
+    tri = TriphoneTrainer(
+        lex, topo, TrainerConfig(),
+        custom_phone_groups=[["AH0", "AH1", "IY1"]],
+    )
+    groups = tri.phone_groups()
+    pooled = [
+        g for g in groups
+        if any(name_by_id[p].startswith("AH") for p in g)
+    ]
+    assert len(pooled) == 1
+    assert any(name_by_id[p].startswith("IY1") for p in pooled[0])
+    # unlisted phones keep per-base roots
+    k_groups = [
+        g for g in groups
+        if any(name_by_id[p].startswith("K") for p in g)
+    ]
+    assert len(k_groups) == 1 and all(
+        name_by_id[p].split("_")[0] == "K" for p in k_groups[0]
+    )
+
+    # yaml loading via TrainableAligner, + topology mismatch detection
+    corpus_dir = tmp_path / "corpus" / "s"
+    corpus_dir.mkdir(parents=True)
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+
+    write_wave(corpus_dir / "u.wav", np.zeros(16000, np.float32), 16000)
+    (corpus_dir / "u.lab").write_text("cat")
+    groups_yaml = tmp_path / "groups.yaml"
+    groups_yaml.write_text("vowels:\n  - AH0\n  - AH1\n  - IY1\n")
+    ta = TrainableAligner(
+        tmp_path / "corpus", dict_path, phone_groups_path=groups_yaml
+    )
+    assert ta.phone_groups == [["AH0", "AH1", "IY1"]]
+
+    topo_yaml = tmp_path / "topo.yaml"
+    topo_yaml.write_text("AH0:\n  min_states: 1\n  max_states: 1\n")
+    with pytest.raises(ValueError, match="topology"):
+        TrainableAligner(
+            tmp_path / "corpus", dict_path,
+            phone_groups_path=groups_yaml, topology_path=topo_yaml,
+        )
