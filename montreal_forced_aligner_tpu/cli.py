@@ -522,10 +522,30 @@ def version_cli():
 @click.option("--features_on_host/--features_on_device", default=False,
               show_default=True,
               help="Keep feature batches in host RAM (large corpora)")
-@click.option("--phone_set_type", default="UNKNOWN", show_default=True,
+@click.option("--phone_set_type", "--phone_set", default="UNKNOWN",
+              show_default=True,
               type=click.Choice(["UNKNOWN", "AUTO", "ARPA", "IPA", "PINYIN"],
                                 case_sensitive=False),
-              help="Phone-set family for tree roots + phonological questions")
+              help="Phone-set family for tree roots + phonological questions "
+                   "(reference --phone_set)")
+@click.option("--speaker_characters", "-s", default="0", show_default=True,
+              help="Speaker id from file-name characters (int or "
+                   "'prosodylab'); default uses directory names")
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None,
+              help="Additional root searched for sound files")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False),
+              help="Format for --output_directory exports")
+@click.option("--include_original_text", is_flag=True, default=False,
+              help="Carry the original transcript into exported TextGrids")
+@click.option("--language", default=None,
+              help="Language hint for tokenization (reference --language; "
+                   "language-specific tokenizer packages are not bundled — "
+                   "unsupported values warn and fall back to the simple "
+                   "tokenizer)")
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml training recipe + parameters (reference schema, "
                    "e.g. the reference's basic_train_config.yaml)")
@@ -548,6 +568,8 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
               num_iterations_scale, working_directory,
               position_dependent_phones, features_on_host, phone_set_type,
+              speaker_characters, audio_directory, output_format,
+              include_original_text, language,
               config_path, rules_path, topology_path, phone_groups_path,
               variable_length_topology):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
@@ -597,9 +619,17 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         )
         for st in recipe
     ]
+    if language and language.lower() not in ("english", "unknown", ""):
+        click.echo(
+            f"warning: language-specific tokenizer for {language!r} is not "
+            "bundled in this image; using the simple tokenizer",
+            err=True,
+        )
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
         batch_size=batch_size, working_directory=working_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
         position_dependent_phones=position_dependent_phones,
         features_on_host=features_on_host,
         phone_set_type=phone_set_type,
@@ -614,6 +644,31 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
     final = ta.train()
     ta.export_model(output_model_path)
     click.echo(f"Saved model to {output_model_path}")
+    if output_directory is not None:
+        # final-model alignment export (reference mfa train
+        # --output_directory, command_line/train_acoustic_model.py)
+        from montreal_forced_aligner_tpu.align.aligner import (
+            AlignerConfig,
+            PretrainedAligner,
+        )
+        from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+        aligner = PretrainedAligner(
+            output_model_path, dictionary_path,
+            AlignerConfig(batch_size=batch_size),
+        )
+        corpus = Corpus.load(
+            corpus_directory,
+            speaker_characters=speaker_characters,
+            audio_directory=audio_directory,
+        )
+        results = aligner.align_corpus(corpus)
+        outs = aligner.export_textgrids(
+            corpus, results, output_directory,
+            output_format=output_format,
+            include_original_text=include_original_text,
+        )
+        click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
     click.echo(f"Done! Everything took {time.time() - t0:.1f} seconds")
 
 
@@ -642,27 +697,49 @@ def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
 @click.option("--test_transcriptions/--no_test_transcriptions", default=False,
               help="Decode utterances against a corpus LM and report WER "
                    "(flags likely transcript errors)")
+@click.option("--ignore_acoustics/--no_ignore_acoustics",
+              "--skip_acoustics/--no_skip_acoustics", default=False,
+              help="Skip audio decoding checks (reference --ignore_acoustics)")
+@click.option("--speaker_characters", "-s", default="0", show_default=True,
+              help="Speaker id from file-name characters (int or "
+                   "'prosodylab'); default uses directory names")
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None,
+              help="Additional root searched for sound files")
+@click.option("--output_directory", type=click.Path(), default=None,
+              help="Write oovs_found.txt / utterance_oovs.txt here "
+                   "(reference analyze_oovs, corpus_validator.py:130)")
 def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
-                 test_transcriptions):
+                 test_transcriptions, ignore_acoustics, speaker_characters,
+                 audio_directory, output_directory):
     """Validate a corpus + dictionary (reference: ``mfa validate``,
     ``validation/corpus_validator.py:77``): counts, OOVs, audio issues."""
-    from collections import Counter
+    from collections import Counter, defaultdict
 
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
     from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
     from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
 
     lex = Lexicon.load(dictionary_path)
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(
+        corpus_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
+    )
     tokenizer = SimpleTokenizer(word_set=set(lex.words))
     oovs = Counter()
+    utterance_oovs = defaultdict(list)
     total_words = 0
     bad_audio = []
     total_duration = 0.0
     for utt in corpus.utterances:
         _norm, utt_oovs = tokenizer(utt.text)
         oovs.update(utt_oovs)
+        if utt_oovs:
+            utterance_oovs[f"{utt.file_name}-{utt.speaker}"].extend(utt_oovs)
         total_words += len(utt.normalized_tokens or _norm.split())
+        if ignore_acoustics:
+            continue
         try:
             wav = corpus.load_audio(utt)
             total_duration += len(wav.samples) / wav.sample_rate
@@ -679,6 +756,16 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
         click.echo(f"Sound file errors: {len(bad_audio)}")
         for f, e in bad_audio[:10]:
             click.echo(f"  {f}: {e}")
+    if output_directory is not None:
+        out = Path(output_directory)
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "oovs_found.txt", "w", encoding="utf-8") as f:
+            for w, c in oovs.most_common():
+                f.write(f"{w}\t{c}\n")
+        with open(out / "utterance_oovs.txt", "w", encoding="utf-8") as f:
+            for key, words in sorted(utterance_oovs.items()):
+                f.write(f"{key}\t{', '.join(words)}\n")
+        click.echo(f"Wrote OOV reports to {out}")
     if test_transcriptions:
         if acoustic_model_path is None:
             raise click.ClickException(

@@ -83,8 +83,14 @@ class TrainableAligner:
         topology_path=None,
         variable_length_topology: bool = True,
         phone_groups_path=None,
+        speaker_characters=0,
+        audio_directory=None,
     ):
-        self.corpus = Corpus.load(corpus_directory)
+        self.corpus = Corpus.load(
+            corpus_directory,
+            speaker_characters=speaker_characters,
+            audio_directory=audio_directory,
+        )
         self.rules_path = rules_path
         self.topology_path = topology_path
         # reference default since MFA 2.0: phones as short as one frame

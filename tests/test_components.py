@@ -923,3 +923,27 @@ def test_model_save_and_add_words_cli(tmp_path, monkeypatch):
                             "--name", "saved_synth", "--overwrite"])
     assert r.exit_code == 0, r.output
     C._config = None
+
+
+def test_validate_cli_options(tmp_path):
+    """validate --ignore_acoustics/--output_directory OOV reports
+    (reference corpus_validator.py:130-170)."""
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a zzzoov")
+    _model, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    out = tmp_path / "report"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["validate", str(corpus_dir), str(dict_path), "--skip_acoustics",
+         "--output_directory", str(out)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "OOV types: 1" in r.output
+    assert "zzzoov\t1" in (out / "oovs_found.txt").read_text()
+    assert "zzzoov" in (out / "utterance_oovs.txt").read_text()

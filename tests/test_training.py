@@ -245,3 +245,39 @@ def test_training_filters_unusable_utterances(tmp_path):
     assert model.gmm.num_pdfs > 0
     lls = [e["loglike_per_frame"] for e in ta.trainers["monophone"].iteration_log]
     assert all(np.isfinite(v) for v in lls)
+
+
+def test_train_cli_output_directory_and_options(tmp_path):
+    """mfa train --output_directory/--output_format/--phone_set/-s/-a and
+    the --language gate (reference command_line/train_acoustic_model.py)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    _model, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "training:\n  - monophone:\n      num_iterations: 4\n"
+        "      max_gaussians: 150\n"
+    )
+    out_model = tmp_path / "out.zip"
+    out_dir = tmp_path / "tg"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["train", str(corpus_dir), str(dict_path), str(out_model),
+         "--config_path", str(cfg), "--batch_size", "4",
+         "--output_directory", str(out_dir), "--output_format", "json",
+         "--phone_set", "UNKNOWN", "--language", "thai"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert out_model.exists()
+    exported = list(out_dir.glob("*.json"))
+    assert len(exported) == 1
+    data = json.loads(exported[0].read_text())
+    assert data["tiers"]
