@@ -1048,11 +1048,26 @@ def train_lm_cli(source_path, output_model_path, order):
               help="Per-word entry cost (reference semantics)")
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml parameter file (reference --config_path semantics)")
+@click.option("--output_type", default="transcription", show_default=True,
+              type=click.Choice(["transcription", "alignment"]),
+              help="transcription: utterance-text tiers; alignment: "
+                   "word/phone tiers of the decoded best path "
+                   "(reference --output_type)")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False))
+@click.option("--include_original_text", is_flag=True, default=False)
+@click.option("--speaker_characters", "-s", default="0", show_default=True)
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None)
 @click.pass_context
 def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
                    output_directory, language_model_path, evaluate, batch_size,
                    nbest, rescore_lm_path, rescore_weight,
-                   language_model_weight, word_insertion_penalty, config_path):
+                   language_model_weight, word_insertion_penalty, config_path,
+                   output_type, output_format, include_original_text,
+                   speaker_characters, audio_directory):
     """Transcribe a corpus (reference: ``mfa transcribe``,
     ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
     if config_path:
@@ -1084,7 +1099,11 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
         lm_scale=language_model_weight,
         word_insertion_penalty=word_insertion_penalty,
     )
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(
+        corpus_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
+    )
     rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
     results = tr.transcribe_corpus(
         corpus, nbest=nbest, rescore_lm=rescore_lm,
@@ -1093,6 +1112,28 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
     _export_transcripts(
         corpus, {i: r.text for i, r in results.items()}, output_directory
     )
+    if output_type == "alignment":
+        # word/phone tiers of the decoded best path (reference
+        # --output_type alignment): force-align the hypotheses
+        decoded = Corpus.load(
+            corpus_directory,
+            speaker_characters=speaker_characters,
+            audio_directory=audio_directory,
+        )
+        for utt in decoded.utterances:
+            if utt.id in results:
+                utt.text = results[utt.id].text
+        aligned = tr.aligner.align_corpus(decoded)
+        tr.aligner.export_textgrids(
+            decoded, aligned, output_directory,
+            output_format=output_format,
+            include_original_text=include_original_text,
+        )
+    else:
+        _export_transcription_textgrids(
+            corpus, results, output_directory, output_format,
+            include_original_text=include_original_text,
+        )
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
     if evaluate:
         metrics = tr.evaluate(corpus, results)
@@ -1100,6 +1141,64 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
             f"WER: {metrics['wer']:.4f}  CER: {metrics['cer']:.4f} "
             f"({metrics['num_utterances']} utterances)"
         )
+
+
+def _export_transcription_textgrids(
+    corpus, results, output_directory, output_format,
+    include_original_text=False,
+):
+    """Per-file TextGrid/json/csv with one utterance-text tier per speaker
+    (reference ``mfa transcribe --output_type transcription`` export,
+    ``command_line/transcribe.py:69-79``)."""
+    from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
+    from montreal_forced_aligner_tpu.io.wav import read_wave
+
+    extensions = {
+        "long_textgrid": ".TextGrid",
+        "short_textgrid": ".TextGrid",
+        "json": ".json",
+        "csv": ".csv",
+    }
+    output_directory = Path(output_directory)
+    output_directory.mkdir(parents=True, exist_ok=True)
+    by_file = {}
+    for utt in corpus.utterances:
+        by_file.setdefault(utt.file_name, []).append(utt)
+    out_paths = []
+    for file_name, utts in by_file.items():
+        tg = TextGrid()
+        tg.xmax = read_wave(corpus.files[file_name]).duration
+        speakers = sorted({u.speaker for u in utts})
+        for spk in speakers:
+            tier = []
+            texts = []
+            for utt in utts:
+                if utt.speaker != spk or utt.id not in results:
+                    continue
+                tier.append(
+                    Interval(
+                        utt.begin, utt.end or tg.xmax, results[utt.id].text
+                    )
+                )
+                if include_original_text:
+                    texts.append(
+                        Interval(utt.begin, utt.end or tg.xmax, utt.text)
+                    )
+            name = spk if len(speakers) > 1 else "utterances"
+            tg.tiers[name] = tier
+            if include_original_text:
+                tg.tiers[f"{name} - original"] = texts
+        out = output_directory / f"{file_name}{extensions[output_format]}"
+        if output_format == "json":
+            tg.write_json(out)
+        elif output_format == "csv":
+            tg.write_csv(
+                out, default_speaker=speakers[0] if speakers else "speaker"
+            )
+        else:
+            tg.write(out, output_format=output_format)
+        out_paths.append(out)
+    return out_paths
 
 
 def _export_transcripts(corpus, texts, output_directory):

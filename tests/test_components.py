@@ -893,6 +893,7 @@ def test_model_save_and_add_words_cli(tmp_path, monkeypatch):
     from montreal_forced_aligner_tpu.cli import cli
 
     monkeypatch.setenv("MFA_TPU_TEMP_DIR", str(tmp_path / "mfatmp"))
+    monkeypatch.setenv("MFA_TPU_MODEL_ROOT", str(tmp_path / "models"))
     import montreal_forced_aligner_tpu.config as C
 
     C._config = None

@@ -320,3 +320,41 @@ def test_align_cli_use_phone_model(tmp_path):
     assert r.exit_code == 0, r.output
     assert "Phone-transcript evaluation" in r.output
     assert (out / "phone_transcript_evaluation.csv").exists()
+
+
+def test_transcribe_cli_output_types(tmp_path):
+    """transcribe --output_type transcription/alignment exports
+    (reference command_line/transcribe.py:69-79)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    runner = CliRunner()
+    out1 = tmp_path / "o1"
+    r = runner.invoke(
+        cli,
+        ["transcribe", str(corpus_dir), str(dict_path), str(model_path),
+         str(out1), "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    tg_text = (out1 / "utt1.TextGrid").read_text()
+    assert 'name = "utterances"' in tg_text and "ab a" in tg_text
+    assert (out1 / "spk1" / "utt1.lab").read_text().strip() == "ab a"
+
+    out2 = tmp_path / "o2"
+    r = runner.invoke(
+        cli,
+        ["transcribe", str(corpus_dir), str(dict_path), str(model_path),
+         str(out2), "--output_type", "alignment", "--output_format", "json",
+         "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    data = json.loads((out2 / "utt1.json").read_text())
+    assert "words" in data["tiers"] and "phones" in data["tiers"]
