@@ -678,16 +678,54 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--mapping_tau", default=20.0, show_default=True)
+@click.option("--output_directory", type=click.Path(), default=None,
+              help="Also align the corpus with the adapted model and export "
+                   "TextGrids here (reference adapt --output_directory)")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False))
+@click.option("--include_original_text", is_flag=True, default=False)
+@click.option("--speaker_characters", "-s", default="0", show_default=True)
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None)
 def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
-              output_model_path, mapping_tau):
+              output_model_path, mapping_tau, output_directory, output_format,
+              include_original_text, speaker_characters, audio_directory):
     """MAP-adapt an acoustic model to a corpus (reference: ``mfa adapt``,
     ``alignment/adapting.py``)."""
     from montreal_forced_aligner_tpu.training.adapt import MapAdapter
 
     adapter = MapAdapter(acoustic_model_path, dictionary_path, mapping_tau)
-    adapted = adapter.adapt(corpus_directory)
+    adapted = adapter.adapt(
+        corpus_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
+    )
     adapted.save(output_model_path)
     click.echo(f"Saved adapted model to {output_model_path}")
+    if output_directory is not None:
+        from montreal_forced_aligner_tpu.align.aligner import (
+            AlignerConfig,
+            PretrainedAligner,
+        )
+        from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+        aligner = PretrainedAligner(
+            output_model_path, dictionary_path, AlignerConfig()
+        )
+        corpus = Corpus.load(
+            corpus_directory,
+            speaker_characters=speaker_characters,
+            audio_directory=audio_directory,
+        )
+        results = aligner.align_corpus(corpus)
+        outs = aligner.export_textgrids(
+            corpus, results, output_directory,
+            output_format=output_format,
+            include_original_text=include_original_text,
+        )
+        click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
 
 
 @cli.command("validate")
@@ -1413,10 +1451,13 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--min_cluster_size", default=15, show_default=True,
               help="Density methods: smallest cluster / core-point degree")
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--evaluate/--no_evaluate", default=False,
+              help="Score the clustering against the corpus's original "
+                   "speaker labels (reference diarize_speakers --evaluate)")
 def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
-                         batch_size):
+                         batch_size, evaluate):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
@@ -1450,6 +1491,21 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                     f"speaker{int(result.labels[pos])}\n")
     n = len(set(result.labels.tolist()))
     click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")
+    if evaluate:
+        from montreal_forced_aligner_tpu.diarization.clustering import (
+            adjusted_rand_index,
+            cluster_purity,
+        )
+
+        truth = [corpus.utterances[i].speaker for i in order]
+        labels = [int(x) for x in result.labels]
+        ari = adjusted_rand_index(truth, labels)
+        purity = cluster_purity(truth, labels)
+        click.echo(
+            f"Evaluation vs original speakers: purity {purity:.4f}, "
+            f"adjusted Rand index {ari:.4f} "
+            f"({len(set(truth))} true speakers)"
+        )
 
 
 @cli.command("train_tokenizer")
@@ -1498,9 +1554,17 @@ def tokenize_cli(input_path, tokenizer_model_path, output_path):
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
 @click.argument("output_dictionary_path", type=click.Path())
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--silence_probabilities/--no_silence_probabilities",
+              default=True, show_default=True,
+              help="Also export per-pronunciation silence-before/after "
+                   "probabilities (reference --silence_probabilities)")
+@click.option("--speaker_characters", "-s", default="0", show_default=True)
+@click.option("--audio_directory", "-a", type=click.Path(exists=True),
+              default=None)
 def train_dictionary_cli(corpus_directory, dictionary_path,
                          acoustic_model_path, output_dictionary_path,
-                         batch_size):
+                         batch_size, silence_probabilities,
+                         speaker_characters, audio_directory):
     """Align a corpus and export a dictionary with estimated pronunciation
     and silence probabilities (reference: ``mfa train_dictionary``,
     ``pretrained.py:561`` DictionaryTrainer)."""
@@ -1518,13 +1582,25 @@ def train_dictionary_cli(corpus_directory, dictionary_path,
     aligner = PretrainedAligner(
         acoustic_model_path, dictionary_path, AlignerConfig(batch_size=batch_size)
     )
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(
+        corpus_directory,
+        speaker_characters=speaker_characters,
+        audio_directory=audio_directory,
+    )
     results = aligner.align_corpus(corpus)
     counter = PronunciationCounter()
     for aln in results.values():
         counter.add_utterance(aln, aligner.lexicon.silence_phone)
     probs = compute_pronunciation_probabilities(counter)
     apply_probabilities_to_lexicon(aligner.lexicon, probs)
+    if not silence_probabilities:
+        # probability-only export (reference DictionaryTrainer
+        # silence_probabilities=False, pretrained.py:561)
+        for prons in aligner.lexicon.words.values():
+            for p in prons:
+                p.silence_after_probability = None
+                p.silence_before_correction = None
+                p.non_silence_before_correction = None
     aligner.lexicon.write(output_dictionary_path)
     click.echo(
         f"Exported dictionary with pronunciation probabilities to "

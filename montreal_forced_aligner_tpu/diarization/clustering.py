@@ -604,3 +604,46 @@ def cluster_matrix(
             if strict:
                 raise
     return labels
+
+
+def cluster_purity(truth, labels) -> float:
+    """Fraction of items whose cluster's majority true label matches theirs
+    (diarization evaluation vs known speakers; reference
+    ``diarization/speaker_diarizer.py`` evaluate_clustering)."""
+    from collections import Counter, defaultdict
+
+    by_cluster = defaultdict(list)
+    for t, c in zip(truth, labels):
+        by_cluster[c].append(t)
+    correct = sum(
+        Counter(members).most_common(1)[0][1]
+        for members in by_cluster.values()
+    )
+    return correct / max(len(truth), 1)
+
+
+def adjusted_rand_index(truth, labels) -> float:
+    """Adjusted Rand index between two labelings (chance-corrected pair
+    agreement; the reference scores clusterings with sklearn's
+    implementation)."""
+    from collections import Counter
+
+    n = len(truth)
+    if n < 2:
+        return 1.0
+    contingency = Counter(zip(truth, labels))
+    a = Counter(truth)
+    b = Counter(labels)
+
+    def comb2(x):
+        return x * (x - 1) / 2.0
+
+    sum_ij = sum(comb2(c) for c in contingency.values())
+    sum_a = sum(comb2(c) for c in a.values())
+    sum_b = sum(comb2(c) for c in b.values())
+    total = comb2(n)
+    expected = sum_a * sum_b / total
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        return 1.0
+    return (sum_ij - expected) / (max_index - expected)

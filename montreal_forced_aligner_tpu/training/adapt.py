@@ -83,9 +83,15 @@ class MapAdapter:
             )
         return acc
 
-    def adapt(self, corpus_directory) -> AcousticModel:
+    def adapt(
+        self, corpus_directory, speaker_characters=0, audio_directory=None
+    ) -> AcousticModel:
         model = self.aligner.model
-        corpus = Corpus.load(corpus_directory)
+        corpus = Corpus.load(
+            corpus_directory,
+            speaker_characters=speaker_characters,
+            audio_directory=audio_directory,
+        )
         pipeline = TrainingPipeline(
             corpus,
             self.aligner.lexicon,

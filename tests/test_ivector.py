@@ -254,3 +254,22 @@ def test_cluster_matrix_auto_threshold_density():
     for method in ("dbscan", "optics"):
         labels = cluster_matrix(x, method, metric="euclidean", min_cluster_size=5)
         assert np.unique(labels[labels >= 0]).shape[0] == 2, method
+
+
+def test_purity_and_ari():
+    from montreal_forced_aligner_tpu.diarization.clustering import (
+        adjusted_rand_index,
+        cluster_purity,
+    )
+
+    truth = ["a", "a", "a", "b", "b", "b"]
+    assert cluster_purity(truth, [0, 0, 0, 1, 1, 1]) == 1.0
+    assert adjusted_rand_index(truth, [0, 0, 0, 1, 1, 1]) == 1.0
+    # label permutation is irrelevant
+    assert adjusted_rand_index(truth, [5, 5, 5, 2, 2, 2]) == 1.0
+    mixed = cluster_purity(truth, [0, 0, 1, 1, 0, 1])
+    assert mixed < 1.0
+    assert adjusted_rand_index(truth, [0, 0, 1, 1, 0, 1]) < 0.5
+    # everything in one cluster: purity = majority fraction, ARI = 0
+    assert cluster_purity(truth, [0] * 6) == 0.5
+    assert abs(adjusted_rand_index(truth, [0] * 6)) < 1e-9
