@@ -850,10 +850,14 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
               default=None,
               help="Local SpeechBrain VAD checkpoint: neural VAD instead of "
                    "energy VAD (reference SpeechbrainVadSegmenter)")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False))
 def create_segments_vad_cli(corpus_directory, output_directory,
                             max_segment_length, min_segment_length,
                             min_pause_duration, energy_threshold,
-                            speechbrain_model_path):
+                            speechbrain_model_path, output_format):
     """Segment audio files by energy VAD (reference:
     ``mfa create_segments_vad``, ``vad/segmenter.py:56``)."""
     from montreal_forced_aligner_tpu.vad.segmenter import (
@@ -872,8 +876,10 @@ def create_segments_vad_cli(corpus_directory, output_directory,
         seg = SpeechbrainVadSegmenter(speechbrain_model_path, cfg)
     else:
         seg = VadSegmenter(cfg)
-    outs = seg.segment_corpus(corpus_directory, output_directory)
-    click.echo(f"Wrote {len(outs)} segment TextGrids to {output_directory}")
+    outs = seg.segment_corpus(
+        corpus_directory, output_directory, output_format=output_format
+    )
+    click.echo(f"Wrote {len(outs)} segment files to {output_directory}")
 
 
 @cli.command("create_segments")
@@ -1035,7 +1041,10 @@ def evaluate_alignments_cli(
 @click.argument("source_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=3, show_default=True)
-def train_lm_cli(source_path, output_model_path, order):
+@click.option("--dictionary_path", type=click.Path(exists=True), default=None,
+              help="Restrict the LM vocabulary to this dictionary's words; "
+                   "other tokens become <unk> (reference --dictionary_path)")
+def train_lm_cli(source_path, output_model_path, order, dictionary_path):
     """Train an n-gram LM from a text file (one sentence per line) or a
     corpus directory (reference: ``mfa train_lm``,
     ``language_modeling/trainer.py``). Writes ARPA format."""
@@ -1057,6 +1066,14 @@ def train_lm_cli(source_path, output_model_path, order):
             ln.strip().lower()
             for ln in src.read_text(encoding="utf-8").splitlines()
             if ln.strip()
+        ]
+    if dictionary_path is not None:
+        from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
+
+        vocab = set(Lexicon.load(dictionary_path).words)
+        texts = [
+            " ".join(t if t in vocab else "<unk>" for t in s.split())
+            for s in texts
         ]
     model, _counter = train_lm_from_texts(texts, order=order)
     model.write(output_model_path)
@@ -1311,15 +1328,56 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=8, show_default=True)
 @click.option("--num_alignment_iterations", default=10, show_default=True)
+@click.option("--evaluate", "--validate", "evaluation_mode", is_flag=True,
+              default=False,
+              help="Hold out a random tenth of the dictionary, report word "
+                   "accuracy and phone error rate on it (reference "
+                   "--evaluate/--validate)")
+@click.option("--phonetisaurus", is_flag=True, default=False,
+              help="Accepted for reference-CLI parity: this framework's "
+                   "trainer is the Phonetisaurus-style many-to-many EM "
+                   "aligner + graphone n-gram on both paths")
 def train_g2p_cli(dictionary_path, output_model_path, order,
-                  num_alignment_iterations):
+                  num_alignment_iterations, evaluation_mode, phonetisaurus):
     """Train a G2P model from a pronunciation dictionary (reference:
     ``mfa train_g2p``, ``g2p/phonetisaurus_trainer.py``)."""
+    from montreal_forced_aligner_tpu.dictionary.lexicon import (
+        parse_dictionary_file,
+    )
     from montreal_forced_aligner_tpu.g2p.trainer import G2PTrainer
 
     trainer = G2PTrainer(
         order=order, num_alignment_iterations=num_alignment_iterations
     )
+    if evaluation_mode:
+        # 90/10 split evaluation before the full train (reference
+        # ``g2p/trainer.py:736-770``, validation_proportion 0.1)
+        import random
+
+        from montreal_forced_aligner_tpu.g2p.generator import (
+            G2PGenerator,
+            evaluate_g2p,
+        )
+
+        pairs = [
+            (word, pron.phones)
+            for word, pron in parse_dictionary_file(dictionary_path)
+        ]
+        rng = random.Random(1234)
+        words = sorted({w for w, _p in pairs})
+        held = set(rng.sample(words, max(1, len(words) // 10)))
+        train_pairs = [(w, p) for w, p in pairs if w not in held]
+        test_pairs = [(w, p) for w, p in pairs if w in held]
+        eval_trainer = G2PTrainer(
+            order=order, num_alignment_iterations=num_alignment_iterations
+        )
+        eval_model = eval_trainer.train_from_pairs(train_pairs)
+        metrics = evaluate_g2p(G2PGenerator(eval_model), test_pairs)
+        click.echo(
+            f"Evaluation on {len(test_pairs)} held-out pronunciations: "
+            f"word accuracy {metrics['word_accuracy']:.4f}, "
+            f"phone error rate {metrics['phone_error_rate']:.4f}"
+        )
     model = trainer.train_from_dictionary(dictionary_path)
     model.save(output_model_path)
     click.echo(f"Saved G2P model to {output_model_path}")
@@ -1512,7 +1570,16 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
 @click.argument("training_file", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=6, show_default=True)
-def train_tokenizer_cli(training_file, output_model_path, order):
+@click.option("--evaluate", "--validate", "evaluation_mode", is_flag=True,
+              default=False,
+              help="Hold out a random tenth of the pairs and report "
+                   "utterance accuracy and character error rate on it "
+                   "(reference --evaluate/--validate)")
+@click.option("--phonetisaurus", is_flag=True, default=False,
+              help="Accepted for reference-CLI parity: the trainable "
+                   "tokenizer is always the pair-ngram EM aligner here")
+def train_tokenizer_cli(training_file, output_model_path, order,
+                        evaluation_mode, phonetisaurus):
     """Train a tokenizer from tab-separated (raw, tokenized) lines
     (reference: ``mfa train_tokenizer``, ``tokenization/trainer.py``)."""
     from pathlib import Path as _P
@@ -1524,6 +1591,30 @@ def train_tokenizer_cli(training_file, output_model_path, order):
         if "\t" in line:
             raw, tok = line.split("\t", 1)
             pairs.append((raw.strip(), tok.strip()))
+    if evaluation_mode and len(pairs) >= 10:
+        import random
+
+        from montreal_forced_aligner_tpu.evaluation import edit_distance
+
+        rng = random.Random(1234)
+        idx = set(rng.sample(range(len(pairs)), max(1, len(pairs) // 10)))
+        train = [p for i, p in enumerate(pairs) if i not in idx]
+        test = [p for i, p in enumerate(pairs) if i in idx]
+        tok = TokenizerTrainer(order=order).train_from_pairs(train)
+        correct = 0
+        cers = []
+        for raw, ref in test:
+            hyp = tok.tokenize(raw)
+            correct += hyp == ref
+            # spaces count: they are exactly what tokenization predicts
+            cers.append(
+                edit_distance(list(ref), list(hyp)) / max(len(ref), 1)
+            )
+        click.echo(
+            f"Evaluation on {len(test)} held-out lines: utterance accuracy "
+            f"{correct / len(test):.4f}, CER "
+            f"{sum(cers) / len(cers):.4f}"
+        )
     tokenizer = TokenizerTrainer(order=order).train_from_pairs(pairs)
     tokenizer.model.save(output_model_path)
     click.echo(f"Trained tokenizer on {len(pairs)} pairs -> {output_model_path}")

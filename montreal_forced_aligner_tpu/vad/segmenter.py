@@ -118,20 +118,35 @@ class VadSegmenter:
         )
         return segments_from_vad(voiced, self.config)
 
-    def segment_corpus(self, corpus_directory, output_directory) -> List[Path]:
-        """Write one TextGrid per file with detected speech segments."""
+    def segment_corpus(
+        self, corpus_directory, output_directory,
+        output_format: str = "long_textgrid",
+    ) -> List[Path]:
+        """Write one TextGrid (or json/csv, per ``output_format``) per file
+        with detected speech segments (reference ``--output_format``)."""
         from montreal_forced_aligner_tpu.io.wav import read_wave
 
         output_directory = Path(output_directory)
         output_directory.mkdir(parents=True, exist_ok=True)
         out_paths = []
+        extensions = {
+            "long_textgrid": ".TextGrid",
+            "short_textgrid": ".TextGrid",
+            "json": ".json",
+            "csv": ".csv",
+        }
         for wav in sorted(Path(corpus_directory).rglob("*.wav")):
             segs = self.segment_file(wav)
             tg = TextGrid()
             tg.xmax = read_wave(wav).duration
             tg.tiers["segments"] = [Interval(s, e, "speech") for s, e in segs]
-            out = output_directory / f"{wav.stem}.TextGrid"
-            tg.write(out)
+            out = output_directory / f"{wav.stem}{extensions[output_format]}"
+            if output_format == "json":
+                tg.write_json(out)
+            elif output_format == "csv":
+                tg.write_csv(out, default_speaker="speech")
+            else:
+                tg.write(out, output_format=output_format)
             out_paths.append(out)
         return out_paths
 
