@@ -610,6 +610,31 @@ class AlignmentGraphCompiler:
     ) -> List[dict]:
         """Template-cached :meth:`_expand_variant` (same branches, spliced
         from a frozen template)."""
+        if self.tree.N == 1 and len(pids) >= 2:
+            # monophone, multi-phone pronunciation: plans ignore context and
+            # the expansion emits exactly one branch, so one template per
+            # pronunciation serves every (left, right) combination — the
+            # context-keyed cache would miss on every novel word pairing.
+            # (Single-phone variants keep the per-left instances that the
+            # direct expansion creates, preserving tie-breaking order.)
+            key = ("v", tuple(pids))
+            tpl = self._tpl_cache.get(key)
+            if tpl is None:
+                tpl = self._freeze_template(
+                    lambda sg: self._expand_variant(sg, pids, 0, [0], [0])
+                )
+                assert len(tpl["meta"]) == 1
+                self._tpl_cache[key] = tpl
+            base = g.add_template(tpl, word_idx)
+            b = tpl["meta"][0]
+            return [
+                dict(
+                    lset=set(left_ctxs),
+                    entry=b["entry"] + base,
+                    rset=frozenset(rights),
+                    exits=[(s + base, w, t) for s, w, t in b["exits"]],
+                )
+            ]
         key = ("v", tuple(pids), tuple(left_ctxs), tuple(rights))
         tpl = self._tpl_cache.get(key)
         if tpl is None:
@@ -634,6 +659,28 @@ class AlignmentGraphCompiler:
         """Template-cached :meth:`_expand_single`."""
         # the frozen word_rel column encodes only the SIGN of word_idx
         # (word vs silence), so the key must separate the two
+        if self.tree.N == 1:
+            # monophone: context-independent template (see
+            # expand_variant_cached)
+            key = ("s", phone, word_idx >= 0)
+            tpl = self._tpl_cache.get(key)
+            if tpl is None:
+                tpl = self._freeze_template(
+                    lambda sg: self._expand_single(
+                        sg, phone, 0 if word_idx >= 0 else -1, 0, [0]
+                    )
+                )
+                assert len(tpl["meta"]) == 1
+                self._tpl_cache[key] = tpl
+            base = g.add_template(tpl, word_idx)
+            _rs, entry, exits = tpl["meta"][0]
+            return [
+                (
+                    frozenset(rights),
+                    entry + base,
+                    [(s + base, w, t) for s, w, t in exits],
+                )
+            ]
         key = ("s", phone, left, tuple(rights), word_idx >= 0)
         tpl = self._tpl_cache.get(key)
         if tpl is None:
