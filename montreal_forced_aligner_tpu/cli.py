@@ -340,7 +340,12 @@ def align_cli(
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
 @click.argument("output_path", type=click.Path())
-def align_one_cli(sound_file, text_file, dictionary_path, acoustic_model_path, output_path):
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False))
+def align_one_cli(sound_file, text_file, dictionary_path, acoustic_model_path,
+                  output_path, output_format):
     """Align a single utterance (reference: ``command_line/align_one.py:85``,
     ``online/alignment.py:29``)."""
     import tempfile
@@ -359,7 +364,9 @@ def align_one_cli(sound_file, text_file, dictionary_path, acoustic_model_path, o
         results = aligner.align_corpus(corpus)
         out = Path(output_path)
         out.parent.mkdir(parents=True, exist_ok=True)
-        paths = aligner.export_textgrids(corpus, results, out.parent)
+        paths = aligner.export_textgrids(
+            corpus, results, out.parent, output_format=output_format
+        )
         if paths and paths[0] != out:
             paths[0].rename(out)
     click.echo(f"Wrote {output_path}")
@@ -1468,12 +1475,21 @@ def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations,
 @click.option("--ivector_dim", default=192, show_default=True)
 @click.option("--num_iterations", default=10, show_default=True)
 @click.option("--batch_size", default=16, show_default=True)
+@click.option("--plda/--no_plda", "train_plda", default=True,
+              show_default=True,
+              help="Also train PLDA on the corpus's speaker-labeled "
+                   "i-vectors and bundle it (reference PldaTrainer stage, "
+                   "ivector/trainer.py:634)")
 def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
-                      ivector_dim, num_iterations, batch_size):
+                      ivector_dim, num_iterations, batch_size, train_plda):
     """Train a UBM + i-vector extractor (reference: ``mfa train_ivector``,
     ``ivector/trainer.py``)."""
+    import numpy as np
+
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
     from montreal_forced_aligner_tpu.ivector.extractor import (
+        extract_ivectors,
+        length_normalize,
         train_ivector_extractor,
     )
     from montreal_forced_aligner_tpu.ivector.pipeline import (
@@ -1482,11 +1498,26 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
     from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
 
     corpus = Corpus.load(corpus_directory)
-    batches, _order = corpus_feature_batches(corpus, batch_size=batch_size)
+    batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
     ubm = train_ubm(batches, num_gauss=num_gauss)
     extractor = train_ivector_extractor(
         batches, ubm, ivector_dim=ivector_dim, num_iterations=num_iterations
     )
+    if train_plda and len(corpus.speakers) >= 2:
+        from montreal_forced_aligner_tpu.ivector.plda import Plda
+
+        iv = length_normalize(extract_ivectors(extractor, batches))
+        spk_of = {s: i for i, s in enumerate(corpus.speakers)}
+        speaker_ids = np.array(
+            [spk_of[corpus.utterances[i].speaker] for i in order]
+        )
+        extractor.plda = Plda.train(iv, speaker_ids)
+        click.echo(
+            f"Trained PLDA over {len(corpus.speakers)} speakers "
+            f"({len(iv)} i-vectors)"
+        )
+    elif train_plda:
+        click.echo("Skipping PLDA: need at least 2 speakers", err=True)
     extractor.save(output_model_path)
     click.echo(
         f"Trained {ubm.num_gauss}-gauss UBM + {ivector_dim}-dim extractor "
@@ -1512,10 +1543,19 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--evaluate/--no_evaluate", default=False,
               help="Score the clustering against the corpus's original "
                    "speaker labels (reference diarize_speakers --evaluate)")
+@click.option("--classify/--cluster", "classify", default=False,
+              show_default=True,
+              help="classify: reassign each utterance to the best-scoring "
+                   "known speaker (PLDA if bundled, else cosine); cluster: "
+                   "unsupervised (reference --classify/--cluster)")
+@click.option("--metric", default="cosine", show_default=True,
+              type=click.Choice(["cosine", "plda"]),
+              help="Distance for clustering (plda requires a PLDA-bundled "
+                   "extractor, reference DistanceMetric)")
 def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
-                         batch_size, evaluate):
+                         batch_size, evaluate, classify, metric):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
@@ -1531,22 +1571,66 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
 
     corpus = Corpus.load(corpus_directory)
     batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
-    diarizer = SpeakerDiarizer(IvectorExtractor.load(ivector_extractor_path))
-    result = diarizer.cluster_utterances(
-        batches,
-        num_speakers=expected_num_speakers or None,
-        threshold=None if expected_num_speakers else distance_threshold,
-        method=cluster_type,
-        min_cluster_size=min_cluster_size,
+    extractor = IvectorExtractor.load(ivector_extractor_path)
+    if metric == "plda" and extractor.plda is None:
+        raise click.ClickException(
+            "--metric plda needs an extractor with bundled PLDA "
+            "(train with mfa train_ivector --plda)"
+        )
+    diarizer = SpeakerDiarizer(
+        extractor, plda=extractor.plda, metric=metric
     )
+    if classify:
+        # speaker classification against the corpus's own labels (reference
+        # classify_speakers, speaker_diarizer.py:307): enroll per-speaker
+        # mean i-vectors, then reassign every utterance
+        import numpy as np
+
+        iv = diarizer.utterance_ivectors(batches)
+        enrolled = {}
+        for s in corpus.speakers:
+            rows = [
+                pos for pos, ui in enumerate(order)
+                if corpus.utterances[ui].speaker == s
+            ]
+            enrolled[s] = iv[rows].mean(axis=0)
+        names = diarizer.classify_speakers(batches, enrolled, ivectors=iv)
+        name_idx = {s: i for i, s in enumerate(corpus.speakers)}
+        from montreal_forced_aligner_tpu.diarization.speaker_diarizer import (
+            DiarizationResult,
+        )
+
+        result = DiarizationResult(
+            labels=np.array([name_idx[n] for n in names]), ivectors=iv
+        )
+        moved = sum(
+            1 for pos, ui in enumerate(order)
+            if names[pos] != corpus.utterances[ui].speaker
+        )
+        click.echo(
+            f"Classification reassigned {moved}/{len(order)} utterances"
+        )
+    else:
+        result = diarizer.cluster_utterances(
+            batches,
+            num_speakers=expected_num_speakers or None,
+            threshold=None if expected_num_speakers else distance_threshold,
+            method=cluster_type,
+            min_cluster_size=min_cluster_size,
+        )
     out = _P(output_directory)
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "utt2spk.tsv", "w", encoding="utf-8") as f:
         for pos, utt_idx in enumerate(order):
             utt = corpus.utterances[utt_idx]
             end = "" if utt.end is None else f"{utt.end}"
+            new_spk = (
+                corpus.speakers[int(result.labels[pos])]
+                if classify
+                else f"speaker{int(result.labels[pos])}"
+            )
             f.write(f"{utt.speaker}/{utt.file_name}\t{utt.begin}\t{end}\t"
-                    f"speaker{int(result.labels[pos])}\n")
+                    f"{new_spk}\n")
     n = len(set(result.labels.tolist()))
     click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")
     if evaluate:

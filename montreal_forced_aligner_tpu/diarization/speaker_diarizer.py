@@ -91,10 +91,16 @@ class SpeakerDiarizer:
         self,
         feature_batches,
         enrolled: Dict[str, np.ndarray],
+        ivectors: Optional[np.ndarray] = None,
     ) -> List[str]:
         """Assign each utterance the enrolled speaker with the best score
-        (PLDA if available, else cosine)."""
-        iv = self.utterance_ivectors(feature_batches)
+        (PLDA if available, else cosine). Pass ``ivectors`` to reuse
+        already-extracted utterance i-vectors."""
+        iv = (
+            ivectors
+            if ivectors is not None
+            else self.utterance_ivectors(feature_batches)
+        )
         names = list(enrolled)
         enroll = length_normalize(np.stack([enrolled[n] for n in names]))
         if self.plda is not None:

@@ -36,6 +36,10 @@ HIGH = jax.lax.Precision.HIGHEST
 class IvectorExtractor:
     ubm: DiagUbm
     T: np.ndarray  # (C, D, R)
+    # PLDA trained on speaker-labeled i-vectors, bundled like the reference's
+    # ivector extractor archive (``IvectorExtractorModel``, ``models.py:814``;
+    # PldaTrainer stage ``ivector/trainer.py:634``)
+    plda: "Optional[object]" = None
 
     @property
     def ivector_dim(self) -> int:
@@ -45,21 +49,37 @@ class IvectorExtractor:
         # np.savez appends ".npz" when the name lacks it; write through a
         # file object so the artifact lands at exactly the requested path
         # (the CLI advertises the path it was given).
-        with open(path, "wb") as f:
-            np.savez_compressed(
-                f,
-                weights=self.ubm.weights,
-                means=self.ubm.means,
-                variances=self.ubm.variances,
-                T=self.T,
+        arrays = dict(
+            weights=self.ubm.weights,
+            means=self.ubm.means,
+            variances=self.ubm.variances,
+            T=self.T,
+        )
+        if self.plda is not None:
+            arrays.update(
+                plda_mean=self.plda.mean,
+                plda_transform=self.plda.transform,
+                plda_psi=self.plda.psi,
             )
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **arrays)
 
     @classmethod
     def load(cls, path) -> "IvectorExtractor":
         z = np.load(path)
+        plda = None
+        if "plda_mean" in z:
+            from montreal_forced_aligner_tpu.ivector.plda import Plda
+
+            plda = Plda(
+                mean=z["plda_mean"],
+                transform=z["plda_transform"],
+                psi=z["plda_psi"],
+            )
         return cls(
             ubm=DiagUbm(z["weights"], z["means"], z["variances"]),
             T=z["T"],
+            plda=plda,
         )
 
 

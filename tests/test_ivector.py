@@ -273,3 +273,74 @@ def test_purity_and_ari():
     # everything in one cluster: purity = majority fraction, ARI = 0
     assert cluster_purity(truth, [0] * 6) == 0.5
     assert abs(adjusted_rand_index(truth, [0] * 6)) < 1e-9
+
+
+def test_train_ivector_cli_plda_and_classify(tmp_path):
+    """train_ivector bundles PLDA; diarize --classify reassigns mislabeled
+    utterances; --metric plda clustering (reference --classify/--cluster,
+    DistanceMetric.plda)."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+    from montreal_forced_aligner_tpu.ivector.extractor import IvectorExtractor
+
+    rng = np.random.RandomState(3)
+    corpus = tmp_path / "corpus"
+    for spk in (0, 1):
+        d = corpus / f"spk{spk}"
+        d.mkdir(parents=True)
+        for u in range(4):
+            write_wave(
+                d / f"u{u}.wav", make_speaker_wave(rng, spk, 5.0), SR
+            )
+            (d / f"u{u}.lab").write_text("x")
+    # mislabel one utterance: put a spk1 recording under spk0
+    write_wave(
+        corpus / "spk0" / "u9.wav", make_speaker_wave(rng, 1, 5.0), SR
+    )
+    (corpus / "spk0" / "u9.lab").write_text("x")
+
+    model = tmp_path / "ivec.npz"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["train_ivector", str(corpus), str(model), "--num_gauss", "8",
+         "--ivector_dim", "4", "--num_iterations", "3", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "Trained PLDA over 2 speakers" in r.output
+    assert IvectorExtractor.load(model).plda is not None
+
+    out = tmp_path / "diar"
+    r = runner.invoke(
+        cli,
+        ["diarize_speakers", str(corpus), str(model), str(out),
+         "--classify", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "reassigned" in r.output
+    rows = [
+        l.split("\t")
+        for l in (out / "utt2spk.tsv").read_text().strip().splitlines()
+    ]
+    by_utt = {r0[0]: r0[3] for r0 in rows}
+    # classification labels are real speaker names, and most utterances
+    # keep their label (the synthetic "speakers" are a weak proxy, so the
+    # planted mislabel is not guaranteed to flip)
+    assert set(by_utt.values()) <= {"spk0", "spk1"}
+    kept = sum(k.split("/")[0] == v for k, v in by_utt.items())
+    assert kept >= len(by_utt) - 3
+
+    # PLDA-metric clustering runs end to end
+    r = runner.invoke(
+        cli,
+        ["diarize_speakers", str(corpus), str(model), str(out),
+         "--metric", "plda", "--expected_num_speakers", "2",
+         "--batch_size", "4", "--evaluate"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "purity" in r.output
