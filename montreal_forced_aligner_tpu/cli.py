@@ -297,6 +297,22 @@ def align_cli(
         include_original_text=include_original_text,
     )
     click.echo(f"Exported {len(outs)} TextGrids to {output_directory}")
+    # alignment quality analysis (the reference always runs
+    # analyze_alignments after align, command_line/align.py:124)
+    from montreal_forced_aligner_tpu.align.analysis import (
+        analyze_alignments as _analyze,
+        csv_report,
+    )
+
+    analyses, flagged = _analyze(results)
+    csv_report(
+        analyses, corpus, Path(output_directory) / "alignment_analysis.csv"
+    )
+    if flagged:
+        click.echo(
+            f"Flagged {len(flagged)} utterances with anomalous phone "
+            "durations (see alignment_analysis.csv)"
+        )
     if phone_transcripts is not None:
         from montreal_forced_aligner_tpu.transcription.phone_transcriber import (
             evaluate_against_alignments,
