@@ -103,7 +103,9 @@ def _band_forward_kernel(
         alpha_out_ref[:] = alpha_pad[:, ub : ub + S]
 
 
-@functools.partial(jax.jit, static_argnames=("lb", "ub", "acoustic_scale"))
+@functools.partial(
+    jax.jit, static_argnames=("lb", "ub", "acoustic_scale", "full_bp")
+)
 def band_forward_pallas(
     emit: jnp.ndarray,  # (B, T, S) float32
     frame_lengths: jnp.ndarray,  # (B,) int32
@@ -112,10 +114,15 @@ def band_forward_pallas(
     lb: int,
     ub: int,
     acoustic_scale: float = 0.1,
+    full_bp: bool = False,
 ):
     """Forward pass only: returns (alpha_T (B, S), backptrs (T-1, B, S) int32
     where backptrs[t-1] holds the offset-slot argmax taken into frame t).
     The caller runs the (cheap) backward scan.
+
+    With ``full_bp=True`` the backpointers come back unsliced as
+    (Tp, B, S) with bp[t] = argmax into frame t (bp[0] and chunk padding
+    uninitialized) — the layout :func:`band_backtrace_pallas` consumes.
 
     Frames past each row's length are frozen in-kernel; chunk padding past T
     is safe because every row satisfies frame_lengths <= T.
@@ -162,4 +169,93 @@ def band_forward_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((B, ub + S + lb), jnp.float32)],
     )(emit_tbs, band_dbs, start, flens_col)
+    if full_bp:
+        return alpha_T, bp
     return alpha_T, bp[1:T]
+
+
+def _band_backtrace_kernel(
+    bp_ref,  # (TC, B, S) int32 VMEM: this chunk's backpointers (reversed map)
+    flens_ref,  # (B, 1) int32 VMEM
+    best_ref,  # (B, 1) int32 VMEM: argmax state at the last frame
+    st_ref,  # out (TC, B) int32: state at each frame in the chunk
+    cur,  # scratch (B, 1) int32, persists across grid steps
+    *,
+    lb: int,
+    S: int,
+    TC: int,
+    T: int,
+):
+    c = pl.program_id(0)
+    num_chunks = pl.num_programs(0)
+    chunk = num_chunks - 1 - c  # chunks are visited last-to-first
+    B = best_ref.shape[0]
+    flens = flens_ref[:]  # (B, 1)
+
+    @pl.when(c == 0)
+    def _():
+        cur[:] = best_ref[:]
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+
+    def body(k, _):
+        i = TC - 1 - k  # frames within the chunk, last to first
+        t = chunk * TC + i
+        state = cur[:]  # (B, 1)
+        # frames past T-1 exist only as chunk padding; don't record or step
+        @pl.when(t <= T - 1)
+        def _():
+            st_ref[pl.ds(i, 1)] = state.reshape(1, B)
+            bp_t = bp_ref[pl.ds(i, 1)][0]  # (B, S)
+            j = jnp.sum(
+                jnp.where(iota_s == state, bp_t, 0), axis=1, keepdims=True
+            )
+            prev = state - (j - lb)
+            active = jnp.logical_and(t >= 1, t < flens)
+            cur[:] = jnp.where(active, prev, state)
+
+        return 0
+
+    jax.lax.fori_loop(0, TC, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("lb", "T"))
+def band_backtrace_pallas(
+    bp_full: jnp.ndarray,  # (Tp, B, S) int32: bp_full[t] = argmax into frame t
+    frame_lengths: jnp.ndarray,  # (B,) int32
+    best_state_T: jnp.ndarray,  # (B,) int32
+    lb: int,
+    T: int,
+):
+    """Backward path recovery in one sequential-grid kernel: the XLA
+    ``lax.scan`` backtrace costs ~3 us of dispatch per frame; here the whole
+    loop runs in-kernel with the current state vector carried in VMEM
+    scratch and per-chunk backpointer blocks DMA-pipelined in reverse.
+    Returns states (B, T), bit-identical to the scan backtrace."""
+    Tp, B, S = bp_full.shape
+    TC = _TC
+    assert Tp % TC == 0
+    NC = Tp // TC
+    kernel = functools.partial(
+        _band_backtrace_kernel, lb=lb, S=S, TC=TC, T=T
+    )
+    st = pl.pallas_call(
+        kernel,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec(
+                (TC, B, S),
+                lambda c, NC=NC: (NC - 1 - c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TC, B), lambda c, NC=NC: (NC - 1 - c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32)],
+    )(bp_full, frame_lengths.astype(jnp.int32)[:, None],
+      best_state_T.astype(jnp.int32)[:, None])
+    return jnp.moveaxis(st[:T], 0, 1)  # (B, T)

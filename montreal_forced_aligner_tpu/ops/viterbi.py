@@ -236,14 +236,27 @@ def viterbi_align_batch_band(
     t_iota = jnp.arange(T)
 
     from montreal_forced_aligner_tpu.ops.pallas_viterbi import (
+        band_backtrace_pallas,
         band_forward_pallas,
         band_pallas_eligible,
     )
 
     if jax.default_backend() == "tpu" and band_pallas_eligible(B, S, D, T):
-        alpha_T, backptrs = band_forward_pallas(
-            emit, frame_lengths, band, start, lb, ub, acoustic_scale
+        # forward and backtrace both run as sequential-grid kernels; the
+        # scan backtrace pays ~3 us of dispatch per frame, the kernel ~none
+        alpha_T, bp_full = band_forward_pallas(
+            emit, frame_lengths, band, start, lb, ub, acoustic_scale,
+            full_bp=True,
         )
+        final_scores = alpha_T + final
+        best_state_T = jnp.argmax(final_scores, axis=1).astype(jnp.int32)
+        best_score = jnp.take_along_axis(
+            final_scores, best_state_T[:, None], axis=1
+        )[:, 0]
+        states = band_backtrace_pallas(
+            bp_full, frame_lengths, best_state_T, lb, T
+        )
+        return states, best_score
     else:
         emit = acoustic_scale * emit
         band_cols = [band[:, :, j] for j in range(D)]

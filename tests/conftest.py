@@ -8,18 +8,23 @@ go further and simulate an 8-device mesh).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MFA_TPU_TEST_BACKEND=tpu runs the suite against real hardware (used for
+# the Pallas-kernel parity tests, which are skipped on CPU)
+_backend = os.environ.get("MFA_TPU_TEST_BACKEND", "cpu")
+if _backend == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
 # the environment's TPU plugin prepends itself to jax_platforms even when
 # JAX_PLATFORMS=cpu is exported; force the CPU backend for tests explicitly
-jax.config.update("jax_platforms", "cpu")
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 

@@ -410,3 +410,47 @@ def test_band_forward_pallas_matches_scan():
     np.testing.assert_allclose(np.asarray(aT), a, atol=1e-4)
     mask = (np.arange(1, T)[:, None] < flens[None, :])[:, :, None]
     assert int(((np.asarray(bp) != bps) & mask).sum()) == 0
+
+
+def test_band_backtrace_pallas_matches_scan():
+    """Full Pallas band path (forward kernel + backtrace kernel) must be
+    bit-identical to the XLA-scan band path (runs only on real TPU)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() in ("cpu", "gpu"):
+        pytest.skip("Pallas TPU kernel requires a TPU backend")
+    from montreal_forced_aligner_tpu.ops import pallas_viterbi as pv
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        viterbi_align_batch_band,
+    )
+
+    rng = np.random.RandomState(1)
+    B, T, S, lb, ub = 8, 48, 64, 4, 16
+    D = lb + ub + 1
+    band = np.full((B, S, D), NEG_INF, np.float32)
+    band[:, :, lb] = np.log(0.5)
+    band[:, 1:, lb + 1] = np.log(0.5)
+    band[:, 3:, lb + 3] = np.log(0.25)
+    start = np.full((B, S), NEG_INF, np.float32)
+    start[:, 0] = 0.0
+    final = np.full((B, S), NEG_INF, np.float32)
+    final[:, S - 4:] = 0.0
+    emit = (rng.randn(B, T, S) * 2).astype(np.float32)
+    flens = np.array([T] * 4 + [T - 5, T // 2, 3, 1], np.int32)
+    args = (
+        jnp.asarray(emit), jnp.asarray(flens), jnp.asarray(band),
+        jnp.asarray(start), jnp.asarray(final),
+    )
+    states_pl, score_pl = viterbi_align_batch_band(*args, lb, ub, 0.1)
+    # force the scan path by making the eligibility check fail
+    orig = pv.band_pallas_eligible
+    try:
+        pv.band_pallas_eligible = lambda *a: False
+        states_sc, score_sc = viterbi_align_batch_band(*args, lb, ub, 0.1)
+    finally:
+        pv.band_pallas_eligible = orig
+    np.testing.assert_array_equal(np.asarray(states_pl), np.asarray(states_sc))
+    np.testing.assert_allclose(
+        np.asarray(score_pl), np.asarray(score_sc), atol=1e-4
+    )
