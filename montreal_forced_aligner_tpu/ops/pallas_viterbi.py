@@ -42,7 +42,7 @@ _TC = 8  # frames per grid step
 
 
 def band_pallas_eligible(B: int, S: int, D: int, T: int) -> bool:
-    resident = (D + 1) * B * S * 4 + 4 * _TC * B * S * (4 + 4)
+    resident = (D + 1) * B * S * 4 + 4 * _TC * B * S * (4 + 1)
     return T >= 2 and resident <= _VMEM_BUDGET_BYTES
 
 
@@ -52,7 +52,9 @@ def _band_forward_kernel(
     start_ref,  # (B, S) VMEM
     flens_ref,  # (B, 1) int32 VMEM
     alpha_out_ref,  # out (B, S) VMEM: alpha at the final frame
-    bp_ref,  # out (TC, B, S) int32: backpointers per frame in chunk
+    bp_ref,  # out (TC, B, S) uint8: backpointers per frame in chunk
+    #         (offset-slot indices < D <= 145, so uint8 always fits and
+    #          quarters the kernel's HBM store + backtrace read traffic)
     alpha_pad,  # scratch (B, ub + S + lb) float32, persists across steps
     *,
     lb: int,
@@ -93,7 +95,7 @@ def _band_forward_kernel(
         alpha_new = m + acoustic_scale * emit_t
         out = jnp.where(flens > t, alpha_new, a)
         alpha_pad[:, ub : ub + S] = out
-        bp_ref[pl.ds(i, 1)] = bp[None]
+        bp_ref[pl.ds(i, 1)] = bp.astype(jnp.uint8)[None]
         return 0
 
     jax.lax.fori_loop(first, TC, body, 0)
@@ -165,7 +167,7 @@ def band_forward_pallas(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, S), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, B, S), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((B, ub + S + lb), jnp.float32)],
     )(emit_tbs, band_dbs, start, flens_col)
@@ -175,7 +177,7 @@ def band_forward_pallas(
 
 
 def _band_backtrace_kernel(
-    bp_ref,  # (TC, B, S) int32 VMEM: this chunk's backpointers (reversed map)
+    bp_ref,  # (TC, B, S) uint8 VMEM: this chunk's backpointers (reversed map)
     flens_ref,  # (B, 1) int32 VMEM
     best_ref,  # (B, 1) int32 VMEM: argmax state at the last frame
     st_ref,  # out (TC, B) int32: state at each frame in the chunk
@@ -206,7 +208,7 @@ def _band_backtrace_kernel(
         @pl.when(t <= T - 1)
         def _():
             st_ref[pl.ds(i, 1)] = state.reshape(1, B)
-            bp_t = bp_ref[pl.ds(i, 1)][0]  # (B, S)
+            bp_t = bp_ref[pl.ds(i, 1)][0].astype(jnp.int32)  # (B, S)
             j = jnp.sum(
                 jnp.where(iota_s == state, bp_t, 0), axis=1, keepdims=True
             )
@@ -221,7 +223,7 @@ def _band_backtrace_kernel(
 
 @functools.partial(jax.jit, static_argnames=("lb", "T"))
 def band_backtrace_pallas(
-    bp_full: jnp.ndarray,  # (Tp, B, S) int32: bp_full[t] = argmax into frame t
+    bp_full: jnp.ndarray,  # (Tp, B, S) uint8: bp_full[t] = argmax into frame t
     frame_lengths: jnp.ndarray,  # (B,) int32
     best_state_T: jnp.ndarray,  # (B,) int32
     lb: int,
