@@ -652,11 +652,19 @@ class PretrainedAligner:
                 utt.speaker, self.default_dictionary_key
             )
             items.append((key, tokens))
-        pool = self._graph_pool(len(items))
-        if pool is not None:
-            graphs: List[CompiledGraph] = pool.compile_all(items)
-        else:
-            graphs = [self.compilers[k].compile(t) for k, t in items]
+        from montreal_forced_aligner_tpu.graph.native_compile import (
+            compile_items_native,
+        )
+
+        graphs: Optional[List[CompiledGraph]] = compile_items_native(
+            self.compilers, items
+        )
+        if graphs is None:
+            pool = self._graph_pool(len(items))
+            if pool is not None:
+                graphs = pool.compile_all(items)
+            else:
+                graphs = [self.compilers[k].compile(t) for k, t in items]
 
         spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
         for bsum in dev_totals.values():

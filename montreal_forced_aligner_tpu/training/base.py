@@ -288,7 +288,18 @@ class TrainingPipeline:
             utt = corpus.utterances[i]
             if utt.normalized_tokens is None:
                 utt.normalized_tokens = self.tokenizer.tokenize(utt.text)
-        if num_workers > 0 and len(flat_indices) >= 4 * num_workers:
+        from montreal_forced_aligner_tpu.graph.native_compile import (
+            compile_batch_native,
+        )
+
+        native = compile_batch_native(
+            compiler,
+            [corpus.utterances[i].normalized_tokens for i in flat_indices],
+        )
+        if native is not None:
+            for i, g in zip(flat_indices, native):
+                self.graphs[i] = g
+        elif num_workers > 0 and len(flat_indices) >= 4 * num_workers:
             if self._graph_pool is None:
                 from montreal_forced_aligner_tpu.graph.parallel import (
                     SharedGraphCompilerPool,
