@@ -140,10 +140,10 @@ def _pallas_emission_eligible(num_pdfs: int, num_gauss: int) -> bool:
     return num_pdfs * num_gauss >= 16384
 
 
-@partial(jax.jit, static_argnames=("acoustic_scale", "band_limits"))
+@partial(jax.jit, static_argnames=("acoustic_scale", "band_limits", "use_pallas"))
 def _emit_and_align(
     ff, frame_lengths, graph, W, gconsts, acoustic_scale,
-    band_limits=None, w_rows=None,
+    band_limits=None, w_rows=None, use_pallas=True,
 ):
     """Graph-state emissions -> exact Viterbi (band-sparse DP when the
     graph's arc offsets fit a band, dense max-plus otherwise). One device
@@ -181,7 +181,7 @@ def _emit_and_align(
         band = densify_band(graph, lb, ub)
         return viterbi_align_batch_band(
             emit, frame_lengths, band, graph.start, graph.final, lb, ub,
-            acoustic_scale=acoustic_scale,
+            acoustic_scale=acoustic_scale, use_pallas=use_pallas,
         )
     return viterbi_align_batch(emit, frame_lengths, graph, acoustic_scale=acoustic_scale)
 
@@ -203,6 +203,10 @@ class AlignerConfig:
     fmllr_min_count: float = 100.0
     compute_confidence: bool = False
     devices: Optional[tuple] = None  # default: all local devices
+    # SPMD mode: shard every batch over a global device mesh instead of
+    # round-robin local placement (required for multi-host runs; None =
+    # auto, on when jax.process_count() > 1)
+    distributed: Optional[bool] = None
     num_loader_threads: int = 8  # threaded audio decode (native FLAC)
     # host graph compilation fans out over a process pool (0 = in-process);
     # engaged only for corpora with >= 4 utterances per worker, and not with
@@ -322,16 +326,27 @@ class PretrainedAligner:
         )
         self.use_pitch = bool(feat_meta.get("pitch", False))
         self.frame_shift = self.mfcc_config.frame_shift_ms / 1000.0
-        # data parallelism over local devices: batches are placed round-robin
-        # (alignment is embarrassingly parallel; multi-host scale-out uses the
-        # sharded mesh step in parallel/, see dryrun_multichip)
+        # data parallelism: batches are placed round-robin over local
+        # devices (single-host default — alignment is embarrassingly
+        # parallel), or sharded over a global mesh in distributed mode
+        # (multi-host: one GSPMD program, collectives over ICI/DCN)
         import jax as _jax
 
+        distributed = self.config.distributed
+        if distributed is None:
+            distributed = _jax.process_count() > 1
+        self.mesh = None
+        if distributed and len(_jax.devices()) > 1:
+            from montreal_forced_aligner_tpu.parallel.mesh import get_mesh
+
+            self.mesh = get_mesh()
         self.devices = (
             list(self.config.devices)
             if self.config.devices
             else _jax.local_devices()
         )
+        if self.mesh is not None:
+            self.devices = [None]  # placement flows through _put_b/_put_rep
         self._device_gmm = self._prepare_gmm()
         self._gmm_per_device = {}
         self._graph_pool_obj = None
@@ -351,17 +366,48 @@ class PretrainedAligner:
             self._graph_pool_obj = ParallelGraphCompiler(self.compilers, n)
         return self._graph_pool_obj
 
-    def _gmm_on(self, device):
-        if device not in self._gmm_per_device:
-            import jax as _jax
+    def _put_b(self, x, device=None):
+        """Batch-leading placement: mesh-sharded in distributed mode, else
+        on the given local device."""
+        import jax as _jax
 
+        if self.mesh is not None:
+            from montreal_forced_aligner_tpu.training.base import put_batch
+
+            return put_batch(x, self.mesh)
+        return _jax.device_put(x, device)
+
+    def _put_rep(self, x, device=None):
+        import jax as _jax
+
+        if self.mesh is not None:
+            from montreal_forced_aligner_tpu.training.base import put_replicated
+
+            return put_replicated(x, self.mesh)
+        return _jax.device_put(x, device)
+
+    def _row_multiple(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod(self.mesh.devices.shape))
+
+    def _gmm_on(self, device):
+        key = "mesh" if self.mesh is not None else device
+        if key not in self._gmm_per_device:
             W, gconsts, w_rows = self._device_gmm
-            self._gmm_per_device[device] = (
-                _jax.device_put(W, device),
-                _jax.device_put(gconsts, device),
-                None if w_rows is None else _jax.device_put(w_rows, device),
-            )
-        return self._gmm_per_device[device]
+            if self.mesh is not None:
+                # the Pallas emission kernel is not GSPMD-partitionable;
+                # distributed mode uses the one-hot emission path
+                self._gmm_per_device[key] = (
+                    self._put_rep(W), self._put_rep(gconsts), None,
+                )
+            else:
+                self._gmm_per_device[key] = (
+                    self._put_rep(W, device),
+                    self._put_rep(gconsts, device),
+                    None if w_rows is None else self._put_rep(w_rows, device),
+                )
+        return self._gmm_per_device[key]
 
     def _prepare_gmm(self):
         gmm = self.model.gmm
@@ -417,21 +463,21 @@ class PretrainedAligner:
 
         ali_tm, ali_gmm = self.model.alignment_model
         W1, _ = ali_gmm.flatten_for_device()
-        W1 = jnp.asarray(W1)
-        gc1 = jnp.asarray(ali_gmm.gconsts)
+        W1 = self._put_rep(W1)
+        gc1 = self._put_rep(ali_gmm.gconsts)
         P1, G1, _D1 = ali_gmm.means_invvars.shape
         w_rows1 = None
-        if _pallas_emission_eligible(P1, G1):
+        if self.mesh is None and _pallas_emission_eligible(P1, G1):
             from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
 
             w_rows1 = jnp.asarray(
                 pack_rows(ali_gmm.means_invvars, ali_gmm.inv_vars, ali_gmm.gconsts)
             )
         gmm = self.model.gmm
-        means = jnp.asarray(gmm.get_means())
-        iv = jnp.asarray(gmm.inv_vars)
-        gc = jnp.asarray(gmm.gconsts)
-        miv = jnp.asarray(gmm.means_invvars)
+        means = self._put_rep(gmm.get_means())
+        iv = self._put_rep(gmm.inv_vars)
+        gc = self._put_rep(gmm.gconsts)
+        miv = self._put_rep(gmm.means_invvars)
         sil_pdfs = self._silence_pdfs()
 
         # dispatch every first-pass alignment before fetching any state path,
@@ -447,10 +493,11 @@ class PretrainedAligner:
         paths = []
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = _emit_and_align(
-                ff, jnp.asarray(flens), graph, W1, gc1,
+                ff, self._put_b(flens), graph, W1, gc1,
                 self.config.acoustic_scale,
                 band_limits=garrs.get("_band_limits"),
                 w_rows=w_rows1,
+                use_pallas=self.mesh is None,
             )
             paths.append(state_path)
         start_host_copies(paths)
@@ -465,27 +512,24 @@ class PretrainedAligner:
             b = np.arange(sp.shape[0])[:, None]
             frame_pdf = garrs["state_pdf"][b, sp]
             weight = (~np.isin(frame_pdf, sil_pdfs)).astype(np.float32)
-            spk_idx = np.array(
-                [
-                    speaker_index[corpus.utterances[i].speaker]
-                    for i in batch
-                ],
-                np.int32,
-            )
+            spk_idx = np.zeros(sp.shape[0], np.int32)
+            spk_idx[: len(batch)] = [
+                speaker_index[corpus.utterances[i].speaker] for i in batch
+            ]
             spk_indices.append(spk_idx)
             out = accumulate_fmllr_stats(
                 ff,
-                jnp.asarray(flens),
-                jnp.asarray(frame_pdf),
-                jnp.asarray(spk_idx),
-                jnp.asarray(weight),
+                self._put_b(flens),
+                self._put_b(frame_pdf),
+                self._put_b(spk_idx),
+                self._put_b(weight),
                 means,
                 iv,
                 gc,
                 miv,
                 num_speakers,
             )
-            dev = list(ff.devices())[0]
+            dev = "mesh" if self.mesh is not None else list(ff.devices())[0]
             prev = stats_per_dev.get(dev)
             stats_per_dev[dev] = (
                 out
@@ -506,7 +550,7 @@ class PretrainedAligner:
             prepared, spk_indices
         ):
             adapted = apply_per_speaker_transform(
-                ff, jnp.asarray(spk_idx), trans_j
+                ff, self._put_b(spk_idx), self._put_rep(np.asarray(trans_j))
             )
             out_prepared.append((batch, flens, garrs, graph, adapted))
         return out_prepared
@@ -592,23 +636,30 @@ class PretrainedAligner:
         spk_count = np.zeros(num_speakers, dtype=np.float64)
         import jax as _jax
 
+        row_mult = self._row_multiple()
         for bi, batch in enumerate(batches):
             dev = self.devices[bi % len(self.devices)]
             wave_list = [waves[i] for i in batch]
+            n_real = len(wave_list)
+            b_pad = _round_up(n_real, row_mult)
+            # pad rows (duplicate wave, frame_length 0) so each batch
+            # divides evenly over the mesh's data axis
+            wave_list = wave_list + [wave_list[-1]] * (b_pad - n_real)
             L = _round_up(max(len(w) for w in wave_list), 16000)
             padded, lens = pad_waves_for_mfcc(wave_list, self.mfcc_config, L)
             flens = np.array(
                 [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
             )
+            flens[n_real:] = 0
             max_frames = self.mfcc_config.num_frames(L)
-            spk_idx = np.array(
-                [speaker_index[corpus.utterances[i].speaker] for i in batch],
-                np.int32,
-            )
+            spk_idx = np.zeros(b_pad, np.int32)
+            spk_idx[:n_real] = [
+                speaker_index[corpus.utterances[i].speaker] for i in batch
+            ]
             feats_dev, bsum = _mfcc_and_spk_stats(
-                _jax.device_put(padded, dev),
-                _jax.device_put(flens, dev),
-                _jax.device_put(spk_idx, dev),
+                self._put_b(padded, dev),
+                self._put_b(flens, dev),
+                self._put_b(spk_idx, dev),
                 self.mfcc_config,
                 max_frames,
                 num_speakers,
@@ -625,7 +676,9 @@ class PretrainedAligner:
                     pitch_for_mfcc_frames,
                 )
 
-                wbuf = np.zeros((len(batch), max(len(w) for w in wave_list)), np.float32)
+                wbuf = np.zeros(
+                    (len(wave_list), max(len(w) for w in wave_list)), np.float32
+                )
                 for r, w in enumerate(wave_list):
                     wbuf[r, : len(w)] = w
                 pitch = pitch_for_mfcc_frames(
@@ -690,21 +743,26 @@ class PretrainedAligner:
         from montreal_forced_aligner_tpu.ops.viterbi import band_limits_from_arcs
 
         for batch, feats_dev, flens, pitch in stashes:
-            dev = list(feats_dev.devices())[0]
-            garrs = batch_graphs([graphs[i] for i in batch])
-            graph = ship_graph_to_device(garrs, device=dev)
+            dev = (
+                None if self.mesh is not None
+                else list(feats_dev.devices())[0]
+            )
+            glist = [graphs[i] for i in batch]
+            glist = glist + [glist[0]] * (len(flens) - len(glist))
+            garrs = batch_graphs(glist)
+            graph = ship_graph_to_device(garrs, device=dev, mesh=self.mesh)
             garrs["_band_limits"] = band_limits_from_arcs(garrs)
-            mean_rows = spk_mean[
-                np.array(
-                    [speaker_index[corpus.utterances[i].speaker] for i in batch]
-                )
+            spk_rows = np.zeros(len(flens), np.int64)
+            spk_rows[: len(batch)] = [
+                speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
+            mean_rows = spk_mean[spk_rows]
             ff = _final_feats(
                 feats_dev,
-                _jax.device_put(flens, dev),
-                _jax.device_put(mean_rows.astype(np.float32), dev),
-                None if lda is None else _jax.device_put(lda, dev),
-                None if pitch is None else _jax.device_put(pitch, dev),
+                self._put_b(flens, dev),
+                self._put_b(mean_rows.astype(np.float32), dev),
+                None if lda is None else self._put_rep(lda, dev),
+                None if pitch is None else self._put_b(pitch, dev),
             )
             prepared.append((batch, flens, garrs, graph, ff))
 
@@ -716,18 +774,21 @@ class PretrainedAligner:
 
         pending = []
         for batch, flens, garrs, graph, ff in prepared:
-            dev = list(ff.devices())[0]
+            dev = (
+                None if self.mesh is not None else list(ff.devices())[0]
+            )
             W_d, gc_d, w_rows_d = self._gmm_on(dev)
             band_limits = garrs.pop("_band_limits", None)
             state_path, scores = _emit_and_align(
                 ff,
-                _jax.device_put(flens, dev),
+                self._put_b(flens, dev),
                 graph,
                 W_d,
                 gc_d,
                 cfg.acoustic_scale,
                 band_limits=band_limits,
                 w_rows=w_rows_d,
+                use_pallas=self.mesh is None,
             )
             conf = None
             if cfg.compute_confidence:

@@ -42,6 +42,15 @@ def cli():
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
     _honor_jax_platforms_env()
+    # multi-host pod runs: stitch the processes into one global device set
+    # before any backend use (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID, or the TPU runtime's automatic discovery)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from montreal_forced_aligner_tpu.parallel.multihost import (
+            initialize_multihost,
+        )
+
+        initialize_multihost()
     try:
         from montreal_forced_aligner_tpu.config import record_history
 
@@ -143,6 +152,10 @@ def _recipe_from_config(data):
 @click.option("--batch_size", default=16, show_default=True)
 @click.option("--graph_workers", default=0, show_default=True,
               help="Processes for host graph compilation (0 = in-process)")
+@click.option("--distributed/--no_distributed", default=None,
+              help="Shard batches over ALL devices (one SPMD program over a "
+                   "jax.sharding.Mesh; auto-on for multi-host runs). Default "
+                   "round-robins batches over local devices.")
 @click.option("--include_silence/--no_include_silence", default=False)
 @click.option("--use_phone_model/--no_use_phone_model", default=False,
               help="After alignment, decode a free phone transcription with "
@@ -189,6 +202,7 @@ def align_cli(
     boost_silence,
     batch_size,
     graph_workers,
+    distributed,
     include_silence,
     use_phone_model,
     fine_tune,
@@ -241,6 +255,7 @@ def align_cli(
         boost_silence=boost_silence,
         batch_size=batch_size,
         num_graph_workers=graph_workers,
+        distributed=distributed,
     )
     aligner = PretrainedAligner(
         acoustic_model_path,
@@ -586,6 +601,10 @@ def version_cli():
               help="Variable-length phone topology (MFA 2.0+ default, min "
                    "1 frame) vs classic Bakis chains (stronger duration "
                    "priors)")
+@click.option("--distributed/--no_distributed", default=None,
+              help="Run training as one SPMD program over all devices "
+                   "(jax.sharding.Mesh; auto-on for multi-chip TPU hosts and "
+                   "multi-process pod runs)")
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
@@ -594,7 +613,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
               config_path, rules_path, topology_path, phone_groups_path,
-              variable_length_topology):
+              variable_length_topology, distributed):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -663,6 +682,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         topology_path=topology_path,
         phone_groups_path=phone_groups_path,
         variable_length_topology=variable_length_topology,
+        distributed=distributed,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -911,7 +911,7 @@ INT_GRAPH_KEYS = [
 FLOAT_GRAPH_KEYS = list(DEVICE_FLOAT_GRAPH_KEYS)
 
 
-def ship_graph_to_device(garrs: dict, device=None):
+def ship_graph_to_device(garrs: dict, device=None, mesh=None):
     """Transfer the device-consumed half of a batched graph with exactly TWO
     host->device copies.
 
@@ -922,11 +922,27 @@ def ship_graph_to_device(garrs: dict, device=None):
     for every real alignment batch) and are widened to int32 on device,
     halving the wire bytes. Host-only label arrays are passed through as
     numpy and never transferred.
+
+    With ``mesh`` (SPMD mode) each device array is placed individually with
+    its leading (utterance) axis sharded over the mesh's "data" axis — the
+    packed-buffer trick cannot express a batch sharding, and in distributed
+    runs the per-transfer latency is not the bottleneck.
     """
     import jax
     import jax.numpy as jnp
 
     from montreal_forced_aligner_tpu.ops.viterbi import BatchedGraph
+
+    if mesh is not None:
+        from montreal_forced_aligner_tpu.training.base import put_batch
+
+        out = {
+            k: put_batch(np.ascontiguousarray(garrs[k]), mesh)
+            for k in DEVICE_INT_GRAPH_KEYS + DEVICE_FLOAT_GRAPH_KEYS
+        }
+        for k in HOST_GRAPH_KEYS:
+            out[k] = garrs[k]
+        return BatchedGraph(**out)
 
     int_arrays = [garrs[k] for k in DEVICE_INT_GRAPH_KEYS]
     narrow = all(

@@ -214,7 +214,7 @@ def band_limits_for(graphs_offsets_min: int, graphs_offsets_max: int):
     return None
 
 
-@partial(jax.jit, static_argnames=("acoustic_scale", "lb", "ub"))
+@partial(jax.jit, static_argnames=("acoustic_scale", "lb", "ub", "use_pallas"))
 def viterbi_align_batch_band(
     emit: jnp.ndarray,  # (B, T, S)
     frame_lengths: jnp.ndarray,  # (B,)
@@ -224,6 +224,7 @@ def viterbi_align_batch_band(
     lb: int,
     ub: int,
     acoustic_scale: float = 0.1,
+    use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Band-sparse exact Viterbi; same semantics as viterbi_align_batch.
 
@@ -241,7 +242,7 @@ def viterbi_align_batch_band(
         band_pallas_eligible,
     )
 
-    if jax.default_backend() == "tpu" and band_pallas_eligible(B, S, D, T):
+    if use_pallas and jax.default_backend() == "tpu" and band_pallas_eligible(B, S, D, T):
         # forward and backtrace both run as sequential-grid kernels; the
         # scan backtrace pays ~3 us of dispatch per frame, the kernel ~none
         alpha_T, bp_full = band_forward_pallas(

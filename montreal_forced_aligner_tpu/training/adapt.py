@@ -51,16 +51,16 @@ class MapAdapter:
 
     def _accumulate_for_model(self, pipeline, gmm, tm):
         W, _ = gmm.flatten_for_device()
-        Wj = jnp.asarray(W)
-        gconsts = jnp.asarray(gmm.gconsts)
+        Wj = pipeline.put_rep(W)
+        gconsts = pipeline.put_rep(gmm.gconsts)
         acc = GmmAccumulators.zeros(
             gmm.num_pdfs, gmm.max_gauss, gmm.dim, tm.num_transition_ids
         )
         aligned = []
         for fb in pipeline.batches:
-            flens_j = jnp.asarray(fb.frame_lengths)
+            flens_j = pipeline.put_b(fb.frame_lengths)
             state_path, _sc = _align_batch(
-                fb.feats, flens_j, fb.graph, Wj, gconsts,
+                fb.put_b(fb.feats), flens_j, fb.graph, Wj, gconsts,
                 self.aligner.config.acoustic_scale,
             )
             aligned.append((fb, flens_j, state_path))
@@ -70,9 +70,9 @@ class MapAdapter:
         pending = []
         for (fb, flens_j, _sp_dev), sp in zip(aligned, paths):
             b = np.arange(sp.shape[0])[:, None]
-            frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
             out = _accumulate_batch(
-                fb.feats, flens_j, frame_pdf, Wj, gconsts, gmm.num_pdfs
+                fb.put_b(fb.feats), flens_j, frame_pdf, Wj, gconsts, gmm.num_pdfs
             )
             pending.append(out)
         for occ, mean_acc, var_acc, ll in fetch_all(pending):

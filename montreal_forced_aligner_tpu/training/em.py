@@ -97,11 +97,13 @@ class ViterbiEmTrainer:
                 pdfs.update(self.tree.pdfs_for_phone_pdf_class(pid, cls))
         return sorted(pdfs)
 
-    def _device_gmm(self, boosted: bool = True):
+    def _device_gmm(self, boosted: bool = True, pipeline=None):
         gconsts = self.gmm.gconsts.copy()
         if boosted and self.config.boost_silence != 1.0:
             gconsts[self._silence_pdfs()] += math.log(self.config.boost_silence)
         W, _ = self.gmm.flatten_for_device()
+        if pipeline is not None:
+            return pipeline.put_rep(W), pipeline.put_rep(gconsts)
         return jnp.asarray(W), jnp.asarray(gconsts)
 
     def make_compiler(self) -> AlignmentGraphCompiler:
@@ -116,34 +118,35 @@ class ViterbiEmTrainer:
     # -- core steps ----------------------------------------------------------
     def _realign(self, pipeline: TrainingPipeline, equal: bool = False) -> None:
         if not equal:
-            W, gconsts = self._device_gmm()
+            W, gconsts = self._device_gmm(pipeline=pipeline)
         pending = []
         for fb in pipeline.batches:
-            flens_j = jnp.asarray(fb.frame_lengths)
+            flens_j = pipeline.put_b(fb.frame_lengths)
+            use_pallas = pipeline.mesh is None
             if equal:
                 out = _equal_align_batch(
-                    fb.feats, flens_j, fb.graph,
-                    band_limits=fb.band_limits,
+                    fb.put_b(fb.feats), flens_j, fb.graph,
+                    band_limits=fb.band_limits, use_pallas=use_pallas,
                 )
             else:
                 out = _align_batch(
-                    fb.feats, flens_j, fb.graph, W, gconsts,
+                    fb.put_b(fb.feats), flens_j, fb.graph, W, gconsts,
                     self.config.acoustic_scale,
-                    band_limits=fb.band_limits,
+                    band_limits=fb.band_limits, use_pallas=use_pallas,
                 )
             pending.append((fb, out))
         fetched = fetch_all([out for _fb, out in pending])
         for (fb, _out), (sp, scores) in zip(pending, fetched):
             b = np.arange(sp.shape[0])[:, None]
-            fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            fb.frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
             fb.frame_tid = frame_tids_host(fb.garrs, sp, fb.frame_lengths)
             fb.state_path = sp
             fb.align_scores = scores
 
     def _accumulate(self, pipeline: TrainingPipeline) -> GmmAccumulators:
         W, _ = self.gmm.flatten_for_device()
-        W = jnp.asarray(W)
-        gconsts = jnp.asarray(self.gmm.gconsts)
+        W = pipeline.put_rep(W)
+        gconsts = pipeline.put_rep(self.gmm.gconsts)
         acc = GmmAccumulators.zeros(
             self.gmm.num_pdfs, self.gmm.max_gauss, self.gmm.dim,
             self.tm.num_transition_ids,
@@ -151,8 +154,8 @@ class ViterbiEmTrainer:
         pending = []
         for fb in pipeline.batches:
             out = _accumulate_batch(
-                fb.feats,
-                jnp.asarray(fb.frame_lengths),
+                fb.put_b(fb.feats),
+                pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
                 W,
                 gconsts,

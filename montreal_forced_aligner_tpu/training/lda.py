@@ -64,14 +64,14 @@ class LdaTrainer(TriphoneTrainer):
         for fb in pipeline.batches:
             assert fb.frame_pdf is not None, "previous-stage alignment required"
             spliced = splice_frames(
-                fb.raw,
-                jnp.asarray(fb.frame_lengths),
+                fb.put_b(fb.raw),
+                pipeline.put_b(fb.frame_lengths),
                 self.splice_left,
                 self.splice_right,
             )
             out = accumulate_lda_stats(
                 spliced,
-                jnp.asarray(fb.frame_lengths),
+                pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
                 num_classes,
             )
@@ -131,15 +131,15 @@ class LdaTrainer(TriphoneTrainer):
         D = self.gmm.dim
         G_total = np.zeros((D, D, D))
         beta_total = 0.0
-        means = jnp.asarray(self.gmm.get_means())
-        iv = jnp.asarray(self.gmm.inv_vars)
-        gc = jnp.asarray(self.gmm.gconsts)
-        miv = jnp.asarray(self.gmm.means_invvars)
+        means = pipeline.put_rep(self.gmm.get_means())
+        iv = pipeline.put_rep(self.gmm.inv_vars)
+        gc = pipeline.put_rep(self.gmm.gconsts)
+        miv = pipeline.put_rep(self.gmm.means_invvars)
         pending = []
         for fb in pipeline.batches:
             out = accumulate_mllt_stats(
-                fb.feats,
-                jnp.asarray(fb.frame_lengths),
+                fb.put_b(fb.feats),
+                pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
                 means,
                 iv,

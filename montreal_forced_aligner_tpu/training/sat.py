@@ -93,19 +93,19 @@ class SatTrainer(TriphoneTrainer):
         K = np.zeros((S, D, D + 1))
         G = np.zeros((S, D, D + 1, D + 1))
         beta = np.zeros(S)
-        means = jnp.asarray(self.gmm.get_means())
-        iv = jnp.asarray(self.gmm.inv_vars)
-        gc = jnp.asarray(self.gmm.gconsts)
-        miv = jnp.asarray(self.gmm.means_invvars)
+        means = pipeline.put_rep(self.gmm.get_means())
+        iv = pipeline.put_rep(self.gmm.inv_vars)
+        gc = pipeline.put_rep(self.gmm.gconsts)
+        miv = pipeline.put_rep(self.gmm.means_invvars)
         pending = []
         for fb in pipeline.batches:
             weight = self._silence_weight_mask(fb)
             out = accumulate_fmllr_stats(
-                fb.feats,
-                jnp.asarray(fb.frame_lengths),
+                fb.put_b(fb.feats),
+                pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
-                jnp.asarray(fb.speaker_idx),
-                jnp.asarray(weight),
+                pipeline.put_b(fb.speaker_idx),
+                pipeline.put_b(weight),
                 means,
                 iv,
                 gc,
@@ -157,18 +157,18 @@ class SatTrainer(TriphoneTrainer):
             self.gmm.num_pdfs, self.gmm.max_gauss, self.gmm.dim,
             self.tm.num_transition_ids,
         )
-        gconsts = jnp.asarray(self.gmm.gconsts)
-        Wj = jnp.asarray(W)
+        gconsts = pipeline.put_rep(self.gmm.gconsts)
+        Wj = pipeline.put_rep(W)
         pending = []
         for fb in pipeline.batches:
             # recover the alignment labels from the cached state paths
             sp = fb.state_path
             b = np.arange(sp.shape[0])[:, None]
-            frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
             fb.frame_pdf = frame_pdf
             out = _accumulate_batch(
-                fb.feats,  # SI features
-                jnp.asarray(fb.frame_lengths),
+                fb.put_b(fb.feats),  # SI features
+                pipeline.put_b(fb.frame_lengths),
                 frame_pdf,
                 Wj,
                 gconsts,
@@ -196,7 +196,7 @@ class SatTrainer(TriphoneTrainer):
         for fb in pipeline.batches:
             sp = fb.state_path
             b = np.arange(sp.shape[0])[:, None]
-            fb.frame_pdf = jnp.asarray(fb.garrs["state_pdf"][b, sp])
+            fb.frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
 
     def feature_meta(self) -> dict:
         return {

@@ -85,12 +85,38 @@ class TrainableAligner:
         phone_groups_path=None,
         speaker_characters=0,
         audio_directory=None,
+        distributed: Optional[bool] = None,
+        mesh=None,
     ):
         self.corpus = Corpus.load(
             corpus_directory,
             speaker_characters=speaker_characters,
             audio_directory=audio_directory,
         )
+        # SPMD scale-out over all chips (reference scaling analogue:
+        # speaker-sharded worker jobs, ``utils.py:1505``). None = auto:
+        # on for multi-process (pod) runs and for multi-chip TPU hosts;
+        # explicit True also engages it on a virtual CPU mesh (tests).
+        import jax as _jax
+
+        if distributed is None:
+            distributed = _jax.process_count() > 1 or (
+                _jax.default_backend() == "tpu" and len(_jax.devices()) > 1
+            )
+        self.mesh = mesh
+        if mesh is None and distributed and len(_jax.devices()) > 1:
+            from montreal_forced_aligner_tpu.parallel.mesh import get_mesh
+
+            self.mesh = get_mesh()
+        if _jax.process_count() > 1:
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                shard_corpus_for_host,
+            )
+
+            mine = shard_corpus_for_host(
+                self.corpus, _jax.process_index(), _jax.process_count()
+            )
+            self.corpus = self.corpus.subset(mine)
         self.rules_path = rules_path
         self.topology_path = topology_path
         # reference default since MFA 2.0: phones as short as one frame
@@ -362,6 +388,7 @@ class TrainableAligner:
             num_graph_workers=self.num_graph_workers,
             use_pitch=self.use_pitch,
             mfcc_config=self.mfcc_config,
+            mesh=self.mesh,
         )
         pipeline.prepare_features()
         self._excluded = self.filter_training_utterances(pipeline)

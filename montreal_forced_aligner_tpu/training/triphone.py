@@ -234,7 +234,7 @@ class TriphoneTrainer(ViterbiEmTrainer):
         pending = []
         for fb, ev in batch_events:
             out = _accumulate_events(
-                fb.feats, jnp.asarray(fb.frame_lengths), jnp.asarray(ev), E
+                fb.put_b(fb.feats), fb.put_b(fb.frame_lengths), fb.put_b(ev), E
             )
             pending.append(out)
         from montreal_forced_aligner_tpu.training.base import fetch_all
@@ -313,7 +313,7 @@ class TriphoneTrainer(ViterbiEmTrainer):
                     else:
                         tid = by_dst.get(final_idx, fwd_tid)
                     frame_tid[row, t] = tid
-            fb.frame_pdf = jnp.asarray(frame_pdf)
+            fb.frame_pdf = fb.put_b(frame_pdf)
             fb.frame_tid = frame_tid
 
     def initialize(self, pipeline: TrainingPipeline) -> None:

@@ -1,0 +1,224 @@
+"""SPMD (mesh-sharded) production pipelines on the 8-virtual-device mesh.
+
+The distributed path is the product path (``mfa-tpu align --distributed`` /
+``mfa-tpu train --distributed``), not a library demo: these tests run the
+REAL TrainingPipeline / PretrainedAligner batch loops sharded over the mesh
+and require the results to match the single-device run (reference scaling
+analogue: speaker-sharded worker jobs + parent accumulator sums,
+``utils.py:1505-1641``, ``corpus/base.py:922-1035``).
+"""
+
+import numpy as np
+import pytest
+
+from helpers import build_synthetic_corpus, build_synthetic_model
+from test_training import WORD_PHONES, make_training_corpus
+
+from montreal_forced_aligner_tpu.align.aligner import (
+    AlignerConfig,
+    PretrainedAligner,
+)
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.training.base import TrainerConfig
+from montreal_forced_aligner_tpu.training.trainer import (
+    StageConfig,
+    TrainableAligner,
+)
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+
+
+RECIPE = [
+    StageConfig("monophone", "mono", 4, 40),
+    StageConfig("triphone", "tri", 3, 64, num_leaves=48),
+]
+
+
+def _train(corpus_dir, dict_path, distributed):
+    ta = TrainableAligner(
+        corpus_dir,
+        dict_path,
+        recipe=RECIPE,
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4,
+        variable_length_topology=False,
+        distributed=distributed,
+    )
+    final = ta.train()
+    return ta, final
+
+
+@pytest.fixture(scope="module")
+def train_pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist_train")
+    corpus_dir, truths = make_training_corpus(tmp, n_utts=10)
+    dict_path = tmp / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    single = _train(corpus_dir, dict_path, distributed=False)
+    dist = _train(corpus_dir, dict_path, distributed=True)
+    return single, dist
+
+
+def test_training_mesh_engaged(train_pair):
+    (ta_s, _), (ta_d, _) = train_pair
+    assert ta_s.mesh is None
+    assert ta_d.mesh is not None
+    assert int(np.prod(ta_d.mesh.devices.shape)) == len(jax.devices())
+
+
+def test_training_matches_single_device(train_pair):
+    """The sharded EM run reproduces the single-device run: same tree,
+    same transition model, per-iteration loglikes within float tolerance."""
+    (ta_s, m_s), (ta_d, m_d) = train_pair
+    assert m_s.gmm.num_pdfs == m_d.gmm.num_pdfs
+    np.testing.assert_allclose(
+        m_s.transition_model.log_probs,
+        m_d.transition_model.log_probs,
+        atol=1e-4,
+    )
+    for stage in ("monophone", "triphone"):
+        ll_s = [e["loglike_per_frame"] for e in ta_s.trainers[stage].iteration_log]
+        ll_d = [e["loglike_per_frame"] for e in ta_d.trainers[stage].iteration_log]
+        np.testing.assert_allclose(ll_s, ll_d, atol=2e-3)
+        g_s = [e["num_gaussians"] for e in ta_s.trainers[stage].iteration_log]
+        g_d = [e["num_gaussians"] for e in ta_d.trainers[stage].iteration_log]
+        assert g_s == g_d
+
+
+def test_aligner_bit_parity(tmp_path):
+    """Distributed alignment produces identical intervals and scores."""
+    model_path, dict_path = build_synthetic_model(tmp_path)
+    corpus_dir, _ = build_synthetic_corpus(tmp_path)
+    corpus = Corpus.load(corpus_dir)
+    out = {}
+    for dist in (False, True):
+        al = PretrainedAligner(
+            model_path,
+            dict_path,
+            AlignerConfig(
+                batch_size=4, frame_bucket_multiple=32, distributed=dist
+            ),
+        )
+        assert (al.mesh is not None) == dist
+        out[dist] = al.align_corpus(corpus)
+    assert set(out[False]) == set(out[True])
+    for i in out[False]:
+        a, b = out[False][i], out[True][i]
+        assert [(p.label, p.begin, p.end) for p in a.phones] == [
+            (p.label, p.begin, p.end) for p in b.phones
+        ]
+        assert abs(a.log_likelihood - b.log_likelihood) < 1e-3
+
+
+def test_sat_model_distributed_two_pass(train_pair, tmp_path):
+    """Distributed two-pass (fMLLR) alignment through the mesh: train a tiny
+    SAT stage on top, then align distributed and compare to single-device."""
+    # reuse the triphone model as the base; run a 2-iteration SAT stage
+    (ta_s, _), _ = train_pair
+    corpus_dir = ta_s.corpus  # Corpus object
+    # build a small SAT model via a fresh recipe including sat
+    tmp = tmp_path
+    cdir, truths = make_training_corpus(tmp, n_utts=8)
+    dict_path = tmp / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    recipe = RECIPE + [StageConfig("sat", "sat", 3, 64, num_leaves=48)]
+    ta = TrainableAligner(
+        cdir, dict_path, recipe=recipe,
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4, variable_length_topology=False, distributed=True,
+    )
+    final = ta.train()
+    assert final.alignment_model is not None
+    model_path = tmp / "sat_model.zip"
+    final.save(model_path)
+    corpus = Corpus.load(cdir)
+    out = {}
+    for dist in (False, True):
+        al = PretrainedAligner(
+            model_path, dict_path,
+            AlignerConfig(
+                batch_size=4, frame_bucket_multiple=32, distributed=dist
+            ),
+        )
+        out[dist] = al.align_corpus(corpus)
+    for i in out[False]:
+        a, b = out[False][i], out[True][i]
+        la = [(p.label, p.begin, p.end) for p in a.phones]
+        lb = [(p.label, p.begin, p.end) for p in b.phones]
+        # fMLLR estimation reduces in a different order on the mesh; allow
+        # single-frame boundary drift on ties but identical phone sequences
+        assert [x[0] for x in la] == [x[0] for x in lb]
+        drift = [
+            max(abs(x[1] - y[1]), abs(x[2] - y[2])) for x, y in zip(la, lb)
+        ]
+        assert max(drift) <= 0.011, drift
+
+
+def test_cli_align_distributed(tmp_path):
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+
+    model_path, dict_path = build_synthetic_model(tmp_path)
+    corpus_dir, _ = build_synthetic_corpus(tmp_path)
+    out_dir = tmp_path / "out_tg"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "align", str(corpus_dir), str(dict_path), str(model_path),
+            str(out_dir), "--batch_size", "4", "--distributed",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    tgs = list(out_dir.glob("*.TextGrid"))
+    assert len(tgs) == 1
+
+
+def test_cli_train_distributed(tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, _truths = make_training_corpus(tmp_path, n_utts=6)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    cfg = tmp_path / "recipe.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "training": [
+                    {"monophone": {"num_iterations": 3, "max_gaussians": 30}},
+                ]
+            }
+        )
+    )
+    out_model = tmp_path / "model.zip"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "train", str(corpus_dir), str(dict_path), str(out_model),
+            "--config_path", str(cfg), "--batch_size", "4",
+            "--distributed", "--chain_topology",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert out_model.exists()
+    from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+
+    m = AcousticModel.load(out_model)
+    assert m.gmm.num_pdfs > 0
