@@ -334,7 +334,17 @@ class PretrainedAligner:
 
         distributed = self.config.distributed
         if distributed is None:
-            distributed = _jax.process_count() > 1
+            distributed = False
+        if distributed and _jax.process_count() > 1:
+            # multi-host alignment shards the corpus per host instead (see
+            # cli.align: each host aligns its own speakers on local devices
+            # — embarrassingly parallel, no cross-host sync needed); the
+            # mesh path requires single-controller lockstep
+            _logger.warning(
+                "distributed alignment across processes uses per-host corpus "
+                "sharding; running this host's shard on local devices"
+            )
+            distributed = False
         self.mesh = None
         if distributed and len(_jax.devices()) > 1:
             from montreal_forced_aligner_tpu.parallel.mesh import get_mesh

@@ -269,6 +269,26 @@ def align_cli(
         speaker_characters=speaker_characters,
         audio_directory=audio_directory,
     )
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # multi-host: each process aligns its own speakers on its local
+        # devices and exports its own files (reference analogue: speaker-
+        # sharded jobs, corpus/base.py:922; alignment needs no cross-host
+        # reduction, so hosts run independently after the shard split)
+        from montreal_forced_aligner_tpu.parallel.multihost import (
+            shard_corpus_for_host,
+        )
+
+        corpus = corpus.subset(
+            shard_corpus_for_host(
+                corpus, _jax.process_index(), _jax.process_count()
+            )
+        )
+        click.echo(
+            f"host {_jax.process_index()}/{_jax.process_count()}: "
+            f"aligning {corpus.num_utterances} utterances"
+        )
     click.echo(
         f"Loaded corpus: {corpus.num_utterances} utterances, "
         f"{len(corpus.speakers)} speakers"

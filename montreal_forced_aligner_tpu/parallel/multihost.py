@@ -83,6 +83,64 @@ def shard_speakers_for_host(
     return sorted(s for s, b in owner.items() if b == process_index)
 
 
+def host_allgather(arr) -> "list":
+    """All-gather a small host-side numpy array across processes; returns a
+    list of per-process arrays (identical order on every host). No-op
+    wrapper returning ``[arr]`` in single-process runs.
+
+    The reference's analogue is queue-based result collection in the parent
+    (``utils.py:1505``); here small host statistics ride the
+    ``jax.distributed`` channel via ``multihost_utils.process_allgather``.
+    """
+    import jax
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return [arr]
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(arr, tiled=False)
+    return [np.asarray(stacked[i]) for i in range(jax.process_count())]
+
+
+def host_allreduce_sum(arr):
+    """Cross-process elementwise sum of a host numpy array (identity in
+    single-process runs)."""
+    import numpy as np
+
+    parts = host_allgather(arr)
+    out = parts[0].astype(np.float64, copy=True) if parts[0].dtype.kind == "f" else parts[0].copy()
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def host_allreduce_max(value: int) -> int:
+    import numpy as np
+
+    parts = host_allgather(np.array([value], np.int64))
+    return int(max(int(p[0]) for p in parts))
+
+
+def allgather_ragged_rows(rows):
+    """All-gather a per-process 2-D int array with varying row counts;
+    returns the list of per-process arrays. Rows are padded to the global
+    max row count for the collective and trimmed back after."""
+    import numpy as np
+
+    rows = np.asarray(rows)
+    if rows.ndim == 1:
+        rows = rows.reshape(-1, 1)
+    n = rows.shape[0]
+    n_max = host_allreduce_max(n)
+    padded = np.zeros((n_max, rows.shape[1]), rows.dtype)
+    padded[:n] = rows
+    counts = host_allgather(np.array([n], np.int64))
+    gathered = host_allgather(padded)
+    return [g[: int(c[0])] for g, c in zip(gathered, counts)]
+
+
 def shard_corpus_for_host(
     corpus, process_index: int, process_count: int
 ) -> List[int]:

@@ -106,6 +106,8 @@ def put_batch(x, mesh):
 
     sharding = NamedSharding(mesh, PartitionSpec("data"))
     if jax.process_count() > 1:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global array on the mesh
         arr = np.asarray(x)
         global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
         return jax.make_array_from_process_local_data(
@@ -163,6 +165,8 @@ class TrainingPipeline:
         self.graphs: List[CompiledGraph] = []
         self._spk_mean: Optional[np.ndarray] = None
         self._raw_feats: List[Tuple[List[int], jnp.ndarray, np.ndarray]] = []
+        self.spk_offset = 0
+        self.num_speakers_global: Optional[int] = None
 
     def put_b(self, x):
         return put_batch(x, self.mesh)
@@ -202,15 +206,56 @@ class TrainingPipeline:
         spk_sum = np.zeros((num_speakers, D))
         spk_count = np.zeros(num_speakers)
         stash = []
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        # dense speaker index space across hosts (speakers are host-local by
+        # sharding; fMLLR/CMVN device programs need one global index space so
+        # every process compiles the identical SPMD program)
+        if multiproc:
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allgather,
+                host_allreduce_max,
+            )
+
+            counts = host_allgather(np.array([num_speakers], np.int64))
+            self.spk_offset = int(
+                sum(int(c[0]) for c in counts[: jax.process_index()])
+            )
+            self.num_speakers_global = int(sum(int(c[0]) for c in counts))
+        else:
+            self.spk_offset = 0
+            self.num_speakers_global = num_speakers
         row_mult = self._row_multiple()
-        for batch in batch_lists:
+        if multiproc:
+            # lockstep invariants across processes: identical batch count,
+            # identical rows per batch, identical padded lengths per batch
+            # index (every process executes the same jit programs)
+            fixed_rows = _round_up(self.batch_size, row_mult)
+            n_batches = host_allreduce_max(len(batch_lists))
+            batch_lists = batch_lists + [[] for _ in range(n_batches - len(batch_lists))]
+            local_L = np.array(
+                [
+                    _round_up(
+                        max((len(waves[i]) for i in b), default=16000), 16000
+                    )
+                    for b in batch_lists
+                ],
+                np.int64,
+            )
+            L_per_batch = np.max(host_allgather(local_L), axis=0)
+        for bi, batch in enumerate(batch_lists):
             wave_list = [waves[i] for i in batch]
             n_real = len(wave_list)
-            b_pad = _round_up(n_real, row_mult)
+            if multiproc:
+                b_pad = fixed_rows
+            else:
+                b_pad = _round_up(max(n_real, 1), row_mult)
             # pad rows (duplicated last wave, frame_length 0) so the batch
             # divides evenly over the mesh's data axis
-            wave_list = wave_list + [wave_list[-1]] * (b_pad - n_real)
+            filler = wave_list[-1] if wave_list else np.zeros(16000, np.float32)
+            wave_list = wave_list + [filler] * (b_pad - n_real)
             L = _round_up(max(len(w) for w in wave_list), 16000)
+            if multiproc:
+                L = int(L_per_batch[bi])
             padded, lens = pad_waves_for_mfcc(wave_list, self.mfcc_config, L)
             flens = np.array(
                 [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
@@ -228,7 +273,7 @@ class TrainingPipeline:
                 sums = np.asarray(sums)
             stash.append((batch, feats_dev, flens, sums))
         for batch, _f, flens, sums in stash:
-            sums = np.asarray(sums)
+            sums = _to_host(sums)
             for row, i in enumerate(batch):
                 corpus.utterances[i].num_frames = int(flens[row])
                 s = speaker_index[corpus.utterances[i].speaker]
@@ -305,7 +350,7 @@ class TrainingPipeline:
 
                 final = apply_per_speaker_transform(
                     final,
-                    self.put_b(fb.speaker_idx),
+                    self.put_b(fb.speaker_idx + getattr(self, "spk_offset", 0)),
                     self.put_rep(speaker_transforms),
                 )
             fb.feats = np.asarray(final) if self.features_on_host else final
@@ -388,19 +433,83 @@ class TrainingPipeline:
                 self.graphs[i] = compiler.compile(
                     corpus.utterances[i].normalized_tokens
                 )
+        from montreal_forced_aligner_tpu.ops.viterbi import (
+            band_limits_from_arcs,
+        )
+
+        filler_graph = None
         for fb in self.batches:
             graphs = [self.graphs[i] for i in fb.utt_indices]
             # pad rows reuse the first graph (their frame length is 0, so
-            # the DP never consumes them)
+            # the DP never consumes them); empty lockstep batches get a
+            # minimal silence-only graph
             n_rows = len(fb.frame_lengths)
+            if not graphs:
+                if filler_graph is None:
+                    filler_graph = compiler.compile([])
+                graphs = [filler_graph]
             graphs = graphs + [graphs[0]] * (n_rows - len(graphs))
             fb.garrs = batch_graphs(graphs)
-            fb.graph = ship_graph_to_device(fb.garrs, mesh=self.mesh)
-            from montreal_forced_aligner_tpu.ops.viterbi import (
-                band_limits_from_arcs,
-            )
-
             fb.band_limits = band_limits_from_arcs(fb.garrs)
+        if self.mesh is not None and jax.process_count() > 1:
+            self._equalize_graph_shapes()
+        for fb in self.batches:
+            fb.graph = ship_graph_to_device(fb.garrs, mesh=self.mesh)
+
+    def _equalize_graph_shapes(self) -> None:
+        """Lockstep invariant for multi-process SPMD: per batch index, the
+        padded graph dims (S states, K in-arcs) and the band bucket must be
+        identical on every process (the jit programs must match)."""
+        from montreal_forced_aligner_tpu.parallel.multihost import (
+            host_allgather,
+        )
+        from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
+
+        dims = np.array(
+            [
+                [
+                    fb.garrs["in_src"].shape[1],
+                    fb.garrs["in_src"].shape[2],
+                    -1 if fb.band_limits is None else fb.band_limits[0],
+                    -1 if fb.band_limits is None else fb.band_limits[1],
+                ]
+                for fb in self.batches
+            ],
+            np.int64,
+        )
+        gathered = host_allgather(dims)
+        for bi, fb in enumerate(self.batches):
+            S = int(max(g[bi][0] for g in gathered))
+            K = int(max(g[bi][1] for g in gathered))
+            if any(g[bi][2] < 0 for g in gathered):
+                fb.band_limits = None
+            else:
+                fb.band_limits = (
+                    int(max(g[bi][2] for g in gathered)),
+                    int(max(g[bi][3] for g in gathered)),
+                )
+            g = fb.garrs
+            B, S0, K0 = g["in_src"].shape
+            if S0 == S and K0 == K:
+                continue
+            out = {}
+            for k, a in g.items():
+                if a.ndim == 3:
+                    pad = np.zeros((B, S, K), a.dtype)
+                    if a.dtype.kind == "f":
+                        pad[:] = NEG_INF
+                    pad[:, :S0, :K0] = a
+                    out[k] = pad
+                elif a.ndim == 2:
+                    fill = NEG_INF if a.dtype.kind == "f" else 0
+                    if k in ("state_word", "state_instance"):
+                        fill = -1
+                    pad = np.full((B, S), fill, a.dtype)
+                    pad[:, :S0] = a
+                    out[k] = pad
+                else:
+                    out[k] = a
+            fb.garrs = out
 
     # -- global stats for flat starts ---------------------------------------
     def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:
@@ -411,12 +520,20 @@ class TrainingPipeline:
         totsq = np.zeros(self.feature_dim)
         n = 0.0
         for fb in self.batches[:max_batches]:
-            f = np.asarray(fb.feats)
-            for row in range(f.shape[0]):
+            f = _to_host(fb.feats)
+            for row in range(min(f.shape[0], len(fb.frame_lengths))):
                 L = int(fb.frame_lengths[row])
                 tot += f[row, :L].sum(axis=0)
                 totsq += (f[row, :L] ** 2).sum(axis=0)
                 n += L
+        if self.mesh is not None and jax.process_count() > 1:
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allreduce_sum,
+            )
+
+            tot = host_allreduce_sum(tot)
+            totsq = host_allreduce_sum(totsq)
+            n = float(host_allreduce_sum(np.array([n]))[0])
         mean = tot / max(n, 1.0)
         var = np.maximum(totsq / max(n, 1.0) - mean**2, 1e-3)
         return mean, var
@@ -428,15 +545,33 @@ def start_host_copies(tree) -> None:
     round trip (~0.1-0.7 s); starting copies for all pending results before
     materializing any makes an N-array fetch cost ~one round trip."""
     for x in jax.tree_util.tree_leaves(tree):
-        if hasattr(x, "copy_to_host_async"):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            for s in x.addressable_shards:
+                s.data.copy_to_host_async()
+        elif hasattr(x, "copy_to_host_async"):
             x.copy_to_host_async()
+
+
+def _to_host(x):
+    """Materialize one array on the host. Multi-process sharded arrays
+    yield this process's rows (concatenated in shard order); replicated
+    arrays yield the full value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = list(x.addressable_shards)
+        if shards and shards[0].data.shape == x.shape:
+            return np.asarray(shards[0].data)  # replicated
+        shards.sort(key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
 
 
 def fetch_all(tree):
     """Fetch a pytree of device arrays with ONE host sync: start every
-    copy asynchronously, then materialize."""
+    copy asynchronously, then materialize. In multi-process runs, sharded
+    (batch-axis) arrays come back as this host's local rows and replicated
+    (statistic) arrays as their full, globally-reduced value."""
     start_host_copies(tree)
-    return jax.tree_util.tree_map(np.asarray, tree)
+    return jax.tree_util.tree_map(_to_host, tree)
 
 
 @jax.jit

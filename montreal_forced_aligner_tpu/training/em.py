@@ -172,6 +172,24 @@ class ViterbiEmTrainer:
                 occ, mean_acc, var_acc, tcounts, float(ll),
                 float(fb.frame_lengths.sum()),
             )
+        import jax as _jax
+
+        if pipeline.mesh is not None and _jax.process_count() > 1:
+            # device stats (occ/means/vars/ll) are already globally reduced
+            # by the SPMD psum; the host-side transition counts and frame
+            # totals are per-process and ride the jax.distributed channel
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allreduce_sum,
+            )
+
+            acc.transition_counts = host_allreduce_sum(
+                acc.transition_counts
+            ).astype(acc.transition_counts.dtype)
+            acc.total_frames = float(
+                host_allreduce_sum(np.array([acc.total_frames]))[0]
+            )
+            # total_loglike summed per-batch device values that were already
+            # psum'd across processes — identical on every host, no reduce
         return acc
 
     def _update(self, acc: GmmAccumulators, mixup_target: Optional[int]) -> None:

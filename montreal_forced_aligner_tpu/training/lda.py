@@ -90,8 +90,19 @@ class LdaTrainer(TriphoneTrainer):
     def initialize(self, pipeline: TrainingPipeline) -> None:
         # labels + LDA estimation use the previous stage's alignment/features
         labels = self._extract_labels(pipeline)
-        prev_num_classes = int(
-            max(int(np.asarray(fb.frame_pdf).max()) for fb in pipeline.batches) + 1
+        from montreal_forced_aligner_tpu.training.base import _to_host
+        from montreal_forced_aligner_tpu.parallel.multihost import (
+            host_allreduce_max,
+        )
+
+        prev_num_classes = host_allreduce_max(
+            int(
+                max(
+                    int(_to_host(fb.frame_pdf).max())
+                    for fb in pipeline.batches
+                )
+                + 1
+            )
         )
         self._estimate_lda(pipeline, prev_num_classes)
         pipeline.set_feature_transform(uses_deltas=False, lda_mat=self.lda_mat)

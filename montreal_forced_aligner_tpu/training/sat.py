@@ -83,12 +83,19 @@ class SatTrainer(TriphoneTrainer):
 
     def _silence_weight_mask(self, fb) -> np.ndarray:
         """0.0 on silence-phone frames, else 1.0 (silence_weight=0.0)."""
+        from montreal_forced_aligner_tpu.training.base import _to_host
+
         sil_pdfs = np.array(self._silence_pdfs(), dtype=np.int64)
-        fp = np.asarray(fb.frame_pdf)
+        fp = _to_host(fb.frame_pdf)
         return (~np.isin(fp, sil_pdfs)).astype(np.float32)
 
     def _estimate_fmllr(self, pipeline: TrainingPipeline) -> None:
-        S = len(pipeline.corpus.speakers)
+        # global dense speaker space (speakers never span hosts; every host
+        # holds the psum'd stat blocks for all of them)
+        S = getattr(pipeline, "num_speakers_global", None) or len(
+            pipeline.corpus.speakers
+        )
+        spk_offset = getattr(pipeline, "spk_offset", 0)
         D = pipeline.feature_dim
         K = np.zeros((S, D, D + 1))
         G = np.zeros((S, D, D + 1, D + 1))
@@ -104,7 +111,7 @@ class SatTrainer(TriphoneTrainer):
                 fb.put_b(fb.feats),
                 pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
-                pipeline.put_b(fb.speaker_idx),
+                pipeline.put_b(fb.speaker_idx + spk_offset),
                 pipeline.put_b(weight),
                 means,
                 iv,

@@ -404,8 +404,17 @@ class TrainableAligner:
         for stage in self.recipe:
             logger.info("=== stage %s (%s) ===", stage.name, stage.kind)
             if stage.kind != "pron_prob":
-                if stage.subset and stage.subset < self.corpus.num_utterances:
-                    subset = select_training_subset(self.corpus, stage.subset)
+                # stage subsets are global sizes; each host draws its share
+                # from its own speaker shard (reference per-job analogue)
+                import jax as _jax
+
+                stage_subset = stage.subset
+                if stage_subset and _jax.process_count() > 1:
+                    stage_subset = max(
+                        1, stage_subset // _jax.process_count()
+                    )
+                if stage_subset and stage_subset < self.corpus.num_utterances:
+                    subset = select_training_subset(self.corpus, stage_subset)
                     subset -= self._excluded
                     pipeline.set_subset(subset)
                     logger.info("subset: %d utterances", len(subset))

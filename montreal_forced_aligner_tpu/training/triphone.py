@@ -227,6 +227,32 @@ class TriphoneTrainer(ViterbiEmTrainer):
                         event_ids[key] = eid
                     ev[row, t] = eid
             batch_events.append((fb, ev))
+        mesh = batch_events[0][0].mesh if batch_events else None
+        import jax as _jax
+
+        if mesh is not None and _jax.process_count() > 1:
+            # lockstep invariant: the event table (and hence the static E of
+            # the device program) must be identical on every process — merge
+            # the per-host tables over the jax.distributed channel
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                allgather_ragged_rows,
+            )
+
+            local_keys = (
+                np.array(sorted(event_ids), np.int64)
+                if event_ids
+                else np.zeros((0, 4), np.int64)
+            )
+            all_keys = np.concatenate(
+                allgather_ragged_rows(local_keys), axis=0
+            )
+            uniq = sorted({tuple(int(v) for v in row) for row in all_keys})
+            global_ids = {k: i for i, k in enumerate(uniq)}
+            remap = np.zeros(max(len(event_ids), 1), np.int32)
+            for k, old in event_ids.items():
+                remap[old] = global_ids[k]
+            batch_events = [(fb, remap[ev]) for fb, ev in batch_events]
+            event_ids = global_ids
         E = len(event_ids)
         counts = np.zeros(E)
         sums = np.zeros((E, dim))

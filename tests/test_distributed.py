@@ -184,6 +184,102 @@ def test_cli_align_distributed(tmp_path):
     assert len(tgs) == 1
 
 
+def test_cli_train_two_process(tmp_path):
+    """Simulated multi-host THROUGH THE CLI: two OS processes x 4 virtual
+    CPU devices form one 8-device global mesh via jax.distributed, each
+    running ``mfa-tpu train --distributed`` on the shared corpus (speakers
+    sharded per host); the resulting models must agree with each other and
+    with a single-process run (same global statistics, so the same EM
+    trajectory up to float reduction order)."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import yaml
+
+    from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=8)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    (out_dir / "recipe.yaml").write_text(
+        yaml.safe_dump(
+            {
+                "training": [
+                    {"monophone": {"num_iterations": 3, "max_gaussians": 30}},
+                    {
+                        "triphone": {
+                            "num_iterations": 2,
+                            "max_gaussians": 48,
+                            "num_leaves": 32,
+                        }
+                    },
+                ]
+            }
+        )
+    )
+    # single-process reference (same recipe through the library)
+    ref = TrainableAligner(
+        corpus_dir, dict_path,
+        recipe=[
+            StageConfig("monophone", "mono", 3, 30),
+            StageConfig("triphone", "tri", 2, 48, num_leaves=32),
+        ],
+        batch_size=4, variable_length_topology=False, distributed=False,
+    )
+    m_ref = ref.train()
+
+    port = 14000 + (os.getpid() % 2000)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent) + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
+    worker = Path(__file__).parent / "multihost_cli_worker.py"
+    outs_paths = [out_dir / f"model_p{pid}.zip" for pid in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                _sys.executable, str(worker), str(pid), "2", str(port),
+                str(corpus_dir), str(dict_path), str(outs_paths[pid]),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        results.append((p.returncode, out, err))
+    for rc, out, err in results:
+        assert rc == 0, f"worker failed:\n{out}\n{err}"
+    m0 = AcousticModel.load(outs_paths[0])
+    m1 = AcousticModel.load(outs_paths[1])
+    # both hosts converge to the same model (stats are globally reduced)
+    assert m0.gmm.num_pdfs == m1.gmm.num_pdfs == m_ref.gmm.num_pdfs
+    np.testing.assert_allclose(
+        m0.transition_model.log_probs, m1.transition_model.log_probs,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m0.transition_model.log_probs, m_ref.transition_model.log_probs,
+        atol=1e-3,
+    )
+
+
 def test_cli_train_distributed(tmp_path):
     import yaml
     from click.testing import CliRunner
