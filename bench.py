@@ -1,19 +1,30 @@
 """Alignment throughput benchmark.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "sat_throughput", "breakdown"}
 
-Workload: forced alignment of a batch of ~15 s utterances with the
-reference's checked-in Kaldi monophone model (or an equivalent synthetic
-model when unavailable) — the full pipeline: MFCC -> CMVN -> deltas -> GMM
-state loglikes -> dense Viterbi -> CTM extraction. Steady-state throughput is
-measured after a warm-up pass so jit compilation is excluded.
+Two workloads, both with variable-length utterances (2-30 s, exercising the
+frame-bucketing path):
 
-vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) and
-its CPU stack (kalpy/Kaldi) is not installed in this image, so the MFA
-multiprocess-CPU baseline cannot be measured in situ yet. We use a
-literature/experience-based placeholder of 30 audio-seconds/s/host for MFA
-with default 3 jobs; vs_baseline = value / 30.0. To be replaced by an in-situ
-measurement when a kalpy environment is available.
+- **mono**: the reference's checked-in Kaldi monophone model (132 pdfs,
+  deltas) — comparable across rounds (the round-1 metric).
+- **sat**: a synthetic model at ``english_us_arpa`` SAT-triphone scale
+  (~5k pdfs, 32 Gaussians/pdf, 40-dim LDA over ±3 splice, speaker-
+  independent alignment model) run through the full two-pass fMLLR
+  alignment — the workload users actually run (reference recipe
+  ``acoustic_modeling/trainer.py:193-240``).
+
+``breakdown`` reports per-phase times for one representative SAT batch
+(device phases measured with block_until_ready fences): host wave prep,
+host->device transfer, MFCC+CMVN, final features, emission+Viterbi,
+state-path fetch, host CTM extraction.
+
+vs_baseline: **null** — the reference publishes no numbers (BASELINE.md)
+and its CPU stack (kalpy/Kaldi) is not installable in this image, so the
+MFA multiprocess-CPU baseline has not been measured in situ. The previous
+round's literature-placeholder ratio was removed as fiction (VERDICT r1
+Weak #2); run ``mfa align`` on the same corpus and divide when a kalpy
+environment exists.
 """
 
 import json
@@ -23,34 +34,155 @@ from pathlib import Path
 
 import numpy as np
 
-MFA_CPU_BASELINE_AUDIO_SEC_PER_S = 30.0
-
 REF_DATA = Path("/root/reference/tests/data")
+SMALL = "--small" in sys.argv  # CPU-sized sanity run
+BREAKDOWN = "--breakdown" in sys.argv or not SMALL
 
 
-def build_corpus(tmp, lexicon_words, num_utts=96, seconds=15.0, sr=16000):
+def build_corpus(tmp, lexicon_words, num_utts, sr=16000, seed=0, name="corpus"):
+    """Variable-length utterances (2-30 s) over 8 speakers."""
     from montreal_forced_aligner_tpu.io.wav import write_wave
 
-    rng = np.random.RandomState(0)
-    corp = Path(tmp) / "corpus"
-    words = [w for w in lexicon_words if w.isalpha()]
+    rng = np.random.RandomState(seed)
+    corp = Path(tmp) / name
+    words = [w for w in lexicon_words if w.isalpha() or w.startswith("word")]
     total_audio = 0.0
-    for spk in range(8):
-        d = corp / f"spk{spk}"
+    for u in range(num_utts):
+        d = corp / f"spk{u % 8}"
         d.mkdir(parents=True, exist_ok=True)
-        for u in range(num_utts // 8):
-            n = int(seconds * sr)
-            wave = (rng.randn(n) * 800).astype(np.float32)
-            # add some tonal structure so likelihoods vary
-            t = np.arange(n) / sr
-            for f in rng.choice([220, 440, 880, 1760], 3, replace=False):
-                wave += 2000 * np.sin(2 * np.pi * f * t + rng.rand())
-            write_wave(d / f"utt{u}.wav", wave, sr)
-            n_words = int(seconds * 2.5)
-            text = " ".join(rng.choice(words, n_words))
-            (d / f"utt{u}.lab").write_text(text)
-            total_audio += seconds
+        seconds = float(rng.uniform(2.0, 30.0))
+        n = int(seconds * sr)
+        wave = (rng.randn(n) * 800).astype(np.float32)
+        t = np.arange(n) / sr
+        for f in rng.choice([220, 440, 880, 1760], 3, replace=False):
+            wave += 2000 * np.sin(2 * np.pi * f * t + rng.rand())
+        write_wave(d / f"utt{u}.wav", wave.astype(np.float32), sr)
+        n_words = max(2, int(seconds * 2.5))
+        (d / f"utt{u}.lab").write_text(" ".join(rng.choice(words, n_words)))
+        total_audio += seconds
     return corp, total_audio
+
+
+def measure(aligner, corpus, total_audio, repeats):
+    aligner.align_corpus(corpus)  # warm-up / compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        results = aligner.align_corpus(corpus)
+        times.append(time.time() - t0)
+    assert len(results) == corpus.num_utterances
+    return total_audio / sorted(times)[len(times) // 2]
+
+
+def phase_breakdown(aligner, corpus):
+    """Per-phase times for one representative batch (B x ~15 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        _emit_and_align,
+        _final_feats,
+        _mfcc_and_spk_stats,
+        _round_up,
+    )
+    from montreal_forced_aligner_tpu.graph.compiler import (
+        batch_graphs,
+        ship_graph_to_device,
+    )
+    from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
+    from montreal_forced_aligner_tpu.ops.viterbi import (
+        band_limits_from_arcs,
+        extract_frame_labels_host,
+    )
+
+    cfg = aligner.mfcc_config
+    B = min(aligner.config.batch_size, corpus.num_utterances)
+    utts = corpus.utterances[:B]
+    t_host0 = time.perf_counter()
+    waves = corpus.load_audio_parallel(cfg.sample_rate)[:B]
+    L = _round_up(max(len(w) for w in waves), 16000)
+    padded, lens = pad_waves_for_mfcc(waves, cfg, L)
+    flens = np.array([cfg.num_frames(int(n)) for n in lens], np.int32)
+    max_frames = cfg.num_frames(L)
+    spk_idx = np.zeros(B, np.int32)
+    t_host = time.perf_counter() - t_host0
+
+    def timed(fn, *args, warm=1):
+        for _ in range(warm):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        return out, time.perf_counter() - t0
+
+    dev = aligner.devices[0]
+    import jax as _jax
+
+    (pd, fl, si), t_transfer = timed(
+        lambda: (
+            _jax.device_put(padded, dev),
+            _jax.device_put(flens, dev),
+            _jax.device_put(spk_idx, dev),
+        )
+    )
+    (feats, _sums), t_mfcc = timed(
+        lambda: _mfcc_and_spk_stats(pd, fl, si, cfg, max_frames, 8)
+    )
+    lda = (
+        _jax.device_put(jnp.asarray(aligner.model.lda_mat), dev)
+        if aligner.model.uses_lda and aligner.model.lda_mat is not None
+        else None
+    )
+    mean_rows = jnp.zeros((B, cfg.num_coefficients))
+    ff, t_final = timed(lambda: _final_feats(feats, fl, mean_rows, lda, None))
+
+    t0 = time.perf_counter()
+    items = []
+    for utt in utts:
+        tokens = aligner.tokenizer.tokenize(utt.text)
+        key = aligner.speaker_dictionary_map.get(
+            utt.speaker, aligner.default_dictionary_key
+        )
+        items.append((key, tokens))
+    graphs = [aligner.compilers[k].compile(t) for k, t in items]
+    garrs = batch_graphs(graphs)
+    t_graph = time.perf_counter() - t0
+    graph = ship_graph_to_device(garrs, device=dev)
+    band_limits = band_limits_from_arcs(garrs)
+    W_d, gc_d, w_rows_d = aligner._gmm_on(dev)
+    (sp, sc), t_viterbi = timed(
+        lambda: _emit_and_align(
+            ff, fl, graph, W_d, gc_d, aligner.config.acoustic_scale,
+            band_limits=band_limits, w_rows=w_rows_d,
+        )
+    )
+    t0 = time.perf_counter()
+    sp_h = np.asarray(sp)
+    t_fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    phone_f, word_f, inst_f, _t = extract_frame_labels_host(garrs, sp_h)
+    for row, utt in enumerate(utts):
+        Lf = int(flens[row])
+        aligner._frames_to_ctm(
+            utt, graphs[row], phone_f[row, :Lf], word_f[row, :Lf],
+            inst_f[row, :Lf], float(np.asarray(sc)[row]),
+            aligner.model.phone_names,
+        )
+    t_ctm = time.perf_counter() - t0
+    batch_audio = float(sum(len(w) for w in waves)) / cfg.sample_rate
+    return {
+        "batch_utterances": B,
+        "batch_audio_s": round(batch_audio, 1),
+        "host_audio_prep_s": round(t_host, 4),
+        "h2d_transfer_s": round(t_transfer, 4),
+        "mfcc_cmvn_device_s": round(t_mfcc, 4),
+        "final_feats_device_s": round(t_final, 4),
+        "graph_compile_host_s": round(t_graph, 4),
+        "emission_viterbi_device_s": round(t_viterbi, 4),
+        "state_path_fetch_s": round(t_fetch, 4),
+        "ctm_extract_host_s": round(t_ctm, 4),
+    }
 
 
 def main():
@@ -62,44 +194,60 @@ def main():
     )
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
 
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    num_utts = 16 if SMALL else 96
+    repeats = 2 if SMALL else 5
+
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
+        # ---- mono workload (round-over-round comparable)
         if (REF_DATA / "am" / "mono_model.zip").exists():
             model_path = REF_DATA / "am" / "mono_model.zip"
             dict_path = REF_DATA / "dictionaries" / "test_basic.txt"
         else:
-            sys.path.insert(0, str(Path(__file__).parent / "tests"))
             from helpers import build_synthetic_corpus, build_synthetic_model
 
             _, wave = build_synthetic_corpus(tmp)
             model_path, dict_path = build_synthetic_model(tmp, wave=wave)
-
-        aligner = PretrainedAligner(
+        mono = PretrainedAligner(
             model_path, dict_path, AlignerConfig(batch_size=32)
         )
-        corpus_dir, total_audio = build_corpus(tmp, list(aligner.lexicon.words))
-        corpus = Corpus.load(corpus_dir)
+        corpus_dir, mono_audio = build_corpus(
+            tmp, list(mono.lexicon.words), num_utts, name="mono_corpus"
+        )
+        mono_corpus = Corpus.load(corpus_dir)
+        mono_tp = measure(mono, mono_corpus, mono_audio, repeats)
 
-        # warm-up (compile)
-        aligner.align_corpus(corpus)
-        # steady state: median of 5 (remote-attached TPU latency is noisy)
-        times = []
-        for _ in range(5):
-            t0 = time.time()
-            results = aligner.align_corpus(corpus)
-            times.append(time.time() - t0)
-        assert len(results) == corpus.num_utterances
-        throughput = total_audio / sorted(times)[len(times) // 2]
+        # ---- SAT-scale workload (the real shape: ~5k pdfs, LDA, fMLLR)
+        from helpers import build_sat_scale_model
+
+        sat_model, sat_dict = build_sat_scale_model(
+            tmp, gauss_per_pdf=4 if SMALL else 32
+        )
+        sat = PretrainedAligner(
+            sat_model, sat_dict, AlignerConfig(batch_size=32)
+        )
+        sat_corpus_dir, sat_audio = build_corpus(
+            tmp, list(sat.lexicon.words),
+            max(num_utts // 2, 8), seed=1, name="sat_corpus",
+        )
+        sat_corpus = Corpus.load(sat_corpus_dir)
+        sat_tp = measure(sat, sat_corpus, sat_audio, max(repeats - 2, 1))
+
+        breakdown = phase_breakdown(sat, sat_corpus) if BREAKDOWN else None
 
     print(
         json.dumps(
             {
                 "metric": "align_throughput",
-                "value": round(throughput, 2),
+                "value": round(mono_tp, 2),
                 "unit": "audio_seconds_per_second_per_chip",
-                "vs_baseline": round(
-                    throughput / MFA_CPU_BASELINE_AUDIO_SEC_PER_S, 2
-                ),
+                # MFA multiprocess-CPU baseline not measured in situ (kalpy
+                # not installable here); no placeholder ratios
+                "vs_baseline": None,
+                "sat_throughput": round(sat_tp, 2),
+                "sat_workload": "5k pdfs, 32 gauss/pdf, 40d LDA, 2-pass fMLLR",
+                "breakdown": breakdown,
             }
         )
     )

@@ -207,6 +207,9 @@ class AlignerConfig:
     # round-robin local placement (required for multi-host runs; None =
     # auto, on when jax.process_count() > 1)
     distributed: Optional[bool] = None
+    # language-specific pre-tokenization (reference --language; english is
+    # rule-based, ja/zh/ko/th gate on their segmentation packages)
+    language: Optional[str] = None
     num_loader_threads: int = 8  # threaded audio decode (native FLAC)
     # host graph compilation fans out over a process pool (0 = in-process);
     # engaged only for corpora with >= 4 utterances per worker, and not with
@@ -307,7 +310,15 @@ class PretrainedAligner:
         all_words = set()
         for lex in self.lexicons.values():
             all_words |= set(lex.words)
-        self.tokenizer = SimpleTokenizer(word_set=all_words)
+        from montreal_forced_aligner_tpu.tokenization.languages import (
+            compose_tokenizer,
+            get_language_tokenizer,
+        )
+
+        self.tokenizer = compose_tokenizer(
+            SimpleTokenizer(word_set=all_words),
+            get_language_tokenizer(self.config.language, word_set=all_words),
+        )
         self.compilers = {
             key: AlignmentGraphCompiler(
                 self.model.transition_model,

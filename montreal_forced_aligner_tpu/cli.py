@@ -190,6 +190,10 @@ def _recipe_from_config(data):
 @click.option("--custom_mapping_path", type=click.Path(exists=True),
               default=None,
               help="Yaml mapping phones across phone sets for evaluation")
+@click.option("--language", default=None,
+              help="Language-specific tokenizer (english is rule-based; "
+                   "japanese/chinese/korean/thai gate on their segmentation "
+                   "packages and fall back with a warning)")
 @click.pass_context
 def align_cli(
     ctx,
@@ -216,6 +220,7 @@ def align_cli(
     audio_directory,
     reference_directory,
     custom_mapping_path,
+    language,
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
@@ -256,6 +261,7 @@ def align_cli(
         batch_size=batch_size,
         num_graph_workers=graph_workers,
         distributed=distributed,
+        language=language,
     )
     aligner = PretrainedAligner(
         acoustic_model_path,
@@ -681,12 +687,6 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         )
         for st in recipe
     ]
-    if language and language.lower() not in ("english", "unknown", ""):
-        click.echo(
-            f"warning: language-specific tokenizer for {language!r} is not "
-            "bundled in this image; using the simple tokenizer",
-            err=True,
-        )
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
         batch_size=batch_size, working_directory=working_directory,
@@ -703,6 +703,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         phone_groups_path=phone_groups_path,
         variable_length_topology=variable_length_topology,
         distributed=distributed,
+        language=language,
     )
     final = ta.train()
     ta.export_model(output_model_path)

@@ -139,6 +139,7 @@ class TrainingPipeline:
         features_on_host: bool = False,
         num_graph_workers: int = 0,
         mesh=None,
+        language=None,
     ):
         self.corpus = corpus
         self.lexicon = lexicon
@@ -160,7 +161,15 @@ class TrainingPipeline:
         # the pool persists across training stages (lazily created)
         self.num_graph_workers = num_graph_workers
         self._graph_pool = None
-        self.tokenizer = SimpleTokenizer(word_set=set(lexicon.words))
+        from montreal_forced_aligner_tpu.tokenization.languages import (
+            compose_tokenizer,
+            get_language_tokenizer,
+        )
+
+        self.tokenizer = compose_tokenizer(
+            SimpleTokenizer(word_set=set(lexicon.words)),
+            get_language_tokenizer(language, word_set=set(lexicon.words)),
+        )
         self.batches: List[FeatureBatch] = []
         self.graphs: List[CompiledGraph] = []
         self._spk_mean: Optional[np.ndarray] = None

@@ -87,6 +87,7 @@ class TrainableAligner:
         audio_directory=None,
         distributed: Optional[bool] = None,
         mesh=None,
+        language=None,
     ):
         self.corpus = Corpus.load(
             corpus_directory,
@@ -108,6 +109,7 @@ class TrainableAligner:
             from montreal_forced_aligner_tpu.parallel.mesh import get_mesh
 
             self.mesh = get_mesh()
+        self.language = language
         if _jax.process_count() > 1:
             from montreal_forced_aligner_tpu.parallel.multihost import (
                 shard_corpus_for_host,
@@ -389,6 +391,7 @@ class TrainableAligner:
             use_pitch=self.use_pitch,
             mfcc_config=self.mfcc_config,
             mesh=self.mesh,
+            language=self.language,
         )
         pipeline.prepare_features()
         self._excluded = self.filter_training_utterances(pipeline)

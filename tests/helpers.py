@@ -130,3 +130,111 @@ def build_synthetic_corpus(tmp_path: Path, text="ab a"):
     with open(corpus_dir / "utt1.lab", "w") as f:
         f.write(text)
     return tmp_path / "corpus", wave
+
+
+def build_sat_scale_model(
+    tmp_path: Path,
+    num_phones: int = 40,
+    gauss_per_pdf: int = 32,
+    dim: int = 40,
+    num_words: int = 200,
+    seed: int = 0,
+):
+    """Synthetic model at ``english_us_arpa`` SAT-triphone scale (~5k pdfs,
+    40-dim LDA over ±3 spliced MFCCs, tens of Gaussians per pdf, speaker-
+    independent alignment model for the two-pass fMLLR workflow): the
+    compute shapes of the models users actually align with (reference
+    recipe ``acoustic_modeling/trainer.py:193-240``), with random
+    parameters. Returns (model_path, dict_path).
+    """
+    from montreal_forced_aligner_tpu.models.tree import (
+        ConstantEventMap,
+        ContextDependency,
+        TableEventMap,
+    )
+    from montreal_forced_aligner_tpu.models.tree import KPDF_CLASS
+
+    rng = np.random.RandomState(seed)
+    sil = 1
+    phones = [sil] + [2 + i for i in range(num_phones)]
+    topo = HmmTopology.standard(phones, silence_phones=[sil])
+
+    # triphone tree: center phone -> pdf class -> left phone -> leaf
+    # (~num_phones x 3 x (num_phones+2) leaves ~ 5k)
+    max_phone = max(phones)
+    pdf = 0
+    center_table = [None] * (max_phone + 1)
+    for phone in phones:
+        n_classes = topo.num_pdf_classes(phone)
+        class_maps = []
+        for _cls in range(n_classes):
+            if phone == sil:
+                class_maps.append(ConstantEventMap(pdf))
+                pdf += 1
+                continue
+            left_table = []
+            for _l in range(max_phone + 1):
+                left_table.append(ConstantEventMap(pdf))
+                pdf += 1
+            class_maps.append(TableEventMap(0, left_table))
+        center_table[phone] = TableEventMap(KPDF_CLASS, class_maps)
+    tree = ContextDependency(N=3, P=1, to_pdf=TableEventMap(1, center_table))
+    tm = TransitionModel.from_topology_and_tree(topo, tree)
+    num_pdfs = tree.num_pdfs
+
+    def random_gmm():
+        means = rng.randn(num_pdfs, gauss_per_pdf, dim).astype(np.float32) * 2.0
+        inv_vars = (
+            1.0 / np.maximum(rng.gamma(4.0, 0.25, (num_pdfs, gauss_per_pdf, dim)), 0.1)
+        ).astype(np.float32)
+        return DiagGmmSet.from_lists(
+            weights_list=[
+                np.full(gauss_per_pdf, 1.0 / gauss_per_pdf, np.float32)
+            ] * num_pdfs,
+            miv_list=[(means[i] * inv_vars[i]) for i in range(num_pdfs)],
+            iv_list=[inv_vars[i] for i in range(num_pdfs)],
+        )
+
+    gmm = random_gmm()
+    si_gmm = random_gmm()
+    spliced = 13 * 7
+    lda_mat = (rng.randn(dim, spliced) / np.sqrt(spliced)).astype(np.float32)
+
+    phone_table = {"<eps>": 0, "sil": 1}
+    names = {}
+    for i in range(num_phones):
+        name = f"p{i:02d}"
+        phone_table[name] = 2 + i
+        names[2 + i] = name
+    model = AcousticModel(
+        transition_model=tm,
+        gmm=gmm,
+        tree=tree,
+        meta={
+            "version": "0.1.0",
+            "architecture": "gmm-hmm",
+            "phones": sorted(names.values()),
+            "features": {
+                "type": "mfcc",
+                "deltas": False,
+                "lda": True,
+                "fmllr": True,
+                "frame_shift": 10,
+                "splice_left_context": 3,
+                "splice_right_context": 3,
+            },
+        },
+        phone_table=phone_table,
+        lda_mat=lda_mat,
+        alignment_model=(tm, si_gmm),
+    )
+    model_path = tmp_path / "sat_scale_model.zip"
+    model.save(model_path)
+
+    dict_path = tmp_path / "sat_scale.dict"
+    with open(dict_path, "w") as f:
+        for w in range(num_words):
+            n = rng.randint(2, 7)
+            ph = [names[2 + rng.randint(num_phones)] for _ in range(n)]
+            f.write(f"word{w:03d}\t{' '.join(ph)}\n")
+    return model_path, dict_path

@@ -1,0 +1,163 @@
+"""Language-specific tokenizers (reference ``tokenization/english.py`` rules
+and the dependency-gated ja/zh/ko/th shells)."""
+
+import logging
+
+import pytest
+
+from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
+from montreal_forced_aligner_tpu.tokenization.languages import (
+    ChineseTokenizer,
+    EnglishTokenizer,
+    JapaneseTokenizer,
+    KoreanTokenizer,
+    ThaiTokenizer,
+    compose_tokenizer,
+    get_language_tokenizer,
+)
+
+
+def test_english_g_dropping():
+    """EnglishReTokenize: <stem>in' -> <stem>ing (english.py:30-32)."""
+    tok = EnglishTokenizer(word_set={"going", "home"})
+    assert tok.pre_tokenize("goin' home") == "going home"
+    assert tok.pre_tokenize("talkin' and walkin'") == "talking and walking"
+
+
+def test_english_generic_prefix_merge():
+    """Generic prefixes re-attach over a hyphen (english.py:33-34)."""
+    tok = EnglishTokenizer(word_set={"non-stop"})
+    assert tok.pre_tokenize("non - stop") == "non-stop"
+    assert tok.pre_tokenize("multi - level") == "multi-level"
+
+
+@pytest.mark.parametrize(
+    "word,vocab,expected",
+    [
+        # plain suffix split: base in vocab, suffix morpheme in vocab
+        ("rendering", {"render", "-ing"}, ["render", "-ing"]),
+        # silent-e restoration (find_base_form, english.py:146-151)
+        ("baking", {"bake", "-ing"}, ["bake", "-ing"]),
+        # final-consonant undoubling
+        ("running", {"run", "-ing"}, ["run", "-ing"]),
+        # i -> y restoration
+        ("happiness", {"happy", "-ness"}, ["happy", "-ness"]),
+        # -ability family normalizes to -ability
+        ("printability", {"print", "-ability"}, ["print", "-ability"]),
+        # -ably family normalizes to -ly
+        ("remarkably", {"remark", "-ly"}, ["remark", "-ly"]),
+        # plural
+        ("cats", {"cat", "-s"}, ["cat", "-s"]),
+        # -ed
+        ("walked", {"walk", "-ed"}, ["walk", "-ed"]),
+        # known composed form is NOT split
+        ("running", {"running", "run", "-ing"}, ["running"]),
+        # base unknown -> no split
+        ("zorping", {"-ing"}, ["zorping"]),
+        # suffix morpheme missing from dictionary -> no split
+        ("rendering", {"render"}, ["rendering"]),
+    ],
+)
+def test_english_suffix_split(word, vocab, expected):
+    tok = EnglishTokenizer(word_set=vocab)
+    assert tok.pre_tokenize(word).split() == expected
+
+
+def test_english_prefix_split():
+    tok = EnglishTokenizer(word_set={"do", "re-", "stop", "non-"})
+    assert tok.pre_tokenize("redo").split() == ["re-", "do"]
+    assert tok.pre_tokenize("nonstop").split() == ["non-", "stop"]
+
+
+def test_gated_tokenizers_fall_back(caplog):
+    """ja/zh/ko/th require their segmentation packages; absent packages
+    degrade to identity with one warning (reference gates the same way)."""
+    for cls in (JapaneseTokenizer, ChineseTokenizer, KoreanTokenizer, ThaiTokenizer):
+        tok = cls()
+        with caplog.at_level(logging.WARNING, logger="mfa_tpu"):
+            out = tok.pre_tokenize("こんにちは 世界")
+        assert out == "こんにちは 世界"
+    assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_factory():
+    assert get_language_tokenizer(None) is None
+    assert get_language_tokenizer("unknown") is None
+    assert isinstance(get_language_tokenizer("english"), EnglishTokenizer)
+    assert isinstance(get_language_tokenizer("en"), EnglishTokenizer)
+    assert isinstance(get_language_tokenizer("japanese"), JapaneseTokenizer)
+    assert get_language_tokenizer("klingon") is None  # warns, falls back
+
+
+def test_composed_with_simple_tokenizer():
+    vocab = {"going", "home", "render", "-ing", "cat", "-s"}
+    simple = SimpleTokenizer(word_set=vocab)
+    tok = compose_tokenizer(simple, EnglishTokenizer(word_set=vocab))
+    assert tok.tokenize("Goin' home!") == ["going", "home"]
+    assert tok.tokenize("rendering cats") == ["render", "-ing", "cat", "-s"]
+    # unchanged path without a language tokenizer
+    plain = compose_tokenizer(simple, None)
+    assert plain is simple
+
+
+def test_cli_align_language_english(tmp_path):
+    """--language english runs end-to-end and changes tokenization."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    from click.testing import CliRunner
+
+    from helpers import build_synthetic_corpus, build_synthetic_model
+    from montreal_forced_aligner_tpu.cli import cli
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    out_dir = tmp_path / "out"
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "align", str(corpus_dir), str(dict_path), str(model_path),
+            str(out_dir), "--batch_size", "4", "--language", "english",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert list(out_dir.glob("*.TextGrid"))
+
+
+def test_aligner_language_changes_tokens(tmp_path):
+    """An utterance like "abs" aligns as "ab -s" when the dictionary carries
+    the -s morpheme and --language english is on."""
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="abs a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    # add the -s morpheme to the dictionary
+    with open(dict_path, "a") as f:
+        f.write("-s\tbb\n")
+    al = PretrainedAligner(
+        model_path, dict_path,
+        AlignerConfig(
+            batch_size=4, frame_bucket_multiple=32, language="english"
+        ),
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = al.align_corpus(corpus)
+    words = [w.label for w in sorted(results[0].words, key=lambda w: w.begin)]
+    assert words == ["ab", "-s", "a"]
+    # without the language tokenizer "abs" is an OOV
+    al2 = PretrainedAligner(
+        model_path, dict_path,
+        AlignerConfig(batch_size=4, frame_bucket_multiple=32),
+    )
+    corpus2 = Corpus.load(corpus_dir)
+    results2 = al2.align_corpus(corpus2)
+    words2 = [w.label for w in sorted(results2[0].words, key=lambda w: w.begin)]
+    assert words2 == ["<unk>", "a"]
