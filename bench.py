@@ -28,11 +28,19 @@ environment exists.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# make JAX_PLATFORMS authoritative (the preinstalled TPU plugin registers
+# itself ahead of the env var; see cli._honor_jax_platforms_env)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 REF_DATA = Path("/root/reference/tests/data")
 SMALL = "--small" in sys.argv  # CPU-sized sanity run

@@ -202,6 +202,118 @@ class ViterbiEmTrainer:
                 self.gmm, acc.occ, mixup_target, power=self.config.power
             )
 
+    # -- per-iteration checkpoints ------------------------------------------
+    # directory for mid-stage resume (reference: training writes <iter>.mdl
+    # every iteration and skips finished ones on rerun,
+    # ``acoustic_modeling/base.py:820-826``); set by the orchestrator
+    checkpoint_dir = None
+
+    def _save_iter_checkpoint(self, it, pipeline, current_target) -> None:
+        import json as _json
+        from pathlib import Path
+
+        d = Path(self.checkpoint_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        data = {
+            "iteration": np.array(it),
+            "current_target": np.array(current_target),
+            "tm_log_probs": self.tm.log_probs,
+            "gmm_weights": self.gmm.weights,
+            "gmm_miv": self.gmm.means_invvars,
+            "gmm_iv": self.gmm.inv_vars,
+            "gmm_num_gauss": self.gmm.num_gauss,
+            "iteration_log": np.frombuffer(
+                _json.dumps(self.iteration_log).encode(), dtype=np.uint8
+            ),
+        }
+        if getattr(self, "lda_mat", None) is not None:
+            data["lda_mat"] = self.lda_mat
+        if getattr(self, "speaker_transforms", None) is not None:
+            data["speaker_transforms"] = self.speaker_transforms
+        for i, fb in enumerate(pipeline.batches):
+            if fb.state_path is not None:
+                data[f"state_path_{i}"] = fb.state_path
+                data[f"frame_tid_{i}"] = fb.frame_tid
+                data[f"align_scores_{i}"] = fb.align_scores
+        tmp = d / f"{it}.npz.tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **data)
+        tmp.rename(d / f"{it}.npz")
+        # only the latest checkpoint is needed for resume
+        for old in d.glob("*.npz"):
+            if old.stem.isdigit() and int(old.stem) < it:
+                old.unlink()
+
+    def _load_iter_checkpoint(self, pipeline) -> int:
+        """Returns (resume_iteration, current_target) or (0, None). Must run
+        after initialize(): graphs are compiled with the stage-initial model
+        (as the reference compiles train graphs once per stage), then the
+        checkpointed model/alignments/feature state replace the initial
+        ones."""
+        import json as _json
+        from pathlib import Path
+
+        from montreal_forced_aligner_tpu.models.gmm import DiagGmmSet
+
+        if self.checkpoint_dir is None:
+            return 0, None
+        d = Path(self.checkpoint_dir)
+        if not d.exists():
+            return 0, None
+        iters = sorted(
+            (int(p.stem) for p in d.glob("*.npz") if p.stem.isdigit()),
+            reverse=True,
+        )
+        if not iters:
+            return 0, None
+        it = iters[0]
+        if it > self.config.num_iterations:
+            return 0, None
+        data = np.load(d / f"{it}.npz")
+        self.tm.log_probs = data["tm_log_probs"]
+        gmm = DiagGmmSet(
+            weights=data["gmm_weights"],
+            means_invvars=data["gmm_miv"],
+            inv_vars=data["gmm_iv"],
+            gconsts=np.zeros(data["gmm_weights"].shape, np.float32),
+            num_gauss=data["gmm_num_gauss"],
+        )
+        gmm.compute_gconsts()
+        self.gmm = gmm
+        self.iteration_log = _json.loads(
+            bytes(data["iteration_log"]).decode()
+        )
+        if "lda_mat" in data:
+            self.lda_mat = data["lda_mat"]
+        if "speaker_transforms" in data:
+            self.speaker_transforms = data["speaker_transforms"]
+        # restore the stage's feature state if it diverged (MLLT/fMLLR)
+        if "lda_mat" in data or "speaker_transforms" in data:
+            pipeline.set_feature_transform(
+                uses_deltas="lda_mat" not in data,
+                lda_mat=data["lda_mat"] if "lda_mat" in data else None,
+                speaker_transforms=(
+                    data["speaker_transforms"]
+                    if "speaker_transforms" in data
+                    else None
+                ),
+            )
+        for i, fb in enumerate(pipeline.batches):
+            key = f"state_path_{i}"
+            if key not in data:
+                continue
+            sp = data[key]
+            b = np.arange(sp.shape[0])[:, None]
+            fb.state_path = sp
+            fb.frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
+            fb.frame_tid = data[f"frame_tid_{i}"]
+            fb.align_scores = data[f"align_scores_{i}"]
+        logger.info(
+            "%s: resumed from iteration %d (%s)", self.train_type, it,
+            d / f"{it}.npz",
+        )
+        return it, int(data["current_target"])
+
     # -- main loop -----------------------------------------------------------
     def train(self, pipeline: TrainingPipeline) -> AcousticModel:
         cfg = self.config
@@ -221,8 +333,11 @@ class ViterbiEmTrainer:
         )
         current_target = initial_gaussians
         realign_iters = set(self.realignment_iterations)
+        start_it, resumed_target = self._load_iter_checkpoint(pipeline)
+        if resumed_target is not None:
+            current_target = resumed_target
 
-        for it in range(1, cfg.num_iterations + 1):
+        for it in range(start_it + 1, cfg.num_iterations + 1):
             if it in realign_iters:
                 self._realign(pipeline)
             acc = self._accumulate(pipeline)
@@ -242,6 +357,8 @@ class ViterbiEmTrainer:
                 "%s iter %d: loglike/frame %.4f, %d gaussians",
                 self.train_type, it, ll_frame, self.gmm.total_gauss,
             )
+            if self.checkpoint_dir is not None:
+                self._save_iter_checkpoint(it, pipeline, current_target)
         self.finalize(pipeline)
         return self.export_model()
 

@@ -476,6 +476,12 @@ class TrainableAligner:
                 if getattr(trainer, "lda_mat", None) is not None:
                     lda_mat = trainer.lda_mat
                 continue
+            if self.working_directory is not None:
+                # mid-stage resume: <iter>.npz checkpoints (reference writes
+                # <iter>.mdl each iteration, acoustic_modeling/base.py:820)
+                trainer.checkpoint_dir = (
+                    self.working_directory / stage.name / "iters"
+                )
             model = trainer.train(pipeline)
             self.quality_check_subset(pipeline)
             self._save_checkpoint(stage.name, trainer, model)
