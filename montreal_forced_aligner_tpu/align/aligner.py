@@ -217,27 +217,38 @@ class AlignerConfig:
     num_graph_workers: int = 0
 
 
+# The standard MFA silence inventories by size. Phone NAMES are genuinely
+# absent from old archives (only the topology's integer ids and the meta's
+# non-silence base names survive), so the names come from MFA's fixed
+# specials (reference ``dictionary/mixins.py:91-194``: silence_phone "sil",
+# oov_phone "spn", optional short pause "sp"); the COUNT, however, is
+# derived from the topology arithmetic below, never guessed.
+_SILENCE_INVENTORIES = {1: ["sil"], 2: ["sil", "spn"], 3: ["sil", "sp", "spn"]}
+
+
 def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
     """Rebuild ``phones.txt`` for old model archives that omit it.
 
     Layout (reference ``dictionary/multispeaker.py:1966`` numbering scheme):
-    <eps>=0, then silence phones (base + positional variants), then each
-    non-silence phone's positional variants in sorted order.
+    <eps>=0, then silence phones (base + positional variants when position
+    dependent), then each non-silence phone's positional variants in sorted
+    order.
+
+    The silence inventory size ``s`` is solved from the topology's phone
+    count: position-dependent archives satisfy ``total = 5*s + 4*n`` (each
+    silence base keeps its bare form plus four positional variants; each
+    non-silence base has four positional variants only) and
+    position-independent ones ``total = s + n``. A layout that fits neither
+    raises instead of silently mis-mapping phone ids.
     """
     phones = sorted(meta.get("phones", []))
     total = len(topo.phones)
     n = len(phones)
     table = {"<eps>": 0}
-    # how many ids do silence phones consume?
-    sil_count = total - 4 * n
-    position_dependent = sil_count != total - n
-    if not position_dependent and total == n + (total - n):
-        pass
-    if sil_count > 0 and sil_count % 5 == 0 and position_dependent:
-        n_sil_bases = sil_count // 5
-        sil_bases = ["sil", "sp", "spn"][:n_sil_bases]
-        if n_sil_bases == 2:
-            sil_bases = ["sil", "spn"]
+
+    s_pd = total - 4 * n
+    if s_pd > 0 and s_pd % 5 == 0 and (s_pd // 5) in _SILENCE_INVENTORIES:
+        sil_bases = _SILENCE_INVENTORIES[s_pd // 5]
         idx = 1
         for base in sorted(sil_bases):
             table[base] = idx
@@ -249,15 +260,28 @@ def reconstruct_phone_table(meta: Dict, topo) -> Dict[str, int]:
             for pos in POSITIONS:
                 table[base + pos] = idx
                 idx += 1
-    else:
-        # position-independent fallback
+    elif (total - n) in _SILENCE_INVENTORIES:
         idx = 1
-        for base in ["sil", "spn"][: max(total - n, 0)]:
+        for base in sorted(_SILENCE_INVENTORIES[total - n]):
             table[base] = idx
             idx += 1
         for base in phones:
             table[base] = idx
             idx += 1
+    else:
+        raise ValueError(
+            "cannot reconstruct the phone table for this archive: topology "
+            f"has {total} phones but meta lists {n} non-silence bases — "
+            "neither the position-dependent (5*s + 4*n) nor the "
+            "position-independent (s + n) layout fits a standard silence "
+            "inventory (1-3 phones). Re-export the model with phones.txt."
+        )
+    if len(table) - 1 != total:
+        raise ValueError(
+            f"reconstructed phone table has {len(table) - 1} phones but the "
+            f"topology defines {total}; archive layout is non-standard — "
+            "re-export the model with phones.txt"
+        )
     return table
 
 

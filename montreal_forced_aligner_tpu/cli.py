@@ -1398,21 +1398,39 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
                    "accuracy and phone error rate on it (reference "
                    "--evaluate/--validate)")
 @click.option("--phonetisaurus", is_flag=True, default=False,
-              help="Accepted for reference-CLI parity: this framework's "
-                   "trainer is the Phonetisaurus-style many-to-many EM "
-                   "aligner + graphone n-gram on both paths")
+              help="Use the Phonetisaurus-style engine (many-to-many "
+                   "chunked EM alignment + graphone n-gram, reference "
+                   "g2p/phonetisaurus_trainer.py). Default is the "
+                   "pair-ngram engine with random-start EM (reference "
+                   "PyniniTrainer, g2p/trainer.py)")
+@click.option("--random_starts", default=10, show_default=True,
+              help="Random EM starts for the pair-ngram engine (reference "
+                   "--num_random_starts, default 25 there)")
 def train_g2p_cli(dictionary_path, output_model_path, order,
-                  num_alignment_iterations, evaluation_mode, phonetisaurus):
+                  num_alignment_iterations, evaluation_mode, phonetisaurus,
+                  random_starts):
     """Train a G2P model from a pronunciation dictionary (reference:
-    ``mfa train_g2p``, ``g2p/phonetisaurus_trainer.py``)."""
+    ``mfa train_g2p`` — default PyniniTrainer pair-ngram engine,
+    ``g2p/trainer.py:79-880``; ``--phonetisaurus`` selects the
+    chunked-graphone engine, ``g2p/phonetisaurus_trainer.py``)."""
     from montreal_forced_aligner_tpu.dictionary.lexicon import (
         parse_dictionary_file,
     )
+    from montreal_forced_aligner_tpu.g2p.pair_ngram import PairNgramTrainer
     from montreal_forced_aligner_tpu.g2p.trainer import G2PTrainer
 
-    trainer = G2PTrainer(
-        order=order, num_alignment_iterations=num_alignment_iterations
-    )
+    def make_trainer():
+        if phonetisaurus:
+            return G2PTrainer(
+                order=order,
+                num_alignment_iterations=num_alignment_iterations,
+            )
+        return PairNgramTrainer(
+            order=order,
+            num_random_starts=random_starts,
+            max_em_iterations=num_alignment_iterations * 2,
+        )
+
     if evaluation_mode:
         # 90/10 split evaluation before the full train (reference
         # ``g2p/trainer.py:736-770``, validation_proportion 0.1)
@@ -1432,17 +1450,14 @@ def train_g2p_cli(dictionary_path, output_model_path, order,
         held = set(rng.sample(words, max(1, len(words) // 10)))
         train_pairs = [(w, p) for w, p in pairs if w not in held]
         test_pairs = [(w, p) for w, p in pairs if w in held]
-        eval_trainer = G2PTrainer(
-            order=order, num_alignment_iterations=num_alignment_iterations
-        )
-        eval_model = eval_trainer.train_from_pairs(train_pairs)
+        eval_model = make_trainer().train_from_pairs(train_pairs)
         metrics = evaluate_g2p(G2PGenerator(eval_model), test_pairs)
         click.echo(
             f"Evaluation on {len(test_pairs)} held-out pronunciations: "
             f"word accuracy {metrics['word_accuracy']:.4f}, "
             f"phone error rate {metrics['phone_error_rate']:.4f}"
         )
-    model = trainer.train_from_dictionary(dictionary_path)
+    model = make_trainer().train_from_dictionary(dictionary_path)
     model.save(output_model_path)
     click.echo(f"Saved G2P model to {output_model_path}")
 

@@ -134,7 +134,13 @@ class Lexicon:
                 del self.words[word]
         return pruned
 
+    def bump_version(self) -> None:
+        """Mark lexicon-derived costs stale (invalidates the native graph
+        compiler's caches; see graph/native_compile.py)."""
+        self.version = getattr(self, "version", 0) + 1
+
     def add_pronunciation(self, word: str, pron: Pronunciation) -> None:
+        self.bump_version()
         existing = self.words.setdefault(word, [])
         if any(p.phones == pron.phones for p in existing):
             return

@@ -91,6 +91,7 @@ def apply_rules_to_lexicon(
 ) -> int:
     """Add rule-generated pronunciation variants (reference
     ``dictionary/multispeaker.py:1729``); returns the number added."""
+    lexicon.bump_version()
     added = 0
     for word, prons in list(lexicon.words.items()):
         existing = {p.phones for p in prons}

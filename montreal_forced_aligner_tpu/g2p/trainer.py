@@ -56,8 +56,10 @@ class Aligner:
 
     grapheme_order: int = 2
     phone_order: int = 2
-    allow_deletions: bool = False  # graphemes mapping to no phone
-    allow_insertions: bool = False  # phones with no grapheme
+    # reference phonetisaurus defaults: both True
+    # (g2p/phonetisaurus_trainer.py:695-698)
+    allow_deletions: bool = True  # graphemes mapping to no phone
+    allow_insertions: bool = True  # phones with no grapheme
     num_iterations: int = 10
 
     probs: Dict[Tuple[Tuple[str, ...], Tuple[str, ...]], float] = field(
@@ -280,8 +282,8 @@ class G2PTrainer:
         grapheme_order: int = 2,
         phone_order: int = 2,
         num_alignment_iterations: int = 10,
-        allow_deletions: bool = False,
-        allow_insertions: bool = False,
+        allow_deletions: bool = True,
+        allow_insertions: bool = True,
     ):
         self.order = order
         self.aligner = Aligner(

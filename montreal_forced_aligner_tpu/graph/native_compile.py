@@ -236,6 +236,16 @@ def compile_batch_native(
     lex = comp.lexicon
     sil = lex.phone_id(lex.silence_phone, None)
     skey, stpl = _silence_template(comp, sil)
+    # the native caches snapshot lexicon-derived costs (pronunciation and
+    # silence probabilities); invalidate them whenever the lexicon mutates
+    # (apply_probabilities_to_lexicon / add_pronunciation / rules bump the
+    # version) so a reused compiler never ships stale weights
+    lex_version = getattr(lex, "version", 0)
+    if getattr(comp, "_native_cache_version", None) != lex_version:
+        comp._native_table = None
+        comp._native_word_cache = None
+        comp._native_tok_cache = None
+        comp._native_cache_version = lex_version
     table = getattr(comp, "_native_table", None)
     if table is None:
         table = comp._native_table = _TemplateTable()
@@ -300,8 +310,12 @@ def compile_batch_native(
         words = [d[0] for d in per_tok]
         starts = [d[2] for d in per_tok]
         # a pronunciation starting with the silence phone engages the
-        # compiler's allowed-next filters; replay exactly via Python
-        if any(sil in s for s in starts):
+        # compiler's allowed-next filters, and a token with zero
+        # pronunciation variants changes how the next word's left contexts
+        # are derived; replay both exactly via Python
+        if any(sil in s for s in starts) or any(
+            not d[1] for d in per_tok
+        ):
             fallback[ui] = comp.compile(list(tokens))
             continue
         native_rows.append(ui)

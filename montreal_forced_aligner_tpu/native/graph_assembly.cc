@@ -137,7 +137,9 @@ struct Builder {
   void add_final(int32_t state, double w, int32_t tid) {
     for (size_t i = 0; i < final_state.size(); ++i) {
       if (final_state[i] == state) {
-        if (final_w[i] >= w) return;  // keep-max (compiler.py:183)
+        // keep-max (compiler.py:183); a stored kNegInf counts as unset so
+        // the Python path's tid-overwrite behavior is matched exactly
+        if (final_w[i] > kNegInf && final_w[i] >= w) return;
         final_w[i] = w;
         final_tid[i] = tid;
         return;

@@ -229,6 +229,7 @@ def apply_probabilities_to_lexicon(
 ) -> Lexicon:
     """Update a lexicon in place with estimated probabilities (the
     ``DictionaryTrainer`` export path, reference ``pretrained.py:561``)."""
+    lexicon.bump_version()
     for word, prons in lexicon.words.items():
         for pron in prons:
             key = (word, " ".join(pron.phones))

@@ -20,11 +20,14 @@ Optional inter-word silence is absorbed into each word block (exit ->
 silence -> exit'), which preserves the LM word history with no extra
 machinery. The DP is exact over this graph — no beam, nothing pruned.
 
-Context dependency: word-internal triphone windows, with silence assumed
-as the cross-word context at word edges (silence leaves are well trained
-and word boundaries border silence more often than any other phone). The
-small-vocabulary dense path keeps exact cross-word context; see ROADMAP.md
-for the context-classed junction that removes this approximation.
+Context dependency: exact cross-word triphone context is implemented by
+:class:`LvcsrXwGraph` in this module — the junction is factored through
+context classes (exit cells per (word, presented phone, right group),
+entry slots per (word, left group), backoff via a per-segment max), and
+matches the exact dense decoder on triphone models rank for rank
+(``tests/test_triphone.py``). The word-internal build (silence assumed as
+cross-word context) remains only as the fallback when the cross-word
+expansion exceeds the band buckets.
 """
 
 from __future__ import annotations
