@@ -957,6 +957,7 @@ class PretrainedAligner:
                 if include_original_text:
                     tg.tiers[f"{prefix}utterances"] = texts
             out = output_directory / f"{file_name}{extensions[output_format]}"
+            out.parent.mkdir(parents=True, exist_ok=True)
             if output_format == "json":
                 tg.write_json(out)
             elif output_format == "csv":

@@ -125,6 +125,16 @@ class Corpus:
         uid = 0
         for wav in wavs:
             stem = wav.stem
+            # identical file names under different speaker directories are
+            # distinct recordings (reference duplicated-name corpus,
+            # tests/conftest.py:352): key them by relative path so neither
+            # the metadata nor the TextGrid exports collide
+            file_key = stem
+            if file_key in corpus.files and corpus.files[file_key] != wav:
+                try:
+                    file_key = wav.relative_to(directory).with_suffix("").as_posix()
+                except ValueError:
+                    file_key = f"{wav.parent.name}/{stem}"
             tg_path = None
             lab_path = None
             for ext in (".TextGrid", ".textgrid"):
@@ -144,7 +154,7 @@ class Corpus:
                     tg_path = cand
                 else:
                     lab_path = cand
-            corpus.files[stem] = wav
+            corpus.files[file_key] = wav
             if tg_path is not None:
                 tg = TextGrid.read(tg_path)
                 # stereo files map the second half of speaker tiers onto
@@ -169,7 +179,7 @@ class Corpus:
                                 id=uid,
                                 speaker=speaker,
                                 file_path=wav,
-                                file_name=stem,
+                                file_name=file_key,
                                 begin=iv.begin,
                                 end=iv.end,
                                 channel=channel,
@@ -191,7 +201,7 @@ class Corpus:
                         id=uid,
                         speaker=speaker,
                         file_path=wav,
-                        file_name=stem,
+                        file_name=file_key,
                         begin=0.0,
                         end=None,
                         channel=0,

@@ -42,6 +42,8 @@ class SimpleTokenizer:
     ignore_case: bool = True
 
     def __post_init__(self):
+        self._clitic_chars = "".join(self.clitic_markers)
+        self._compound_chars = "".join(self.compound_markers)
         brk = "".join(re.escape(c) for c in set(self.word_break_markers) | {" ", "\t"})
         self._break_regex = re.compile(rf"[{brk}]+")
         punct = "".join(re.escape(c) for c in set(self.punctuation))
@@ -74,8 +76,12 @@ class SimpleTokenizer:
                         candidates.append(p + marker)
                     else:
                         candidates.append(marker + p)
-                # try variants: suffix-attached or prefix-attached forms
+                # try variants: suffix-attached or prefix-attached forms;
+                # a part with no known form survives bare as an OOV token —
+                # the split happens as long as SOME part is known (the
+                # reference splits "myrsa's" into OOV "myrsa" + clitic "'s")
                 resolved = []
+                any_known = False
                 for i, p in enumerate(parts):
                     options = (
                         [p + marker, marker + p, p]
@@ -86,16 +92,24 @@ class SimpleTokenizer:
                     )
                     pick = next((o for o in options if self._known(o)), None)
                     if pick is None:
-                        return None
-                    resolved.append(pick)
+                        resolved.append(p)
+                    else:
+                        any_known = True
+                        resolved.append(pick)
+                if not any_known:
+                    return None
                 return resolved
         return None
 
     def _split_compounds(self, word: str) -> Optional[List[str]]:
+        """Split on compound markers when at least one part is a known
+        word (reference SplitWordsFunction: "talking-ajfish" splits because
+        "talking" is known, "asds-asda" stays joined because neither part
+        is); unknown parts survive as OOV tokens."""
         for marker in self.compound_markers:
             if marker in word:
                 parts = [p for p in word.split(marker) if p]
-                if len(parts) >= 2 and all(self._known(p) for p in parts):
+                if len(parts) >= 2 and any(self._known(p) for p in parts):
                     return parts
         return None
 
@@ -104,6 +118,10 @@ class SimpleTokenizer:
         text = unicodedata.normalize("NFKC", text)
         if self.ignore_case:
             text = text.lower()
+        # normalize every clitic-marker variant to the canonical first one
+        # (reference SanitizeFunction: curly apostrophes etc. become ')
+        for m in self.clitic_markers[1:]:
+            text = text.replace(m, self.clitic_markers[0])
         tokens: List[str] = []
         # protect bracketed spans from being split
         pieces = self._bracket_regex.split(text)
@@ -127,6 +145,10 @@ class SimpleTokenizer:
                         )
                     else:
                         tokens.append(self.cutoff_word)
+                elif piece in ("<s>", "</s>", "<eps>"):
+                    # structural symbols normalize to the OOV word
+                    # (reference weird-words behavior: <s> -> <unk>)
+                    tokens.append(self.oov_word)
                 else:
                     tokens.append(piece if self._known(piece) else self.bracketed_word)
                 continue
@@ -136,9 +158,22 @@ class SimpleTokenizer:
                 word = self._edge_punct_regex.sub("", word)
                 if not word:
                     continue
+                # a token of nothing but markers (a bare dash or quote) is
+                # punctuation, not a word
+                if not word.strip(self._clitic_chars + self._compound_chars):
+                    continue
                 if self._known(word):
                     tokens.append(word)
                     continue
+                # edge clitic markers act as quotes when the marked form is
+                # unknown (reference: "her'" -> "her", "'something" ->
+                # "something")
+                stripped = word.strip(self._clitic_chars)
+                if stripped and stripped != word:
+                    word = stripped
+                    if self._known(word):
+                        tokens.append(word)
+                        continue
                 split = self._split_clitics(word) or self._split_compounds(word)
                 if split:
                     tokens.extend(split)

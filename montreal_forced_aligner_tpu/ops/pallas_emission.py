@@ -35,9 +35,9 @@ NEG_INF = -1.0e30
 
 def _emission_kernel(
     pdf_ref,  # scalar prefetch: (B * S_padded,) int32 pdf per state
-    xx_ref,  # (1, T, D2p) VMEM: this batch row's [x; x^2; 1; 0]
+    xx_ref,  # (1, T_TILE, D2p) VMEM: this frame tile's [x; x^2; 1; 0]
     W_hbm,  # (P, G, D2p) HBM: per-pdf params (gconst folded in)
-    out_ref,  # (1, T, S_TILE) VMEM
+    out_ref,  # (1, T_TILE, S_TILE) VMEM
     params_vmem,  # scratch (S_TILE, G, D2p)
     sem,  # DMA semaphores (S_TILE,)
     *,
@@ -49,23 +49,29 @@ def _emission_kernel(
     tile = pl.program_id(1)
     base = b * S_padded + tile * S_TILE
 
-    def issue(i, _):
-        pltpu.make_async_copy(
-            W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
-        ).start()
-        return 0
+    # frame tiles iterate fastest (innermost grid dim): the per-state GMM
+    # parameters are DMA'd once per (batch, state-tile) and reused for
+    # every frame tile, keeping both VMEM blocks and HBM traffic bounded
+    # for long utterances (T in the thousands)
+    @pl.when(pl.program_id(2) == 0)
+    def _fetch():
+        def issue(i, _):
+            pltpu.make_async_copy(
+                W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
+            ).start()
+            return 0
 
-    jax.lax.fori_loop(0, S_TILE, issue, 0)
+        jax.lax.fori_loop(0, S_TILE, issue, 0)
 
-    def drain(i, _):
-        pltpu.make_async_copy(
-            W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
-        ).wait()
-        return 0
+        def drain(i, _):
+            pltpu.make_async_copy(
+                W_hbm.at[pdf_ref[base + i]], params_vmem.at[i], sem.at[i]
+            ).wait()
+            return 0
 
-    jax.lax.fori_loop(0, S_TILE, drain, 0)
+        jax.lax.fori_loop(0, S_TILE, drain, 0)
 
-    xx = xx_ref[0]  # (T, D2p)
+    xx = xx_ref[0]  # (T_TILE, D2p)
     T = xx.shape[0]
     m = jnp.full((T, S_TILE), NEG_INF, dtype=jnp.float32)
     ssum = jnp.zeros((T, S_TILE), dtype=jnp.float32)
@@ -77,11 +83,14 @@ def _emission_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (T, S_TILE); includes the gconst term
+        )  # (T_TILE, S_TILE); includes the gconst term
         m_new = jnp.maximum(m, q)
         ssum = ssum * jnp.exp(m - m_new) + jnp.exp(q - m_new)
         m = m_new
     out_ref[0] = m + jnp.log(ssum)
+
+
+MAX_T_TILE = 512  # frames per VMEM block (bounds blocks for long audio)
 
 
 @functools.partial(jax.jit, static_argnames=("S_TILE",))
@@ -98,7 +107,8 @@ def pallas_state_loglikes(
     S_padded = ((S + S_TILE - 1) // S_TILE) * S_TILE
     if S_padded != S:
         state_pdf = jnp.pad(state_pdf, ((0, 0), (0, S_padded - S)))
-    T_pad = (-T) % 8
+    T_TILE = min(MAX_T_TILE, ((T + 7) // 8) * 8)
+    T_pad = (-T) % T_TILE
     if T_pad:
         feats = jnp.pad(feats, ((0, 0), (0, T_pad), (0, 0)))
     Tp = T + T_pad
@@ -108,15 +118,19 @@ def pallas_state_loglikes(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, S_padded // S_TILE),
+        grid=(B, S_padded // S_TILE, Tp // T_TILE),
         in_specs=[
             pl.BlockSpec(
-                (1, Tp, D2p), lambda b, t, pdf: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, T_TILE, D2p),
+                lambda b, s, t, pdf: (b, t, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # W stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, Tp, S_TILE), lambda b, t, pdf: (b, 0, t), memory_space=pltpu.VMEM
+            (1, T_TILE, S_TILE),
+            lambda b, s, t, pdf: (b, t, s),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((S_TILE, G, D2p), jnp.float32),
