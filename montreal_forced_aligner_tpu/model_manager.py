@@ -86,16 +86,88 @@ class ModelManager:
             f"{d} (register one with `mfa-tpu model add`)"
         )
 
-    def download(self, model_type: str, name: str) -> Path:
-        """Fetch from a local mirror directory if configured; this image has
-        no network egress (the reference downloads from GitHub releases,
-        ``models.py:1654``)."""
+    # the reference's registry (``models.py:1654`` ModelManager.base_url)
+    GITHUB_API = (
+        "https://api.github.com/repos/MontrealCorpusTools/mfa-models/releases"
+    )
+
+    def _http_get(self, url: str, timeout: float = 30.0) -> bytes:
+        """One HTTP GET (urllib; honors GITHUB_TOKEN like the reference)."""
+        import urllib.request
+
+        headers = {"User-Agent": "mfa-tpu-model-manager"}
+        token = os.environ.get("GITHUB_TOKEN")
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(url, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read()
+
+    def find_release(
+        self, model_type: str, name: str, version: Optional[str] = None,
+        max_pages: int = 10,
+    ) -> Optional[dict]:
+        """Locate the MFA-models GitHub release for ``{type}-{name}``.
+
+        Release tags follow ``{model_type}-{name}-v{version}``; with no
+        version the newest matching tag wins (pages are release-date
+        ordered). Returns the release JSON dict or None."""
+        import json
+
+        if version is not None:
+            tag = f"{model_type}-{name}-v{version}"
+            try:
+                return json.loads(
+                    self._http_get(f"{self.GITHUB_API}/tags/{tag}")
+                )
+            except Exception:
+                return None
+        prefix = f"{model_type}-{name}-v"
+        for page in range(1, max_pages + 1):
+            data = json.loads(
+                self._http_get(f"{self.GITHUB_API}?per_page=100&page={page}")
+            )
+            if not data:
+                break
+            for release in data:
+                if release.get("tag_name", "").startswith(prefix):
+                    return release
+        return None
+
+    def download(
+        self, model_type: str, name: str, version: Optional[str] = None
+    ) -> Path:
+        """Fetch a pretrained model: local mirror first
+        (``MFA_TPU_MODEL_MIRROR``), then the MFA-models GitHub releases
+        (reference ``models.py:1654``). Raises with guidance when neither
+        is reachable (e.g. zero-egress images)."""
         mirror = os.environ.get("MFA_TPU_MODEL_MIRROR")
         if mirror:
             src = Path(mirror) / model_type / (name + EXTENSIONS[model_type])
             if src.exists():
                 return self.add(model_type, src, name)
+        try:
+            release = self.find_release(model_type, name, version)
+            if release is not None:
+                ext = EXTENSIONS[model_type]
+                assets = release.get("assets", [])
+                asset = next(
+                    (a for a in assets if a.get("name", "").endswith(ext)),
+                    assets[0] if assets else None,
+                )
+                if asset is not None:
+                    data = self._http_get(asset["browser_download_url"])
+                    dst = self._dir(model_type) / (name + ext)
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = dst.with_suffix(dst.suffix + ".part")
+                    tmp.write_bytes(data)
+                    tmp.rename(dst)
+                    return dst
+            network_note = f"no release found for {model_type}-{name}"
+        except Exception as e:  # URLError, timeout, JSON errors, ...
+            network_note = f"network unavailable ({e.__class__.__name__})"
         raise RuntimeError(
-            "model downloads require network access or MFA_TPU_MODEL_MIRROR; "
-            f"place the archive manually and run: mfa-tpu model add {model_type} <path>"
+            f"could not download {model_type} model {name!r}: {network_note}. "
+            "Set MFA_TPU_MODEL_MIRROR to a local mirror, or place the "
+            f"archive manually and run: mfa-tpu model add {model_type} <path>"
         )

@@ -751,35 +751,73 @@ def _accumulate_events(
 
 
 def select_training_subset(
-    corpus, subset_size: int, min_word_count: int = 3, seed: int = 0
+    corpus, subset_size: int, min_word_count: int = 3, seed: int = 1234
 ) -> set:
-    """Pick a training subset (reference ``create_subset``,
-    ``corpus/base.py:2526-2680``): only utterances with more than
-    ``min_word_count`` words, preferring shorter utterances and speaker
-    diversity (round-robin over speakers in ascending-duration order)."""
-    from collections import defaultdict
+    """Pick a training subset with the reference's preference rules
+    (``create_subset``, ``corpus/base.py:2526-2680``):
 
-    eligible = defaultdict(list)
+    - only utterances with more than ``min_word_count`` (3) words;
+    - subsets <= 25k exclude cutoff/hesitation-containing utterances;
+    - prefer speakers with at least 30 (then 15, then 5)
+      shorter-than-average utterances, the first threshold whose speakers
+      cover the subset;
+    - when the eligible pool exceeds 10x the subset, sample from the 10x
+      shortest candidates (shuffled), then drop speakers that landed
+      fewer than 5 utterances in the subset.
+
+    The reference's per-dictionary quotas and ignored/duration-deviation
+    flags apply to its multi-dictionary DB corpora; this pipeline carries
+    one lexicon and filters outliers via ``quality_check_subset`` instead.
+    """
+    import random
+    import re
+    from collections import Counter
+
+    cutoff_re = re.compile(r"[<\[{](cutoff|hes)", re.IGNORECASE)
+    eligible: List[Tuple[object, float]] = []  # (utterance, duration proxy)
     for utt in corpus.utterances:
         tokens = utt.normalized_tokens or utt.text.split()
         if len(tokens) <= min_word_count:
             continue
-        dur = utt.num_frames if utt.num_frames else len(tokens)
-        eligible[utt.speaker].append((dur, utt.id))
-    for spk in eligible:
-        eligible[spk].sort()
-    chosen: set = set()
-    speakers = sorted(eligible)
-    idx = {s: 0 for s in speakers}
-    while len(chosen) < subset_size:
-        progressed = False
-        for s in speakers:
-            if idx[s] < len(eligible[s]):
-                chosen.add(eligible[s][idx[s]][1])
-                idx[s] += 1
-                progressed = True
-                if len(chosen) >= subset_size:
-                    break
-        if not progressed:
+        if subset_size <= 25000 and any(cutoff_re.match(t) for t in tokens):
+            continue
+        dur = float(utt.num_frames if utt.num_frames else len(tokens))
+        eligible.append((utt, dur))
+    if len(eligible) <= subset_size:
+        return {utt.id for utt, _d in eligible}
+
+    average = sum(d for _u, d in eligible) / len(eligible)
+    shorter_counts = Counter(
+        utt.speaker for utt, d in eligible if d <= average
+    )
+    preferred_speakers = None
+    for utt_count_cutoff in (30, 15, 5):
+        valid = {
+            s for s, c in shorter_counts.items() if c >= utt_count_cutoff
+        }
+        if sum(shorter_counts[s] for s in valid) >= subset_size:
+            preferred_speakers = valid
             break
-    return chosen
+
+    pool = eligible
+    if preferred_speakers is not None:
+        pool = [
+            (u, d) for u, d in eligible if u.speaker in preferred_speakers
+        ]
+    rng = random.Random(seed)
+    larger = subset_size * 10
+    if len(eligible) > larger:
+        pool = sorted(pool, key=lambda x: (x[1], x[0].id))[:larger]
+        if len(pool) >= subset_size:
+            chosen = rng.sample(pool, subset_size)
+        else:
+            chosen = pool
+        # drop speakers that landed too few utterances to train on
+        spk_counts = Counter(u.speaker for u, _d in chosen)
+        thin = {s for s, c in spk_counts.items() if c < 5}
+        chosen = [(u, d) for u, d in chosen if u.speaker not in thin]
+    elif len(pool) >= subset_size:
+        chosen = rng.sample(pool, subset_size)
+    else:
+        chosen = pool
+    return {u.id for u, _d in chosen}

@@ -948,3 +948,54 @@ def test_validate_cli_options(tmp_path):
     assert "OOV types: 1" in r.output
     assert "zzzoov\t1" in (out / "oovs_found.txt").read_text()
     assert "zzzoov" in (out / "utterance_oovs.txt").read_text()
+
+
+def test_model_manager_download_network_path(tmp_path, monkeypatch):
+    """The registry's GitHub download path (reference models.py:1654):
+    release lookup by tag prefix, asset selection by extension, atomic
+    write — exercised against a faked GitHub API (no egress here)."""
+    import json
+
+    from montreal_forced_aligner_tpu import model_manager as MM
+
+    mgr = MM.ModelManager(root=tmp_path / "models")
+    payload = b"PK\x05\x06" + b"\x00" * 18  # minimal empty zip
+
+    def fake_get(self, url, timeout=30.0):
+        if url.startswith(MM.ModelManager.GITHUB_API + "?"):
+            return json.dumps(
+                [
+                    {"tag_name": "g2p-other-v3.0.0", "assets": []},
+                    {
+                        "tag_name": "acoustic-english_us_arpa-v3.0.0",
+                        "assets": [
+                            {
+                                "name": "english_us_arpa.zip",
+                                "browser_download_url": "https://x/a.zip",
+                            }
+                        ],
+                    },
+                ]
+            ).encode()
+        if url == "https://x/a.zip":
+            return payload
+        raise AssertionError(url)
+
+    monkeypatch.setattr(MM.ModelManager, "_http_get", fake_get)
+    out = mgr.download("acoustic", "english_us_arpa")
+    assert out.exists() and out.read_bytes() == payload
+    assert mgr.resolve("acoustic", "english_us_arpa") == out
+
+
+def test_model_manager_download_offline_guidance(tmp_path, monkeypatch):
+    from montreal_forced_aligner_tpu import model_manager as MM
+
+    mgr = MM.ModelManager(root=tmp_path / "models")
+
+    def fail(self, url, timeout=30.0):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(MM.ModelManager, "_http_get", fail)
+    monkeypatch.delenv("MFA_TPU_MODEL_MIRROR", raising=False)
+    with pytest.raises(RuntimeError, match="MFA_TPU_MODEL_MIRROR"):
+        mgr.download("acoustic", "english_us_arpa")
