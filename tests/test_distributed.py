@@ -280,6 +280,81 @@ def test_cli_train_two_process(tmp_path):
     )
 
 
+def test_cli_align_two_process(tmp_path):
+    """Multi-host alignment THROUGH THE CLI: two jax.distributed processes
+    align the shared corpus, each exporting its own speakers' files; the
+    union equals a single-process run's output."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from helpers import build_synthetic_model
+    from test_training import WORD_PHONES, make_training_corpus
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=6)
+    # synthetic model whose phones cover the training corpus' tones
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.io.wav import read_wave
+
+    first_wav = sorted(corpus_dir.rglob("*.wav"))[0]
+    model_path, dict_path = build_synthetic_model(
+        tmp_path, wave=read_wave(first_wav).samples
+    )
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    # single-process reference
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    al = PretrainedAligner(
+        model_path, dict_path,
+        AlignerConfig(batch_size=4, frame_bucket_multiple=32),
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = al.align_corpus(corpus)
+    ref_out = tmp_path / "ref_out"
+    ref_files = {p.name for p in al.export_textgrids(corpus, results, ref_out)}
+
+    port = 15000 + (os.getpid() % 2000)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent) + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
+    worker = Path(__file__).parent / "multihost_align_worker.py"
+    out_dir = tmp_path / "mh_out"
+    procs = [
+        subprocess.Popen(
+            [
+                _sys.executable, str(worker), str(pid), "2", str(port),
+                str(corpus_dir), str(dict_path), str(model_path),
+                str(out_dir),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    got = {p.name for p in out_dir.rglob("*.TextGrid")}
+    assert got == ref_files
+
+
 def test_cli_train_distributed(tmp_path):
     import yaml
     from click.testing import CliRunner
