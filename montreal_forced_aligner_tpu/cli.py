@@ -37,11 +37,32 @@ def _honor_jax_platforms_env() -> None:
         pass
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA executable cache (remote-attached TPUs pay 20-75 s per
+    compile; the cache makes repeat CLI invocations warm-start). Disable
+    with MFA_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("MFA_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_mfa"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 @click.group(name="mfa-tpu")
 def cli():
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
     _honor_jax_platforms_env()
+    _enable_compilation_cache()
     # multi-host pod runs: stitch the processes into one global device set
     # before any backend use (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
     # JAX_PROCESS_ID, or the TPU runtime's automatic discovery)
@@ -1223,6 +1244,25 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
         speaker_characters=speaker_characters,
         audio_directory=audio_directory,
     )
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # multi-host: decode is per-utterance independent — each host takes
+        # its speakers and exports its own transcripts (same scheme as
+        # align; reference analogue: speaker-sharded jobs)
+        from montreal_forced_aligner_tpu.parallel.multihost import (
+            shard_corpus_for_host,
+        )
+
+        corpus = corpus.subset(
+            shard_corpus_for_host(
+                corpus, _jax.process_index(), _jax.process_count()
+            )
+        )
+        click.echo(
+            f"host {_jax.process_index()}/{_jax.process_count()}: "
+            f"transcribing {corpus.num_utterances} utterances"
+        )
     rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
     results = tr.transcribe_corpus(
         corpus, nbest=nbest, rescore_lm=rescore_lm,
