@@ -217,8 +217,14 @@ def main():
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
 
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
-    num_utts = 16 if SMALL else 96
+    num_utts = 16 if SMALL else 64
     repeats = 2 if SMALL else 3
+    # wall budget before starting the SAT workload: the axon tunnel's
+    # compile times are erratic (20-75 s each); rather than losing the
+    # whole JSON line to a driver timeout, skip SAT when the mono phase
+    # already ate the budget (override: MFA_TPU_BENCH_SAT_BUDGET seconds)
+    sat_budget = float(os.environ.get("MFA_TPU_BENCH_SAT_BUDGET", 360))
+    t_start = time.time()
 
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
@@ -241,22 +247,29 @@ def main():
         mono_tp = measure(mono, mono_corpus, mono_audio, repeats)
 
         # ---- SAT-scale workload (the real shape: ~5k pdfs, LDA, fMLLR)
-        from helpers import build_sat_scale_model
+        sat_tp = None
+        breakdown = None
+        if time.time() - t_start < sat_budget:
+            try:
+                from helpers import build_sat_scale_model
 
-        sat_model, sat_dict = build_sat_scale_model(
-            tmp, gauss_per_pdf=4 if SMALL else 32
-        )
-        sat = PretrainedAligner(
-            sat_model, sat_dict, AlignerConfig(batch_size=32)
-        )
-        sat_corpus_dir, sat_audio = build_corpus(
-            tmp, list(sat.lexicon.words),
-            max(num_utts // 2, 8), seed=1, name="sat_corpus",
-        )
-        sat_corpus = Corpus.load(sat_corpus_dir)
-        sat_tp = measure(sat, sat_corpus, sat_audio, max(repeats - 2, 1))
-
-        breakdown = phase_breakdown(sat, sat_corpus) if BREAKDOWN else None
+                sat_model, sat_dict = build_sat_scale_model(
+                    tmp, gauss_per_pdf=4 if SMALL else 32
+                )
+                sat = PretrainedAligner(
+                    sat_model, sat_dict, AlignerConfig(batch_size=32)
+                )
+                sat_corpus_dir, sat_audio = build_corpus(
+                    tmp, list(sat.lexicon.words),
+                    32 if not SMALL else 8, seed=1, name="sat_corpus",
+                )
+                sat_corpus = Corpus.load(sat_corpus_dir)
+                sat_tp = measure(sat, sat_corpus, sat_audio, 1)
+                breakdown = (
+                    phase_breakdown(sat, sat_corpus) if BREAKDOWN else None
+                )
+            except Exception as e:  # report mono rather than nothing
+                print(f"SAT workload failed: {e!r}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -267,7 +280,7 @@ def main():
                 # MFA multiprocess-CPU baseline not measured in situ (kalpy
                 # not installable here); no placeholder ratios
                 "vs_baseline": None,
-                "sat_throughput": round(sat_tp, 2),
+                "sat_throughput": None if sat_tp is None else round(sat_tp, 2),
                 "sat_workload": "5k pdfs, 32 gauss/pdf, 40d LDA, 2-pass fMLLR",
                 "breakdown": breakdown,
             }

@@ -208,6 +208,14 @@ class ViterbiEmTrainer:
     # ``acoustic_modeling/base.py:820-826``); set by the orchestrator
     checkpoint_dir = None
 
+    def _ckpt_suffix(self) -> str:
+        """Multi-process runs write per-host files: the model arrays are
+        identical everywhere, but the cached alignments are each host's own
+        corpus rows."""
+        import jax as _jax
+
+        return f".p{_jax.process_index()}" if _jax.process_count() > 1 else ""
+
     def _save_iter_checkpoint(self, it, pipeline, current_target) -> None:
         import json as _json
         from pathlib import Path
@@ -235,13 +243,15 @@ class ViterbiEmTrainer:
                 data[f"state_path_{i}"] = fb.state_path
                 data[f"frame_tid_{i}"] = fb.frame_tid
                 data[f"align_scores_{i}"] = fb.align_scores
-        tmp = d / f"{it}.npz.tmp"
+        sfx = self._ckpt_suffix()
+        tmp = d / f"{it}{sfx}.npz.tmp"
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **data)
-        tmp.rename(d / f"{it}.npz")
+        tmp.rename(d / f"{it}{sfx}.npz")
         # only the latest checkpoint is needed for resume
-        for old in d.glob("*.npz"):
-            if old.stem.isdigit() and int(old.stem) < it:
+        for old in d.glob(f"*{sfx}.npz"):
+            stem = old.name[: -len(f"{sfx}.npz")] if sfx else old.stem
+            if stem.isdigit() and int(stem) < it:
                 old.unlink()
 
     def _load_iter_checkpoint(self, pipeline) -> int:
@@ -260,16 +270,19 @@ class ViterbiEmTrainer:
         d = Path(self.checkpoint_dir)
         if not d.exists():
             return 0, None
-        iters = sorted(
-            (int(p.stem) for p in d.glob("*.npz") if p.stem.isdigit()),
-            reverse=True,
-        )
+        sfx = self._ckpt_suffix()
+        stems = []
+        for p in d.glob(f"*{sfx}.npz"):
+            stem = p.name[: -len(f"{sfx}.npz")] if sfx else p.stem
+            if stem.isdigit():
+                stems.append(int(stem))
+        iters = sorted(stems, reverse=True)
         if not iters:
             return 0, None
         it = iters[0]
         if it > self.config.num_iterations:
             return 0, None
-        data = np.load(d / f"{it}.npz")
+        data = np.load(d / f"{it}{sfx}.npz")
         self.tm.log_probs = data["tm_log_probs"]
         gmm = DiagGmmSet(
             weights=data["gmm_weights"],
@@ -337,25 +350,34 @@ class ViterbiEmTrainer:
         if resumed_target is not None:
             current_target = resumed_target
 
+        import time as _time
+
         for it in range(start_it + 1, cfg.num_iterations + 1):
+            _t0 = _time.time()
             if it in realign_iters:
                 self._realign(pipeline)
+            _t_realign = _time.time() - _t0
             acc = self._accumulate(pipeline)
             if it <= final_gauss_iter:
                 current_target = min(current_target + increment, cfg.max_gaussians)
             self._update(acc, mixup_target=current_target)
             self.post_iteration(it, pipeline)
             ll_frame = acc.total_loglike / max(acc.total_frames, 1.0)
+            _elapsed = _time.time() - _t0
             self.iteration_log.append(
                 {
                     "iteration": it,
                     "loglike_per_frame": ll_frame,
                     "num_gaussians": int(self.gmm.total_gauss),
+                    "seconds": round(_elapsed, 3),
+                    "realign_seconds": round(_t_realign, 3),
                 }
             )
             logger.info(
-                "%s iter %d: loglike/frame %.4f, %d gaussians",
+                "%s iter %d: loglike/frame %.4f, %d gaussians (%.2fs%s)",
                 self.train_type, it, ll_frame, self.gmm.total_gauss,
+                _elapsed,
+                f", realign {_t_realign:.2f}s" if it in realign_iters else "",
             )
             if self.checkpoint_dir is not None:
                 self._save_iter_checkpoint(it, pipeline, current_target)
