@@ -234,3 +234,41 @@ def test_triphone_cross_word_parity(tmp_path):
     report = compare_corpus(al, Corpus.load(corpus_dir))
     assert len(report) == 8
     _assert_frame_exact(report)
+
+
+def test_variable_length_topology_parity(tmp_path):
+    """MFA 2.0+ default topology (min 1 frame per phone, skippable
+    states): the independent decoder's generic topology expansion must
+    agree frame-exactly with the production compiler + DP."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_training import WORD_PHONES, make_training_corpus
+
+    from montreal_forced_aligner_tpu.training.base import TrainerConfig
+    from montreal_forced_aligner_tpu.training.trainer import (
+        StageConfig,
+        TrainableAligner,
+    )
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=6)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    ta = TrainableAligner(
+        corpus_dir, dict_path,
+        recipe=[StageConfig("monophone", "mono", 4, 40)],
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4, variable_length_topology=True, distributed=False,
+    )
+    final = ta.train()
+    model_path = tmp_path / "var.zip"
+    final.save(model_path)
+    al = PretrainedAligner(
+        model_path, dict_path,
+        AlignerConfig(batch_size=4, frame_bucket_multiple=32),
+    )
+    report = compare_corpus(al, Corpus.load(corpus_dir))
+    assert len(report) == 6
+    _assert_frame_exact(report)
