@@ -652,6 +652,8 @@ def version_cli():
               help="Run training as one SPMD program over all devices "
                    "(jax.sharding.Mesh; auto-on for multi-chip TPU hosts and "
                    "multi-process pod runs)")
+@click.option("--profile_dir", type=click.Path(), default=None,
+              help="Write a JAX profiler trace of the training run here")
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
@@ -660,7 +662,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
               config_path, rules_path, topology_path, phone_groups_path,
-              variable_length_topology, distributed):
+              variable_length_topology, distributed, profile_dir):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -726,7 +728,16 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         distributed=distributed,
         language=language,
     )
-    final = ta.train()
+    import contextlib
+
+    if profile_dir:
+        import jax as _jax
+
+        trace_cm = _jax.profiler.trace(str(profile_dir))
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        final = ta.train()
     ta.export_model(output_model_path)
     click.echo(f"Saved model to {output_model_path}")
     if output_directory is not None:
