@@ -395,6 +395,7 @@ class PretrainedAligner:
         self._device_gmm = self._prepare_gmm()
         self._gmm_per_device = {}
         self._graph_pool_obj = None
+        self._shard_emit_fns = {}
 
     def _graph_pool(self, num_items: int):
         """Lazily created persistent graph-compile pool, or None when the
@@ -410,6 +411,68 @@ class PretrainedAligner:
 
             self._graph_pool_obj = ParallelGraphCompiler(self.compilers, n)
         return self._graph_pool_obj
+
+    def _sharded_emit_and_align(self, band_limits, with_w_rows):
+        """shard_map-wrapped emit+align for mesh mode: each shard runs the
+        full single-device program — including the Pallas kernels, which are
+        not GSPMD-partitionable but compose fine per shard (the documented
+        pallas-under-multi-device pattern). Built once per (band bucket,
+        emission path) and cached."""
+        key = (band_limits, with_w_rows)
+        fn = self._shard_emit_fns.get(key)
+        if fn is not None:
+            return fn
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec
+
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+        import inspect as _inspect
+
+        no_rep = (
+            {"check_vma": False}
+            if "check_vma" in _inspect.signature(_shard_map).parameters
+            else {"check_rep": False}
+        )
+        data = PartitionSpec("data")
+        rep = PartitionSpec()
+        gspecs = BatchedGraph(*([data] * len(BatchedGraph._fields)))
+
+        def local(ff, fl, graph, W, gc, *w):
+            return _emit_and_align(
+                ff, fl, graph, W, gc, self.config.acoustic_scale,
+                band_limits=band_limits,
+                w_rows=w[0] if w else None,
+                use_pallas=True,
+            )
+
+        in_specs = (data, data, gspecs, rep, rep) + ((rep,) if with_w_rows else ())
+        fn = jax.jit(
+            _shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(data, data), **no_rep,
+            )
+        )
+        self._shard_emit_fns[key] = fn
+        return fn
+
+    def _run_emit_and_align(self, ff, flens_dev, graph, W_d, gc_d, w_rows_d,
+                            band_limits):
+        """Dispatch emit+align on the right execution path (mesh shard_map
+        vs single-device jit)."""
+        if self.mesh is not None:
+            fn = self._sharded_emit_and_align(band_limits, w_rows_d is not None)
+            args = (ff, flens_dev, graph, W_d, gc_d)
+            if w_rows_d is not None:
+                args = args + (w_rows_d,)
+            return fn(*args)
+        return _emit_and_align(
+            ff, flens_dev, graph, W_d, gc_d, self.config.acoustic_scale,
+            band_limits=band_limits, w_rows=w_rows_d, use_pallas=True,
+        )
 
     def _put_b(self, x, device=None):
         """Batch-leading placement: mesh-sharded in distributed mode, else
@@ -440,18 +503,11 @@ class PretrainedAligner:
         key = "mesh" if self.mesh is not None else device
         if key not in self._gmm_per_device:
             W, gconsts, w_rows = self._device_gmm
-            if self.mesh is not None:
-                # the Pallas emission kernel is not GSPMD-partitionable;
-                # distributed mode uses the one-hot emission path
-                self._gmm_per_device[key] = (
-                    self._put_rep(W), self._put_rep(gconsts), None,
-                )
-            else:
-                self._gmm_per_device[key] = (
-                    self._put_rep(W, device),
-                    self._put_rep(gconsts, device),
-                    None if w_rows is None else self._put_rep(w_rows, device),
-                )
+            self._gmm_per_device[key] = (
+                self._put_rep(W, device),
+                self._put_rep(gconsts, device),
+                None if w_rows is None else self._put_rep(w_rows, device),
+            )
         return self._gmm_per_device[key]
 
     def _prepare_gmm(self):
@@ -512,7 +568,7 @@ class PretrainedAligner:
         gc1 = self._put_rep(ali_gmm.gconsts)
         P1, G1, _D1 = ali_gmm.means_invvars.shape
         w_rows1 = None
-        if self.mesh is None and _pallas_emission_eligible(P1, G1):
+        if _pallas_emission_eligible(P1, G1):
             from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
 
             w_rows1 = jnp.asarray(
@@ -537,12 +593,9 @@ class PretrainedAligner:
 
         paths = []
         for batch, flens, garrs, graph, ff in prepared:
-            state_path, _sc = _emit_and_align(
-                ff, self._put_b(flens), graph, W1, gc1,
-                self.config.acoustic_scale,
-                band_limits=garrs.get("_band_limits"),
-                w_rows=w_rows1,
-                use_pallas=self.mesh is None,
+            state_path, _sc = self._run_emit_and_align(
+                ff, self._put_b(flens), graph, W1, gc1, w_rows1,
+                garrs.get("_band_limits"),
             )
             paths.append(state_path)
         start_host_copies(paths)
@@ -824,16 +877,9 @@ class PretrainedAligner:
             )
             W_d, gc_d, w_rows_d = self._gmm_on(dev)
             band_limits = garrs.pop("_band_limits", None)
-            state_path, scores = _emit_and_align(
-                ff,
-                self._put_b(flens, dev),
-                graph,
-                W_d,
-                gc_d,
-                cfg.acoustic_scale,
-                band_limits=band_limits,
-                w_rows=w_rows_d,
-                use_pallas=self.mesh is None,
+            state_path, scores = self._run_emit_and_align(
+                ff, self._put_b(flens, dev), graph, W_d, gc_d, w_rows_d,
+                band_limits,
             )
             conf = None
             if cfg.compute_confidence:

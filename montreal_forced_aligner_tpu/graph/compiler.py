@@ -936,12 +936,15 @@ def ship_graph_to_device(garrs: dict, device=None, mesh=None):
     if mesh is not None:
         from montreal_forced_aligner_tpu.training.base import put_batch
 
+        # ALL fields ship sharded (the label arrays too): the mesh path may
+        # run the DP under shard_map, whose in_specs cover every pytree
+        # leaf; unused fields are DCE'd by XLA after placement
         out = {
             k: put_batch(np.ascontiguousarray(garrs[k]), mesh)
-            for k in DEVICE_INT_GRAPH_KEYS + DEVICE_FLOAT_GRAPH_KEYS
+            for k in DEVICE_INT_GRAPH_KEYS
+            + DEVICE_FLOAT_GRAPH_KEYS
+            + HOST_GRAPH_KEYS
         }
-        for k in HOST_GRAPH_KEYS:
-            out[k] = garrs[k]
         return BatchedGraph(**out)
 
     int_arrays = [garrs[k] for k in DEVICE_INT_GRAPH_KEYS]
