@@ -183,6 +183,63 @@ class TrainingPipeline:
     def put_rep(self, x):
         return put_replicated(x, self.mesh)
 
+    def sharded_align_fn(self, band_limits, equal: bool, acoustic_scale: float):
+        """shard_map-wrapped realignment step for mesh mode: each shard
+        runs the full single-device program including the Pallas kernels
+        (not GSPMD-partitionable, but fine per shard). Cached per
+        (band bucket, equal-align, scale)."""
+        key = (band_limits, equal, acoustic_scale)
+        cache = getattr(self, "_shard_align_fns", None)
+        if cache is None:
+            cache = self._shard_align_fns = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        import inspect as _inspect
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec
+
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        no_rep = (
+            {"check_vma": False}
+            if "check_vma" in _inspect.signature(_shard_map).parameters
+            else {"check_rep": False}
+        )
+        data = PartitionSpec("data")
+        rep = PartitionSpec()
+        gspecs = BatchedGraph(*([data] * len(BatchedGraph._fields)))
+        if equal:
+
+            def local(feats, fl, graph):
+                return _equal_align_batch(
+                    feats, fl, graph, band_limits=band_limits,
+                    use_pallas=True,
+                )
+
+            in_specs = (data, data, gspecs)
+        else:
+
+            def local(feats, fl, graph, W, gconsts):
+                return _align_batch(
+                    feats, fl, graph, W, gconsts, acoustic_scale,
+                    band_limits=band_limits, use_pallas=True,
+                )
+
+            in_specs = (data, data, gspecs, rep, rep)
+        fn = jax.jit(
+            _shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(data, data), **no_rep,
+            )
+        )
+        cache[key] = fn
+        return fn
+
     def _row_multiple(self) -> int:
         """Batch rows must divide evenly over the mesh (pad rows carry
         frame_length 0 and contribute nothing to stats or alignments)."""

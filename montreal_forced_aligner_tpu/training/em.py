@@ -122,17 +122,23 @@ class ViterbiEmTrainer:
         pending = []
         for fb in pipeline.batches:
             flens_j = pipeline.put_b(fb.frame_lengths)
-            use_pallas = pipeline.mesh is None
-            if equal:
+            if pipeline.mesh is not None:
+                # per-shard execution keeps the Pallas kernels (shard_map)
+                fn = pipeline.sharded_align_fn(
+                    fb.band_limits, equal, self.config.acoustic_scale
+                )
+                args = (fb.put_b(fb.feats), flens_j, fb.graph)
+                out = fn(*args) if equal else fn(*args, W, gconsts)
+            elif equal:
                 out = _equal_align_batch(
                     fb.put_b(fb.feats), flens_j, fb.graph,
-                    band_limits=fb.band_limits, use_pallas=use_pallas,
+                    band_limits=fb.band_limits,
                 )
             else:
                 out = _align_batch(
                     fb.put_b(fb.feats), flens_j, fb.graph, W, gconsts,
                     self.config.acoustic_scale,
-                    band_limits=fb.band_limits, use_pallas=use_pallas,
+                    band_limits=fb.band_limits,
                 )
             pending.append((fb, out))
         fetched = fetch_all([out for _fb, out in pending])
