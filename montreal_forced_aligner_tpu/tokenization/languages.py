@@ -109,7 +109,18 @@ class EnglishTokenizer(LanguageTokenizer):
 
     def _split_word(self, word: str) -> List[str]:
         """Morpheme split when the composed form is OOV but the base is
-        known and the suffix morpheme exists in the dictionary."""
+        known and the suffix morpheme exists in the dictionary. Edge
+        punctuation is ignored for matching (the simple tokenizer strips it
+        downstream anyway); the reference operates on spacy tokens, which
+        arrive pre-separated from punctuation."""
+        # sentence punctuation only — bracketed spans ([...]/<...>) must
+        # survive intact for the simple tokenizer's [bracketed] handling
+        trimmed = word.strip(".,;:!?\"")
+        if trimmed and trimmed != word:
+            inner = self._split_word(trimmed)
+            if inner != [trimmed]:
+                return inner
+            return [word]
         lower = word.lower()
         if self._in_vocab(lower) or not self.word_set:
             return [word]
