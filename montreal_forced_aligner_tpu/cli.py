@@ -910,6 +910,29 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
         )
 
         tr = Transcriber(acoustic_model_path, dictionary_path)
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # multi-host: per-speaker LM decode is speaker-independent —
+            # each host trains LMs for and decodes its own speakers, the
+            # direct analogue of the reference's speaker-sharded
+            # TrainSpeakerLmFunction + PerSpeakerDecodeFunction jobs
+            # (language_modeling/multiprocessing.py:247,
+            # transcription/multiprocessing.py:1454)
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                shard_corpus_for_host,
+            )
+
+            corpus = corpus.subset(
+                shard_corpus_for_host(
+                    corpus, _jax.process_index(), _jax.process_count()
+                )
+            )
+            click.echo(
+                f"host {_jax.process_index()}/{_jax.process_count()}: "
+                f"decoding {corpus.num_utterances} utterances with "
+                f"per-speaker LMs"
+            )
         # per-speaker LMs, matching the reference's validation decode
         # (PerSpeakerDecodeFunction, transcription/multiprocessing.py:1454)
         results = tr.transcribe_corpus_per_speaker(corpus)

@@ -355,6 +355,68 @@ def test_cli_align_two_process(tmp_path):
     assert got == ref_files
 
 
+def test_cli_validate_two_process(tmp_path):
+    """Multi-host ``validate --test_transcriptions`` THROUGH THE CLI: the
+    per-speaker-LM decode shards speakers onto hosts (reference analogue:
+    speaker-sharded TrainSpeakerLmFunction + PerSpeakerDecodeFunction jobs,
+    ``language_modeling/multiprocessing.py:247``,
+    ``transcription/multiprocessing.py:1454``); the hosts' decode counts
+    partition the corpus."""
+    import os
+    import re
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from helpers import build_synthetic_model
+
+    from montreal_forced_aligner_tpu.io.wav import read_wave
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=6)
+    first_wav = sorted(corpus_dir.rglob("*.wav"))[0]
+    model_path, dict_path = build_synthetic_model(
+        tmp_path, wave=read_wave(first_wav).samples
+    )
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    port = 17200 + (os.getpid() % 2000)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent) + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
+    worker = Path(__file__).parent / "multihost_validate_worker.py"
+    procs = [
+        subprocess.Popen(
+            [
+                _sys.executable, str(worker), str(pid), "2", str(port),
+                str(corpus_dir), str(dict_path), str(model_path),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    counts = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        m = re.search(r"DECODED (\d+)", out)
+        assert m, out
+        counts.append(int(m.group(1)))
+    # two speakers, six utterances: each host owns one speaker's utterances
+    assert sum(counts) == 6
+    assert all(0 < c < 6 for c in counts)
+
+
 def test_cli_train_distributed(tmp_path):
     import yaml
     from click.testing import CliRunner
