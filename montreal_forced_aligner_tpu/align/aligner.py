@@ -547,6 +547,39 @@ class PretrainedAligner:
                     pdfs.add(pdf)
         return np.array(sorted(pdfs), dtype=np.int32)
 
+    def _fmllr_params_on(self):
+        """Device-resident two-pass model constants, cached across
+        ``align_corpus`` calls (the SI alignment model + fMLLR parameter
+        tensors are ~200 MB at SAT scale; re-shipping them per call costs
+        seconds on remote-attached TPUs)."""
+        if getattr(self, "_fmllr_device_params", None) is not None:
+            return self._fmllr_device_params
+        ali_tm, ali_gmm = self.model.alignment_model
+        W1_host, _ = ali_gmm.flatten_for_device()
+        W1 = self._put_rep(W1_host)
+        gc1 = self._put_rep(ali_gmm.gconsts)
+        P1, G1, _D1 = ali_gmm.means_invvars.shape
+        w_rows1 = None
+        if _pallas_emission_eligible(P1, G1):
+            from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
+
+            w_rows1 = self._put_rep(
+                pack_rows(
+                    ali_gmm.means_invvars, ali_gmm.inv_vars, ali_gmm.gconsts
+                )
+            )
+        gmm = self.model.gmm
+        self._fmllr_device_params = (
+            W1,
+            gc1,
+            w_rows1,
+            self._put_rep(gmm.get_means()),
+            self._put_rep(gmm.inv_vars),
+            self._put_rep(gmm.gconsts),
+            self._put_rep(gmm.means_invvars),
+        )
+        return self._fmllr_device_params
+
     def _fmllr_second_pass_feats(
         self, prepared, corpus, speaker_index, num_speakers
     ):
@@ -562,23 +595,7 @@ class PretrainedAligner:
             estimate_speaker_fmllr,
         )
 
-        ali_tm, ali_gmm = self.model.alignment_model
-        W1, _ = ali_gmm.flatten_for_device()
-        W1 = self._put_rep(W1)
-        gc1 = self._put_rep(ali_gmm.gconsts)
-        P1, G1, _D1 = ali_gmm.means_invvars.shape
-        w_rows1 = None
-        if _pallas_emission_eligible(P1, G1):
-            from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
-
-            w_rows1 = jnp.asarray(
-                pack_rows(ali_gmm.means_invvars, ali_gmm.inv_vars, ali_gmm.gconsts)
-            )
-        gmm = self.model.gmm
-        means = self._put_rep(gmm.get_means())
-        iv = self._put_rep(gmm.inv_vars)
-        gc = self._put_rep(gmm.gconsts)
-        miv = self._put_rep(gmm.means_invvars)
+        W1, gc1, w_rows1, means, iv, gc, miv = self._fmllr_params_on()
         sil_pdfs = self._silence_pdfs()
 
         # dispatch every first-pass alignment before fetching any state path,
@@ -591,6 +608,9 @@ class PretrainedAligner:
             start_host_copies,
         )
 
+        import time as _time
+
+        _t0 = _time.time()
         paths = []
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = self._run_emit_and_align(
@@ -599,6 +619,10 @@ class PretrainedAligner:
             )
             paths.append(state_path)
         start_host_copies(paths)
+        _logger.debug(
+            "fmllr pass-1 dispatch took %.3fs", _time.time() - _t0
+        )
+        _t0 = _time.time()
         # device-resident (K, G, beta) running sums, one per device (batches
         # are placed round-robin; cross-device adds are not allowed)
         stats_per_dev = {}
@@ -634,15 +658,27 @@ class PretrainedAligner:
                 if prev is None
                 else tuple(a + b_ for a, b_ in zip(prev, out))
             )
+        _logger.debug(
+            "fmllr pass-1 fetch + stats dispatch took %.3fs",
+            _time.time() - _t0,
+        )
+        _t0 = _time.time()
         # float64 for the host-side row solves (device sums are float32)
         per_dev = fetch_all(list(stats_per_dev.values()))
         K = sum(s[0].astype(np.float64) for s in per_dev)
         G = sum(s[1].astype(np.float64) for s in per_dev)
         beta = sum(s[2].astype(np.float64) for s in per_dev)
+        _logger.debug(
+            "fmllr stats fetch took %.3fs", _time.time() - _t0
+        )
+        _t0 = _time.time()
         transforms = estimate_speaker_fmllr(
             K, G, beta, min_count=self.config.fmllr_min_count
         )
         trans_j = jnp.asarray(transforms)
+        _logger.debug(
+            "fmllr host solve took %.3fs", _time.time() - _t0
+        )
         out_prepared = []
         for (batch, flens, garrs, graph, ff), spk_idx in zip(
             prepared, spk_indices
@@ -864,12 +900,22 @@ class PretrainedAligner:
             )
             prepared.append((batch, flens, garrs, graph, ff))
 
+        _logger.debug(
+            "phase B prep (graphs shipped + final feats) took %.3fs",
+            _time.time() - _phase_t0,
+        )
+        _sub_t0 = _time.time()
         two_pass = self.model.uses_fmllr and self.model.alignment_model is not None
         if two_pass:
             prepared = self._fmllr_second_pass_feats(
                 prepared, corpus, speaker_index, num_speakers
             )
 
+        if two_pass:
+            _logger.debug(
+                "fmllr two-pass total took %.3fs", _time.time() - _sub_t0
+            )
+        _sub_t0 = _time.time()
         pending = []
         for batch, flens, garrs, graph, ff in prepared:
             dev = (
@@ -891,6 +937,10 @@ class PretrainedAligner:
         from montreal_forced_aligner_tpu.training.base import start_host_copies
 
         start_host_copies([(sp, sc, cf) for _b, _fl, _g, sp, sc, cf in pending])
+        _logger.debug(
+            "final-pass dispatch took %.3fs", _time.time() - _sub_t0
+        )
+        _sub_t0 = _time.time()
 
         for batch, flens, garrs, state_path, scores, conf in pending:
             state_path = np.asarray(state_path)
@@ -914,6 +964,9 @@ class PretrainedAligner:
                 )
             if callback:
                 callback(len(batch))
+        _logger.debug(
+            "path fetch + CTM extraction took %.3fs", _time.time() - _sub_t0
+        )
         _logger.debug(
             "align phase B (emission+Viterbi+CTM) took %.3fs",
             _time.time() - _phase_t0,

@@ -255,6 +255,89 @@ def solve_fmllr(
     return W.astype(np.float32)
 
 
+def solve_fmllr_batched(
+    K: np.ndarray,  # (S, D, D+1)
+    G_mats: np.ndarray,  # (S, D, D+1, D+1)
+    beta: np.ndarray,  # (S,)
+    num_iters: int = 40,
+) -> np.ndarray:
+    """Row-wise fMLLR solve for S speakers in lockstep: same sweep math as
+    :func:`solve_fmllr`, vectorized over the speaker axis so the wall time
+    is independent of speaker count (the per-speaker loop costs ~0.2 s per
+    speaker at D=40 — minutes on corpora with hundreds of speakers).
+
+    The cofactor row needs det(A) and A^-1 of the current transform each
+    row step; those are maintained by Sherman-Morrison rank-1 updates
+    (row d is the only row that changed) with an exact batched recompute at
+    the top of every sweep to cap drift. Returns (S, D, D+1) float32.
+    """
+    S, D, E = K.shape
+    K = np.ascontiguousarray(K, np.float64)
+    G_mats = np.ascontiguousarray(G_mats, np.float64)
+    beta = np.asarray(beta, np.float64)
+    W = np.tile(np.hstack([np.eye(D), np.zeros((D, 1))]), (S, 1, 1))
+    inv_G = np.linalg.inv(
+        G_mats + 1e-6 * np.eye(E)
+    )  # (S, D, E, E), batched
+    for _ in range(num_iters):
+        A = W[:, :, :D]
+        invA = np.linalg.inv(A)  # (S, D, D) exact per sweep
+        detA = np.linalg.det(A)  # (S,)
+        for d in range(D):
+            # cofactor row d of A: cof = inv(A)^T * det(A)
+            c = np.zeros((S, E))
+            c[:, :D] = invA[:, :, d] * detA[:, None]
+            iGd = inv_G[:, d]  # (S, E, E)
+            cG = np.einsum("se,sef->sf", c, iGd)
+            a = np.einsum("se,se->s", cG, c)
+            b = np.einsum("se,se->s", cG, K[:, d])
+            disc = b * b + 4.0 * a * beta
+            ok = (a > 0) & (disc >= 0)
+            safe_a = np.where(ok, a, 1.0)
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            alpha1 = (-b + sq) / (2.0 * safe_a)
+            alpha2 = (-b - sq) / (2.0 * safe_a)
+
+            def row(alpha):
+                return np.einsum(
+                    "se,sef->sf", K[:, d] + alpha[:, None] * c, iGd
+                )
+
+            def objf(w):
+                lin = np.maximum(
+                    np.abs(np.einsum("se,se->s", w, c)), 1e-20
+                )
+                return (
+                    beta * np.log(lin)
+                    - 0.5
+                    * np.einsum("se,sef,sf->s", w, G_mats[:, d], w)
+                    + np.einsum("se,se->s", w, K[:, d])
+                )
+
+            w1, w2 = row(alpha1), row(alpha2)
+            w_new = np.where(
+                (objf(w1) >= objf(w2))[:, None], w1, w2
+            )
+            old = W[:, d].copy()
+            W[:, d] = np.where(ok[:, None], w_new, old)
+            # Sherman-Morrison update of invA/detA for the changed row:
+            # A_new = A + e_d delta^T  (delta = new - old, first D cols)
+            delta = (W[:, d] - old)[:, :D]  # (S, D); zero where not ok
+            factor = 1.0 + np.einsum("sd,sd->s", delta, invA[:, :, d])
+            degenerate = np.abs(factor) < 1e-12
+            safe_f = np.where(degenerate, 1.0, factor)
+            colv = invA[:, :, d].copy()  # (S, D) = A^-1 e_d
+            rowv = np.einsum("sd,sde->se", delta, invA)  # (S, D)
+            invA = invA - colv[:, :, None] * rowv[:, None, :] / safe_f[:, None, None]
+            detA = detA * factor
+            if degenerate.any():
+                # fall back to exact recompute for degenerate speakers
+                idx = np.nonzero(degenerate)[0]
+                invA[idx] = np.linalg.inv(W[idx][:, :, :D])
+                detA[idx] = np.linalg.det(W[idx][:, :, :D])
+    return W.astype(np.float32)
+
+
 def estimate_speaker_fmllr(
     K: np.ndarray,  # (S, D, D+1)
     G_mats: np.ndarray,  # (S, D, D+1, D+1)
@@ -266,8 +349,8 @@ def estimate_speaker_fmllr(
     out = np.tile(np.hstack([np.eye(D), np.zeros((D, 1))]), (S, 1, 1)).astype(
         np.float32
     )
-    for s in range(S):
-        W = solve_fmllr(K[s], G_mats[s], float(beta[s]), min_count=min_count)
-        if W is not None:
-            out[s] = W
+    valid = np.asarray(beta, np.float64) >= min_count
+    if valid.any():
+        idx = np.nonzero(valid)[0]
+        out[idx] = solve_fmllr_batched(K[idx], G_mats[idx], beta[idx])
     return out

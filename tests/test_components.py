@@ -999,3 +999,50 @@ def test_model_manager_download_offline_guidance(tmp_path, monkeypatch):
     monkeypatch.delenv("MFA_TPU_MODEL_MIRROR", raising=False)
     with pytest.raises(RuntimeError, match="MFA_TPU_MODEL_MIRROR"):
         mgr.download("acoustic", "english_us_arpa")
+
+
+def test_fmllr_batched_solver_matches_scalar():
+    """solve_fmllr_batched (speaker-lockstep + Sherman-Morrison cofactors)
+    reproduces the per-speaker solve_fmllr row sweeps."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.ops.transforms import (
+        estimate_speaker_fmllr,
+        solve_fmllr,
+        solve_fmllr_batched,
+    )
+
+    rng = np.random.RandomState(7)
+    S, D, NG = 5, 13, 4
+    E = D + 1
+    K = np.zeros((S, D, E))
+    G = np.zeros((S, D, E, E))
+    beta = np.zeros(S)
+    # multi-Gaussian accumulation (Kaldi gmm-est-fmllr semantics): rank>1
+    # K keeps every row sweep away from the degenerate b≈0 tie where both
+    # quadratic roots score equally and the root choice is float noise
+    for s in range(S):
+        n = 600 + 50 * s
+        x = rng.randn(n, D) * (1.0 + 0.2 * s) + 0.4 * (s + 1)
+        mus = rng.randn(NG, D) * 2.0
+        ivs = 1.0 / (0.5 + rng.rand(NG, D))
+        xp = np.hstack([x, np.ones((n, 1))])
+        post = rng.rand(n, NG)
+        post /= post.sum(axis=1, keepdims=True)
+        K[s] = np.einsum("ng,gd,ne->de", post, ivs * mus, xp)
+        wsum = np.einsum("ng,ne,nf->gef", post, xp, xp)
+        G[s] = np.einsum("gd,gef->def", ivs, wsum)
+        beta[s] = post.sum()
+    batched = solve_fmllr_batched(K, G, beta)
+    for s in range(S):
+        ref = solve_fmllr(K[s], G[s], float(beta[s]), min_count=0.0)
+        np.testing.assert_allclose(batched[s], ref, rtol=2e-4, atol=2e-4)
+    # under-min-count speakers come back as identity
+    beta2 = beta.copy()
+    beta2[2] = 1.0
+    out = estimate_speaker_fmllr(K, G, beta2, min_count=100.0)
+    np.testing.assert_allclose(
+        out[2], np.hstack([np.eye(D), np.zeros((D, 1))]), atol=1e-6
+    )
+    ref0 = solve_fmllr(K[0], G[0], float(beta[0]), min_count=100.0)
+    np.testing.assert_allclose(out[0], ref0, rtol=2e-4, atol=2e-4)
