@@ -264,7 +264,7 @@ def main():
                     32 if not SMALL else 8, seed=1, name="sat_corpus",
                 )
                 sat_corpus = Corpus.load(sat_corpus_dir)
-                sat_tp = measure(sat, sat_corpus, sat_audio, 1)
+                sat_tp = measure(sat, sat_corpus, sat_audio, 1 if SMALL else 3)
                 breakdown = (
                     phase_breakdown(sat, sat_corpus) if BREAKDOWN else None
                 )

@@ -751,15 +751,10 @@ class Transcriber:
 
         al = self.aligner
         num_speakers = len(corpus.speakers)
-        ali_tm, ali_gmm = al.model.alignment_model
-        W1, _ = ali_gmm.flatten_for_device()
-        W1 = jnp.asarray(W1)
-        gc1 = jnp.asarray(ali_gmm.gconsts)
         gmm = al.model.gmm
-        means = jnp.asarray(gmm.get_means())
-        iv = jnp.asarray(gmm.inv_vars)
-        gc = jnp.asarray(gmm.gconsts)
-        miv = jnp.asarray(gmm.means_invvars)
+        # device-resident two-pass constants, cached on the aligner across
+        # calls (re-shipping them is seconds at SAT scale on remote TPUs)
+        W1, gc1, _w_rows1, means, iv, gc, miv = al._fmllr_params_on()
         sil_pdfs = al._silence_pdfs()
 
         D = gmm.dim
