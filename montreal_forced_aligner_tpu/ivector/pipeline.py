@@ -1,10 +1,11 @@
-"""Corpus -> i-vector feature batches (MFCC + utterance CMN + deltas).
+"""Corpus -> i-vector feature batches (MFCC + sliding-window CMN + deltas).
 
 Behavioral spec: reference ``corpus/ivector_corpus.py`` +
 ``IvectorConfigMixin`` (``corpus/features.py:896``): i-vector features are
-MFCCs with sliding-window CMVN (utterance-level here) and frame subsampling
-handled downstream; speaker-level CMVN is *not* used (speakers may be
-unknown, e.g. diarization).
+MFCCs with sliding-window CMVN (Kaldi ``apply-cmvn-sliding``; see
+:func:`~montreal_forced_aligner_tpu.ops.feats.sliding_cmn`) and frame
+subsampling handled downstream; speaker-level CMVN is *not* used (speakers
+may be unknown, e.g. diarization).
 """
 
 from __future__ import annotations
@@ -15,8 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from montreal_forced_aligner_tpu.corpus.corpus import Corpus
-from montreal_forced_aligner_tpu.ivector.extractor import apply_utterance_cmn
-from montreal_forced_aligner_tpu.ops.feats import compute_deltas
+from montreal_forced_aligner_tpu.ops.feats import compute_deltas, sliding_cmn
 from montreal_forced_aligner_tpu.ops.mfcc import MfccConfig, compute_mfcc_batch
 
 
@@ -38,7 +38,13 @@ def corpus_feature_batches(
         idx = order[lo : lo + batch_size]
         feats, flens = compute_mfcc_batch([waves[i] for i in idx], cfg=cfg)
         batches.append((feats, flens))
-    batches = apply_utterance_cmn(batches)
+    # Kaldi apply-cmvn-sliding semantics (center=true, 300-frame window,
+    # mean only), the reference's i-vector feature normalization
+    # (``ivector/multiprocessing.py:108``); short utterances degrade to
+    # full-utterance CMN naturally (window shrinks to the utterance)
+    batches = [
+        (sliding_cmn(f, jnp.asarray(l)), l) for f, l in batches
+    ]
     if use_deltas:
         batches = [
             (compute_deltas(f, jnp.asarray(l)), l) for f, l in batches

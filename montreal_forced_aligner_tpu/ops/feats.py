@@ -139,6 +139,67 @@ def apply_cmvn(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cmn_window", "min_window", "center", "normalize_variance"),
+)
+def sliding_cmn(
+    feats: jnp.ndarray,  # (B, T, D)
+    frame_lengths: jnp.ndarray,  # (B,)
+    cmn_window: int = 300,
+    min_window: int = 100,
+    center: bool = True,
+    normalize_variance: bool = False,
+) -> jnp.ndarray:
+    """Kaldi ``apply-cmvn-sliding`` (``SlidingWindowCmnInternal``,
+    feat/feature-functions.cc): per-frame mean over a ``cmn_window``-frame
+    window, centered when ``center`` (the i-vector recipe setting; reference
+    feature composition ``corpus/features.py:321-337``, ivector workers
+    ``ivector/multiprocessing.py:108``).
+
+    Window arithmetic follows Kaldi exactly: the window is shifted (not
+    shrunk) at utterance edges, so it only shrinks below ``cmn_window``
+    when the utterance itself is shorter; with ``center=False`` the leading
+    frames use at least ``min_window`` frames of context. Vectorized over
+    (B, T) via prefix sums; padded frames pass through untouched.
+    """
+    B, T, D = feats.shape
+    n = frame_lengths[:, None].astype(jnp.int32)  # (B, 1)
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
+    if center:
+        start = t - cmn_window // 2
+        end = start + cmn_window
+    else:
+        start = t - cmn_window
+        end = t + 1
+    # shift right if the window starts before the utterance
+    shift = jnp.maximum(-start, 0)
+    start = start + shift
+    end = end + shift
+    if not center:
+        end = jnp.maximum(t + 1, min_window)
+    # shift left if the window ends past the utterance
+    over = jnp.maximum(end - n, 0)
+    start = jnp.maximum(start - over, 0)
+    end = jnp.minimum(end, n)
+    mask = frame_mask(frame_lengths, T)[..., None]
+    masked = jnp.where(mask, feats, 0.0)
+    csum = jnp.cumsum(masked, axis=1)
+    csum = jnp.concatenate([jnp.zeros((B, 1, D), csum.dtype), csum], axis=1)
+    bidx = jnp.arange(B)[:, None]
+    wsum = csum[bidx, end] - csum[bidx, start]  # (B, T, D)
+    wn = jnp.maximum((end - start).astype(feats.dtype), 1.0)[..., None]
+    mean = wsum / wn
+    out = feats - mean
+    if normalize_variance:
+        csq = jnp.cumsum(masked * masked, axis=1)
+        csq = jnp.concatenate([jnp.zeros((B, 1, D), csq.dtype), csq], axis=1)
+        wsq = csq[bidx, end] - csq[bidx, start]
+        var = jnp.maximum(wsq / wn - mean * mean, 1e-10)
+        out = out * jax.lax.rsqrt(var)
+    return jnp.where(mask, out, feats)
+
+
 @jax.jit
 def apply_transform(feats: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:
     """Apply an affine/linear transform (LDA, fMLLR): rows of ``transform``

@@ -344,3 +344,69 @@ def test_train_ivector_cli_plda_and_classify(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert "purity" in r.output
+
+
+def test_sliding_cmn_matches_kaldi_loop():
+    """sliding_cmn reproduces a literal per-frame transcription of Kaldi's
+    SlidingWindowCmnInternal (feat/feature-functions.cc) window arithmetic,
+    including edge shifting, short utterances, and batch padding."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.ops.feats import sliding_cmn
+
+    def kaldi_ref(x, cmn_window, min_window, center, norm_var):
+        T, D = x.shape
+        out = np.empty_like(x)
+        for t in range(T):
+            if center:
+                ws = t - cmn_window // 2
+                we = ws + cmn_window
+            else:
+                ws = t - cmn_window
+                we = t + 1
+            if ws < 0:
+                we -= ws
+                ws = 0
+            if not center:
+                if we > t:
+                    we = max(t + 1, min_window)
+            if we > T:
+                ws -= we - T
+                we = T
+                if ws < 0:
+                    ws = 0
+            win = x[ws:we]
+            mean = win.mean(axis=0)
+            out[t] = x[t] - mean
+            if norm_var:
+                var = np.maximum(win.var(axis=0), 1e-10)
+                out[t] /= np.sqrt(var)
+        return out
+
+    rng = np.random.RandomState(3)
+    lens = [7, 50, 299, 300, 412]
+    T = max(lens)
+    D = 5
+    feats = rng.randn(len(lens), T, D).astype(np.float32)
+    for center in (True, False):
+        for norm_var in (False, True):
+            got = np.asarray(
+                sliding_cmn(
+                    feats,
+                    np.array(lens, np.int32),
+                    cmn_window=300,
+                    min_window=100,
+                    center=center,
+                    normalize_variance=norm_var,
+                )
+            )
+            for b, L in enumerate(lens):
+                ref = kaldi_ref(
+                    feats[b, :L].astype(np.float64), 300, 100, center, norm_var
+                )
+                np.testing.assert_allclose(
+                    got[b, :L], ref, rtol=2e-4, atol=2e-4,
+                    err_msg=f"center={center} var={norm_var} len={L}",
+                )
+                # padded frames pass through untouched
+                np.testing.assert_array_equal(got[b, L:], feats[b, L:])
