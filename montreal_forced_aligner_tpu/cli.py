@@ -1698,10 +1698,18 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
               type=click.Choice(["cosine", "plda"]),
               help="Distance for clustering (plda requires a PLDA-bundled "
                    "extractor, reference DistanceMetric)")
+@click.option("--visualize/--no_visualize", default=False,
+              help="Write cluster_plot.png: 2D manifold projection of the "
+                   "i-vectors colored by cluster (reference "
+                   "SpeakerDiarizer.visualize_clusters)")
+@click.option("--manifold_algorithm", default="tsne", show_default=True,
+              type=click.Choice(["tsne", "mds", "spectral", "isomap"]),
+              help="Projection for --visualize (reference ManifoldAlgorithm)")
 def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
-                         batch_size, evaluate, classify, metric):
+                         batch_size, evaluate, classify, metric,
+                         visualize, manifold_algorithm):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
@@ -1779,6 +1787,20 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                     f"{new_spk}\n")
     n = len(set(result.labels.tolist()))
     click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")
+    if visualize:
+        from montreal_forced_aligner_tpu.diarization.visualization import (
+            manifold_points,
+            plot_clusters,
+        )
+
+        points = manifold_points(
+            result.ivectors,
+            algorithm=manifold_algorithm,
+            metric="cosine" if metric == "plda" else metric,
+            quick=corpus.num_utterances < 200,
+        )
+        plot_path = plot_clusters(points, result.labels, out / "cluster_plot.png")
+        click.echo(f"Wrote cluster plot to {plot_path}")
     if evaluate:
         from montreal_forced_aligner_tpu.diarization.clustering import (
             adjusted_rand_index,

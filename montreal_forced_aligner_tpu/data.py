@@ -43,6 +43,15 @@ class DistanceMetric(enum.Enum):
     plda = "plda"
 
 
+class ManifoldAlgorithm(enum.Enum):
+    """Manifold visualization algorithms (reference ``data.py:602``)."""
+
+    tsne = "tsne"
+    mds = "mds"
+    spectral = "spectral"
+    isomap = "isomap"
+
+
 @dataclass
 class CtmInterval:
     """A time-aligned label interval (reference ``data.py:2018``)."""

@@ -410,3 +410,62 @@ def test_sliding_cmn_matches_kaldi_loop():
                 )
                 # padded frames pass through untouched
                 np.testing.assert_array_equal(got[b, L:], feats[b, L:])
+
+
+def test_cluster_visualization(tmp_path):
+    """manifold_points produces a 2D embedding for every algorithm and
+    plot_clusters writes the tab20 scatter (reference visualize_clusters,
+    diarization/multiprocessing.py:113 + speaker_diarizer.py:560)."""
+    from montreal_forced_aligner_tpu.diarization.visualization import (
+        manifold_points,
+        plot_clusters,
+    )
+
+    rng = np.random.RandomState(0)
+    iv = np.vstack(
+        [rng.randn(12, 6) + 4 * off for off in range(3)]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(3), 12)
+    labels[0] = -1  # noise point renders black
+    for algo in ("tsne", "mds", "spectral", "isomap"):
+        pts = manifold_points(iv, algorithm=algo, metric="cosine", quick=True)
+        assert pts.shape == (36, 2)
+    path = plot_clusters(pts, labels, tmp_path / "cluster_plot.png")
+    assert path.exists() and path.stat().st_size > 1000
+
+
+def test_diarize_cli_visualize(tmp_path):
+    """diarize_speakers --visualize writes cluster_plot.png."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+
+    rng = np.random.RandomState(5)
+    corpus = tmp_path / "corpus"
+    for spk in (0, 1):
+        d = corpus / f"spk{spk}"
+        d.mkdir(parents=True)
+        for u in range(3):
+            write_wave(d / f"u{u}.wav", make_speaker_wave(rng, spk, 4.0), SR)
+            (d / f"u{u}.lab").write_text("x")
+    model = tmp_path / "ivec.npz"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["train_ivector", str(corpus), str(model), "--num_gauss", "8",
+         "--ivector_dim", "4", "--num_iterations", "2", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    out = tmp_path / "diar"
+    r = runner.invoke(
+        cli,
+        ["diarize_speakers", str(corpus), str(model), str(out),
+         "--expected_num_speakers", "2", "--batch_size", "4",
+         "--visualize", "--manifold_algorithm", "tsne"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "cluster plot" in r.output
+    assert (out / "cluster_plot.png").exists()
