@@ -223,7 +223,7 @@ def main():
     # compile times are erratic (20-75 s each); rather than losing the
     # whole JSON line to a driver timeout, skip SAT when the mono phase
     # already ate the budget (override: MFA_TPU_BENCH_SAT_BUDGET seconds)
-    sat_budget = float(os.environ.get("MFA_TPU_BENCH_SAT_BUDGET", 360))
+    sat_budget = float(os.environ.get("MFA_TPU_BENCH_SAT_BUDGET", 700))
     t_start = time.time()
 
     with tempfile.TemporaryDirectory() as tmp:
