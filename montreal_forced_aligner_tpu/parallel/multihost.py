@@ -144,13 +144,53 @@ def allgather_ragged_rows(rows):
 def shard_corpus_for_host(
     corpus, process_index: int, process_count: int
 ) -> List[int]:
-    """Utterance ids this host owns: whole speakers, load-balanced
-    (per-speaker statistics stay host-local, so CMVN/fMLLR need no
-    cross-host gathers; only model stats ride psum)."""
+    """Utterance ids this host owns: load-balanced over connected
+    components of the speaker<->file graph.
+
+    Two atomicity invariants drive the grouping: a speaker's utterances
+    must stay host-local (per-speaker CMVN/fMLLR statistics never cross
+    hosts), and a file's tiers must be exported by exactly one host (a
+    multi-speaker TextGrid written by two hosts would be last-writer-wins
+    with missing tiers). For file-per-speaker corpora (prosodylab layout)
+    the components are exactly the speakers, matching the reference's
+    speaker bin-packing (``corpus/base.py:994-1015``)."""
+    parent: Dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        for k in (a, b):
+            if k not in parent:
+                parent[k] = k
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for utt in corpus.utterances:
+        s = ("s", utt.speaker)
+        fp = getattr(utt, "file_path", None)
+        union(s, ("f", str(fp)) if fp is not None else s)
+    # deterministic component labels: the lexicographically-first speaker
+    # (shard_speakers_for_host sorts by them, so every host must agree)
+    label: Dict = {}
+    for utt in corpus.utterances:
+        root = find(("s", utt.speaker))
+        if root not in label or utt.speaker < label[root]:
+            label[root] = utt.speaker
     counts: Dict[str, int] = defaultdict(int)
     for utt in corpus.utterances:
-        counts[utt.speaker] += 1
+        counts[label[find(("s", utt.speaker))]] += 1
     mine = set(
         shard_speakers_for_host(dict(counts), process_index, process_count)
     )
-    return [utt.id for utt in corpus.utterances if utt.speaker in mine]
+    return [
+        utt.id
+        for utt in corpus.utterances
+        if label[find(("s", utt.speaker))] in mine
+    ]

@@ -242,3 +242,69 @@ def test_sharded_fmllr_stats_match_single_device():
     np.testing.assert_allclose(np.asarray(K8), np.asarray(K1), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(G8), np.asarray(G1), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b8), np.asarray(b1), rtol=1e-6)
+
+
+def test_shard_corpus_keeps_multi_speaker_files_atomic():
+    """A multi-speaker TextGrid's speakers must land on one host (each host
+    exports whole files; partial exports would be last-writer-wins), while
+    per-speaker statistics stay host-local — so the sharding unit is a
+    connected component of the speaker<->file graph."""
+    from montreal_forced_aligner_tpu.parallel.multihost import (
+        shard_corpus_for_host,
+    )
+
+    class U:
+        def __init__(self, i, spk, fp):
+            self.id, self.speaker, self.file_path = i, spk, fp
+
+    class C:
+        pass
+
+    corpus = C()
+    corpus.utterances = []
+    i = 0
+    # files f0..f5; f0 holds spkA+spkB (paired), f1 holds spkB+spkC
+    # (chained -> {A,B,C} one component); f2..f5 single-speaker
+    layout = [
+        ("f0", ["spkA", "spkB"]),
+        ("f1", ["spkB", "spkC"]),
+        ("f2", ["spkD"]),
+        ("f3", ["spkE"]),
+        ("f4", ["spkF"]),
+        ("f5", ["spkG"]),
+    ]
+    for fname, spks in layout:
+        for spk in spks:
+            for _ in range(3):
+                corpus.utterances.append(U(i, spk, f"/c/{fname}.TextGrid"))
+                i += 1
+    P = 3
+    shards = [shard_corpus_for_host(corpus, p, P) for p in range(P)]
+    all_ids = sorted(x for sh in shards for x in sh)
+    assert all_ids == list(range(i))  # disjoint + exhaustive
+    # every file is owned by exactly one host
+    for fname, _spks in layout:
+        owners = {
+            p
+            for p, sh in enumerate(shards)
+            for x in sh
+            if corpus.utterances[x].file_path.endswith(f"{fname}.TextGrid")
+        }
+        assert len(owners) == 1, fname
+    # the chained component {A,B,C} stays together
+    abc_owner = {
+        p
+        for p, sh in enumerate(shards)
+        for x in sh
+        if corpus.utterances[x].speaker in ("spkA", "spkB", "spkC")
+    }
+    assert len(abc_owner) == 1
+    # and every speaker is on exactly one host
+    for spk in "ABCDEFG":
+        owners = {
+            p
+            for p, sh in enumerate(shards)
+            for x in sh
+            if corpus.utterances[x].speaker == f"spk{spk}"
+        }
+        assert len(owners) == 1
