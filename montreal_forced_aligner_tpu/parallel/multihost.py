@@ -141,6 +141,32 @@ def allgather_ragged_rows(rows):
     return [g[: int(c[0])] for g, c in zip(gathered, counts)]
 
 
+def host_allgather_object(obj) -> "list":
+    """All-gather an arbitrary picklable host object across processes
+    (length-prefixed bytes over the ``jax.distributed`` channel). Returns
+    ``[obj]`` in single-process runs. Used for small host-side statistics
+    that are dicts rather than arrays (e.g. pronunciation counts)."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    payload = np.frombuffer(
+        pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), np.uint8
+    )
+    lengths = host_allgather(np.array([payload.size], np.int64))
+    max_len = int(max(int(l[0]) for l in lengths))
+    padded = np.zeros(max_len, np.uint8)
+    padded[: payload.size] = payload
+    gathered = host_allgather(padded)
+    return [
+        pickle.loads(bytes(g[: int(l[0])]))
+        for g, l in zip(gathered, lengths)
+    ]
+
+
 def shard_corpus_for_host(
     corpus, process_index: int, process_count: int
 ) -> List[int]:

@@ -128,6 +128,64 @@ class PronunciationCounter:
             "silence" if last_sil else "non_silence"
         ] += 1
 
+    def merge(self, other: "PronunciationCounter") -> None:
+        """Add another counter's counts in place (cross-host reduction for
+        multi-process training: every host must fold the same global counts
+        into its lexicon or subsequent stages compile divergent graphs)."""
+        for w, pron_counts in other.word_pronunciation_counts.items():
+            for p, c in pron_counts.items():
+                self.word_pronunciation_counts[w][p] += c
+        for name in (
+            "silence_following_counts",
+            "non_silence_following_counts",
+            "silence_before_counts",
+            "non_silence_before_counts",
+        ):
+            mine = getattr(self, name)
+            for k, c in getattr(other, name).items():
+                mine[k] += c
+        for k, counts in other.ngram_counts.items():
+            mine_c = self.ngram_counts[k]
+            mine_c["silence"] += counts["silence"]
+            mine_c["non_silence"] += counts["non_silence"]
+
+    def to_plain(self) -> dict:
+        """Picklable plain-dict snapshot (the defaultdict factories are
+        lambdas, which pickle rejects) for cross-host transport."""
+        return {
+            "word_pronunciation_counts": {
+                w: dict(pc) for w, pc in self.word_pronunciation_counts.items()
+            },
+            "silence_following_counts": dict(self.silence_following_counts),
+            "non_silence_following_counts": dict(
+                self.non_silence_following_counts
+            ),
+            "silence_before_counts": dict(self.silence_before_counts),
+            "non_silence_before_counts": dict(self.non_silence_before_counts),
+            "ngram_counts": {
+                k: dict(v) for k, v in self.ngram_counts.items()
+            },
+        }
+
+    @classmethod
+    def from_plain(cls, state: dict) -> "PronunciationCounter":
+        out = cls()
+        for w, pc in state["word_pronunciation_counts"].items():
+            for p, c in pc.items():
+                out.word_pronunciation_counts[w][p] = c
+        for name in (
+            "silence_following_counts",
+            "non_silence_following_counts",
+            "silence_before_counts",
+            "non_silence_before_counts",
+        ):
+            mine = getattr(out, name)
+            for k, c in state[name].items():
+                mine[k] = c
+        for k, v in state["ngram_counts"].items():
+            out.ngram_counts[k].update(v)
+        return out
+
 
 @dataclass
 class PronunciationProbabilityResult:

@@ -537,6 +537,27 @@ class TrainableAligner:
                 )
                 counter.add_utterance(aln, self.lexicon.silence_phone)
                 n += 1
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # every host counted only its own speakers; reduce the counts
+            # globally so all hosts fold identical probabilities into their
+            # lexicons (divergent lexicons would compile divergent graphs
+            # and break SPMD lockstep in later stages). Reference analogue:
+            # parent-process sum of per-job pronunciation counters
+            # (alignment/base.py:937).
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allgather,
+                host_allgather_object,
+            )
+
+            gathered = host_allgather_object(counter.to_plain())
+            n_counts = host_allgather(np.array([n], np.int64))
+            for pi, state in enumerate(gathered):
+                if pi == _jax.process_index():
+                    continue
+                counter.merge(PronunciationCounter.from_plain(state))
+            n = int(sum(int(c[0]) for c in n_counts))
         if n == 0:
             logger.warning("pron_prob stage skipped: no cached alignments")
             return

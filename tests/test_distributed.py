@@ -212,6 +212,7 @@ def test_cli_train_two_process(tmp_path):
             {
                 "training": [
                     {"monophone": {"num_iterations": 3, "max_gaussians": 30}},
+                    {"pronunciation_probabilities": {}},
                     {
                         "triphone": {
                             "num_iterations": 2,
@@ -228,6 +229,7 @@ def test_cli_train_two_process(tmp_path):
         corpus_dir, dict_path,
         recipe=[
             StageConfig("monophone", "mono", 3, 30),
+            StageConfig("pron_prob", "pron_prob", 0, 0),
             StageConfig("triphone", "tri", 2, 48, num_leaves=32),
         ],
         batch_size=4, variable_length_topology=False, distributed=False,

@@ -281,3 +281,59 @@ def test_train_cli_output_directory_and_options(tmp_path):
     assert len(exported) == 1
     data = json.loads(exported[0].read_text())
     assert data["tiers"]
+
+
+def test_pronunciation_counter_merge_roundtrip():
+    """Cross-host counter reduction: to_plain/from_plain round-trips and
+    merge() equals counting everything in one counter."""
+    from montreal_forced_aligner_tpu.data import (
+        CtmInterval,
+        UtteranceAlignment,
+        WordCtmInterval,
+    )
+    from montreal_forced_aligner_tpu.training.pronunciation import (
+        PronunciationCounter,
+        compute_pronunciation_probabilities,
+    )
+
+    def make_alignment(words_with_sil):
+        t = 0.0
+        phones, words = [], []
+        for label, pron, sil_after in words_with_sil:
+            wp = []
+            for ph in pron.split():
+                phones.append(CtmInterval(t, t + 0.1, ph))
+                wp.append(phones[-1])
+                t += 0.1
+            words.append(WordCtmInterval(wp[0].begin, wp[-1].end, label, wp))
+            if sil_after:
+                phones.append(CtmInterval(t, t + 0.2, "sil"))
+                t += 0.2
+        return UtteranceAlignment(
+            utterance_id=0, words=words, phones=phones,
+            log_likelihood=0.0, per_frame_log_likelihood=0.0,
+        )
+
+    utts = [
+        make_alignment([("ab", "a b", True), ("a", "a", False)]),
+        make_alignment([("ab", "a b", False), ("ba", "b a", True)]),
+        make_alignment([("a", "a", True)]),
+    ]
+    whole = PronunciationCounter()
+    for u in utts:
+        whole.add_utterance(u)
+    h0, h1 = PronunciationCounter(), PronunciationCounter()
+    h0.add_utterance(utts[0])
+    for u in utts[1:]:
+        h1.add_utterance(u)
+    merged = PronunciationCounter.from_plain(h0.to_plain())
+    merged.merge(PronunciationCounter.from_plain(h1.to_plain()))
+    r_whole = compute_pronunciation_probabilities(whole)
+    r_merged = compute_pronunciation_probabilities(merged)
+    assert r_whole.pronunciations == r_merged.pronunciations
+    assert r_whole.silence_probability == r_merged.silence_probability
+    assert (
+        r_whole.initial_silence_probability
+        == r_merged.initial_silence_probability
+    )
+    assert r_whole.final_silence_correction == r_merged.final_silence_correction
