@@ -369,10 +369,33 @@ class TrainableAligner:
         alignment log-likelihood/frame z-score is below ``z_threshold``
         (reference ``quality_check_subset``, ``trainer.py:516``)."""
         lls = pipeline.utterance_loglikes()
-        if len(lls) < 10:
-            return
-        vals = np.asarray(list(lls.values()))
-        mean, std = vals.mean(), vals.std()
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # global mean/std so every host applies the same outlier
+            # threshold the single-process run would (each host still only
+            # drops its own utterances)
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allgather,
+            )
+
+            vals_local = np.asarray(list(lls.values()), np.float64)
+            moments = host_allgather(
+                np.array(
+                    [vals_local.sum(), (vals_local**2).sum(), len(vals_local)]
+                )
+            )
+            tot = np.sum(moments, axis=0)
+            n_total = tot[2]
+            if n_total < 10:
+                return
+            mean = tot[0] / n_total
+            std = float(np.sqrt(max(tot[1] / n_total - mean * mean, 0.0)))
+        else:
+            if len(lls) < 10:
+                return
+            vals = np.asarray(list(lls.values()))
+            mean, std = vals.mean(), vals.std()
         if std <= 1e-6:
             return
         bad = {i for i, v in lls.items() if (v - mean) / std < z_threshold}
