@@ -196,6 +196,11 @@ class AcousticModel:
             if extra_files:
                 for name, src in extra_files.items():
                     shutil.copy(src, root / name)
-            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            # write-then-rename: multi-host runs may save the (identical)
+            # model to one shared path from every process; an atomic rename
+            # can't produce a torn archive
+            tmp_zip = path.with_name(f"{path.name}.tmp{os.getpid()}")
+            with zipfile.ZipFile(tmp_zip, "w", zipfile.ZIP_DEFLATED) as zf:
                 for p in sorted(root.rglob("*")):
                     zf.write(p, p.relative_to(root))
+            os.replace(tmp_zip, path)
