@@ -1163,10 +1163,19 @@ def evaluate_alignments_cli(
 @click.option("--dictionary_path", type=click.Path(exists=True), default=None,
               help="Restrict the LM vocabulary to this dictionary's words; "
                    "other tokens become <unk> (reference --dictionary_path)")
-def train_lm_cli(source_path, output_model_path, order, dictionary_path):
+@click.option("--prune_thresh_small", default=0.0000003, show_default=True,
+              help="Relative-entropy pruning threshold for the small LM "
+                   "variant (zip output only; reference MfaLmArpaTrainer)")
+@click.option("--prune_thresh_medium", default=0.0000001, show_default=True,
+              help="Relative-entropy pruning threshold for the medium LM "
+                   "variant (zip output only)")
+def train_lm_cli(source_path, output_model_path, order, dictionary_path,
+                 prune_thresh_small, prune_thresh_medium):
     """Train an n-gram LM from a text file (one sentence per line) or a
     corpus directory (reference: ``mfa train_lm``,
-    ``language_modeling/trainer.py``). Writes ARPA format."""
+    ``language_modeling/trainer.py``). A ``.zip`` output writes the
+    reference's archive (large + entropy-pruned medium/small); other
+    extensions write a single ARPA file."""
     from pathlib import Path as _P
 
     from montreal_forced_aligner_tpu.language_modeling.ngram import (
@@ -1194,12 +1203,39 @@ def train_lm_cli(source_path, output_model_path, order, dictionary_path):
             " ".join(t if t in vocab else "<unk>" for t in s.split())
             for s in texts
         ]
-    model, _counter = train_lm_from_texts(texts, order=order)
-    model.write(output_model_path)
-    click.echo(
-        f"Trained order-{order} LM on {len(texts)} sentences "
-        f"({len(model.ngrams[1])} unigrams) -> {output_model_path}"
-    )
+    if str(output_model_path).lower().endswith(".zip"):
+        # the reference's archive layout: large + entropy-pruned medium and
+        # small variants (MfaLmArpaTrainer, language_modeling/trainer.py:122)
+        from montreal_forced_aligner_tpu.language_modeling.archive import (
+            LanguageModelArchive,
+        )
+
+        archive = LanguageModelArchive.train(
+            texts, order=order,
+            prune_thresh_small=prune_thresh_small,
+            prune_thresh_medium=prune_thresh_medium,
+        )
+        archive.save(output_model_path)
+        sizes = {
+            k: sum(len(m.ngrams[n]) for n in range(1, m.order + 1))
+            for k, m in (
+                ("large", archive.large),
+                ("medium", archive.medium),
+                ("small", archive.small),
+            )
+        }
+        click.echo(
+            f"Trained order-{order} LM archive on {len(texts)} sentences "
+            f"(ngrams: large {sizes['large']}, medium {sizes['medium']}, "
+            f"small {sizes['small']}) -> {output_model_path}"
+        )
+    else:
+        model, _counter = train_lm_from_texts(texts, order=order)
+        model.write(output_model_path)
+        click.echo(
+            f"Trained order-{order} LM on {len(texts)} sentences "
+            f"({len(model.ngrams[1])} unigrams) -> {output_model_path}"
+        )
 
 
 @cli.command("transcribe")
@@ -1267,7 +1303,23 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
     from montreal_forced_aligner_tpu.language_modeling.ngram import ArpaModel
     from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
 
-    lm = ArpaModel.read(language_model_path) if language_model_path else None
+    lm = None
+    archive_rescore = None
+    if language_model_path:
+        if str(language_model_path).lower().endswith(".zip"):
+            # LanguageModel archive: decode against the smallest variant,
+            # rescore N-best against the largest (reference decode_arpa_path
+            # / carpa_path + lattice rescoring, transcriber.py:701-760)
+            from montreal_forced_aligner_tpu.language_modeling.archive import (
+                LanguageModelArchive,
+            )
+
+            la = LanguageModelArchive.load(language_model_path)
+            lm = la.decode_model
+            if la.rescore_model is not la.decode_model:
+                archive_rescore = la.rescore_model
+        else:
+            lm = ArpaModel.read(language_model_path)
     tr = Transcriber(
         acoustic_model_path, dictionary_path, lm=lm, batch_size=batch_size,
         lm_scale=language_model_weight,
@@ -1298,6 +1350,11 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
             f"transcribing {corpus.num_utterances} utterances"
         )
     rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
+    if rescore_lm is None and archive_rescore is not None and nbest > 1:
+        rescore_lm = archive_rescore
+        if rescore_weight == 1.0:
+            rescore_weight = language_model_weight
+        click.echo("Rescoring N-best with the archive's large LM")
     results = tr.transcribe_corpus(
         corpus, nbest=nbest, rescore_lm=rescore_lm,
         rescore_weight=rescore_weight,

@@ -150,6 +150,133 @@ class ArpaModel:
                     ngrams[current_n][gram] = (lp, bo)
         return cls(order=order, ngrams=ngrams)
 
+    def prune_relative_entropy(self, threshold: float) -> "ArpaModel":
+        """Stolcke relative-entropy pruning (the reference's
+        ``ngramshrink --method=relative_entropy`` used for the small/medium
+        LM variants, ``language_modeling/trainer.py:122`` with thresholds
+        3e-7 / 1e-7).
+
+        An n-gram (h, w) is dropped when the weighted KL divergence its
+        removal introduces is below ``threshold``:
+
+            D = -P(h) * [ p(w|h) * (ln(a'(h) * p(w|h')) - ln p(w|h))
+                          + beta(h) * (ln a'(h) - ln a(h)) ]
+
+        where a(h)/a'(h) are the history's backoff weights before/after
+        removal, beta(h) the backed-off (unseen) mass, and P(h) the history
+        marginal estimated from the model itself (chain rule; a history
+        starting with <s> uses p(</s>) for the start token, the standard
+        sentence-frequency approximation). Pruning runs highest order first;
+        histories of retained higher-order entries are protected, and all
+        backoff weights are re-estimated afterwards.
+        """
+        out: List[Dict[Tuple[str, ...], Tuple[float, float]]] = [None] + [
+            dict(self.ngrams[n]) for n in range(1, self.order + 1)
+        ]
+
+        def chain_logp(gram: Tuple[str, ...]) -> float:
+            """log10 P(gram) via the chain rule on the (unpruned) model."""
+            total = 0.0
+            for i, w in enumerate(gram):
+                if i == 0 and w == BOS:
+                    # p(<s>) ~ p(</s>): sentence starts = sentence ends
+                    total += self.log_prob(EOS)
+                    continue
+                total += self.log_prob(w, gram[:i])
+            return total
+
+        def seen_masses(n: int, hist, grams) -> Tuple[float, float]:
+            """(sum of p(w|h) over seen, sum of p_lower(w|h') over seen)."""
+            s_hi = 0.0
+            s_lo = 0.0
+            for g in grams:
+                lp = out[n][g][0]
+                if lp > -98:
+                    s_hi += 10.0 ** lp
+                s_lo += 10.0 ** self.log_prob(g[-1], hist[1:])
+            return s_hi, s_lo
+
+        for n in range(self.order, 1, -1):
+            protected = set()
+            if n < self.order:
+                for g in out[n + 1]:
+                    protected.add(g[:-1])
+            by_hist: Dict[Tuple[str, ...], List[Tuple[str, ...]]] = defaultdict(
+                list
+            )
+            for g in out[n]:
+                by_hist[g[:-1]].append(g)
+            for hist, grams in by_hist.items():
+                P_h = 10.0 ** chain_logp(hist)
+                s_hi, s_lo = seen_masses(n, hist, grams)
+                num = max(1.0 - s_hi, 1e-12)
+                den = max(1.0 - s_lo, 1e-12)
+                alpha = num / den
+                log_alpha = math.log(alpha)
+                for g in grams:
+                    if g in protected:
+                        continue
+                    lp, _bo = out[n][g]
+                    if lp <= -98:
+                        continue  # context-only entries carry no mass
+                    p = 10.0 ** lp
+                    p_lo = 10.0 ** self.log_prob(g[-1], hist[1:])
+                    num2 = min(num + p, 1.0)
+                    den2 = min(den + p_lo, 1.0)
+                    alpha2 = max(num2, 1e-12) / max(den2, 1e-12)
+                    log_alpha2 = math.log(alpha2)
+                    d = -P_h * (
+                        p * (log_alpha2 + math.log(max(p_lo, 1e-12)) - math.log(p))
+                        + num * (log_alpha2 - log_alpha)
+                    )
+                    if d < threshold:
+                        del out[n][g]
+
+        # re-estimate backoff weights bottom-up over the pruned entry sets,
+        # using the PRUNED model's own lower-order (possibly backed-off)
+        # probabilities so every history still normalizes exactly
+        def pruned_logp(w: str, history: Tuple[str, ...]) -> float:
+            history = history[-(self.order - 1):] if self.order > 1 else ()
+            while True:
+                gram = history + (w,)
+                entry = out[len(gram)].get(gram) if len(gram) <= self.order else None
+                if entry is not None and entry[0] > -98:
+                    return entry[0]
+                if not history:
+                    if entry is not None:
+                        return entry[0]
+                    unk = out[1].get((UNK,))
+                    return unk[0] if unk is not None else -99.0
+                ho = out[len(history)].get(history)
+                backoff = ho[1] if ho is not None else 0.0
+                return backoff + pruned_logp(w, history[1:])
+
+        for n in range(1, self.order):
+            conts: Dict[Tuple[str, ...], List[Tuple[str, ...]]] = defaultdict(
+                list
+            )
+            for g in out[n + 1]:
+                conts[g[:-1]].append(g)
+            for hist in list(out[n]):
+                lp, _old_bo = out[n][hist]
+                grams = conts.get(hist)
+                if not grams:
+                    out[n][hist] = (lp, 0.0)
+                    continue
+                s_hi = sum(
+                    10.0 ** out[n + 1][g][0]
+                    for g in grams
+                    if out[n + 1][g][0] > -98
+                )
+                s_lo = sum(
+                    10.0 ** pruned_logp(g[-1], hist[1:]) for g in grams
+                )
+                bo = math.log10(
+                    max(1.0 - s_hi, 1e-12) / max(1.0 - s_lo, 1e-12)
+                )
+                out[n][hist] = (lp, bo)
+        return ArpaModel(order=self.order, ngrams=out)
+
     def prune_by_count(
         self, counter: NgramCounter, min_counts: Dict[int, int]
     ) -> "ArpaModel":

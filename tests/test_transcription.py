@@ -358,3 +358,85 @@ def test_transcribe_cli_output_types(tmp_path):
     assert r.exit_code == 0, r.output
     data = json.loads((out2 / "utt1.json").read_text())
     assert "words" in data["tiers"] and "phones" in data["tiers"]
+
+
+def test_relative_entropy_pruning(tmp_path):
+    """Stolcke pruning (ngramshrink --method=relative_entropy semantics):
+    monotone in the threshold, keeps every history normalized, and barely
+    moves perplexity at small thresholds."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 9)))
+        for _ in range(400)
+    ]
+    model, _ = train_lm_from_texts(texts, order=3)
+    sizes = []
+    ppls = []
+    held = [t.split() for t in texts[:50]]
+    base_ppl = model.perplexity(held)
+    for thresh in (0.0, 1e-7, 3e-7, 1e-4):
+        pruned = model.prune_relative_entropy(thresh)
+        sizes.append(sum(len(pruned.ngrams[n]) for n in range(1, 4)))
+        ppls.append(pruned.perplexity(held))
+    # threshold 0 keeps everything
+    assert sizes[0] == sum(len(model.ngrams[n]) for n in range(1, 4))
+    # monotone shrinking
+    assert sizes[0] >= sizes[1] >= sizes[2] >= sizes[3]
+    # an aggressive threshold actually prunes
+    assert sizes[3] < sizes[0]
+    # unigrams never pruned
+    p4 = model.prune_relative_entropy(1e-4)
+    assert len(p4.ngrams[1]) == len(model.ngrams[1])
+    # every history still normalizes: sum_w p(w|h) = 1
+    for hist in [(), ("w0",), ("w0", "w1")]:
+        total = sum(
+            10.0 ** p4.log_prob(w, hist)
+            for w in p4.vocab
+            if w != "<s>"
+        )
+        assert abs(total - 1.0) < 0.02, (hist, total)
+    # light pruning keeps perplexity close
+    assert ppls[1] < base_ppl * 1.05
+
+
+def test_language_model_archive_roundtrip_and_cli(tmp_path):
+    """train_lm writes the reference's zip archive (large+medium+small);
+    LanguageModelArchive round-trips; transcribe accepts the archive and
+    decodes with the small variant."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.language_modeling.archive import (
+        LanguageModelArchive,
+    )
+
+    texts_file = tmp_path / "texts.txt"
+    texts_file.write_text(
+        "".join(
+            f"ab a {'ba ' * (i % 3)}b\n" for i in range(60)
+        )
+    )
+    out_zip = tmp_path / "lm.zip"
+    r = CliRunner().invoke(
+        cli,
+        ["train_lm", str(texts_file), str(out_zip), "--order", "3"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert "LM archive" in r.output
+    la = LanguageModelArchive.load(out_zip)
+    assert la.large is not None and la.medium is not None and la.small is not None
+    n_large = sum(len(la.large.ngrams[n]) for n in range(1, 4))
+    n_small = sum(len(la.small.ngrams[n]) for n in range(1, 4))
+    assert n_small <= n_large
+    assert la.meta["order"] == 3
+    assert la.decode_model is la.small
+    assert la.rescore_model is la.large
+    # bare .arpa load path
+    arpa = tmp_path / "flat.arpa"
+    la.large.write(arpa)
+    flat = LanguageModelArchive.load(arpa)
+    assert flat.medium is None and flat.decode_model is flat.large
