@@ -28,10 +28,17 @@ MODEL_TYPES = (
 EXTENSIONS = {
     "acoustic": ".zip",
     "g2p": ".zip",
-    "language_model": ".arpa",
+    "language_model": ".zip",
     "ivector": ".npz",
     "dictionary": ".dict",
     "tokenizer": ".zip",
+}
+
+# extra accepted suffixes per type (mirror lookups and release assets):
+# language models exist both as archives (large+medium+small, reference
+# models.py:1258) and bare ARPA files
+ALT_EXTENSIONS = {
+    "language_model": (".zip", ".arpa", ".lm"),
 }
 
 
@@ -142,20 +149,33 @@ class ModelManager:
         (reference ``models.py:1654``). Raises with guidance when neither
         is reachable (e.g. zero-egress images)."""
         mirror = os.environ.get("MFA_TPU_MODEL_MIRROR")
+        exts = ALT_EXTENSIONS.get(model_type, (EXTENSIONS[model_type],))
         if mirror:
-            src = Path(mirror) / model_type / (name + EXTENSIONS[model_type])
-            if src.exists():
-                return self.add(model_type, src, name)
+            for ext in exts:
+                src = Path(mirror) / model_type / (name + ext)
+                if src.exists():
+                    return self.add(model_type, src, name)
         try:
             release = self.find_release(model_type, name, version)
             if release is not None:
-                ext = EXTENSIONS[model_type]
                 assets = release.get("assets", [])
                 asset = next(
-                    (a for a in assets if a.get("name", "").endswith(ext)),
+                    (
+                        a
+                        for a in assets
+                        if a.get("name", "").endswith(tuple(exts))
+                    ),
                     assets[0] if assets else None,
                 )
                 if asset is not None:
+                    ext = next(
+                        (
+                            e
+                            for e in exts
+                            if asset.get("name", "").endswith(e)
+                        ),
+                        EXTENSIONS[model_type],
+                    )
                     data = self._http_get(asset["browser_download_url"])
                     dst = self._dir(model_type) / (name + ext)
                     dst.parent.mkdir(parents=True, exist_ok=True)
