@@ -36,10 +36,10 @@ def accumulate_lda_stats(
     mask = (jnp.arange(T)[None, :] < frame_lengths[:, None]).reshape(-1)
     cls = jnp.where(mask, frame_class.reshape(-1), 0)
     x = jnp.where(mask[:, None], feats.reshape(N, D), 0.0)
-    onehot = jax.nn.one_hot(cls, num_classes, dtype=jnp.float32)
-    onehot = jnp.where(mask[:, None], onehot, 0.0)
-    counts = onehot.sum(axis=0)
-    sums = jnp.einsum("nc,nd->cd", onehot, x, precision=HIGH)
+    counts = jax.ops.segment_sum(
+        mask.astype(jnp.float32), cls, num_segments=num_classes
+    )
+    sums = jax.ops.segment_sum(x, cls, num_segments=num_classes)
     second = jnp.einsum("nd,ne->de", x, x, precision=HIGH)
     return counts, sums, second
 

