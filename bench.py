@@ -288,5 +288,49 @@ def main():
     )
 
 
+def _watchdog_main():
+    """Run main() under a watchdog: the axon tunnel sometimes hangs
+    entirely (device init or a transfer never returns). Rather than dying
+    with no output, print a JSON line flagging the hang so the round still
+    records something diagnosable. Budget via MFA_TPU_BENCH_WATCHDOG_S."""
+    import signal
+
+    budget = float(os.environ.get("MFA_TPU_BENCH_WATCHDOG_S", 1320))
+
+    class _Hang(Exception):
+        pass
+
+    def _on_alarm(_sig, _frm):
+        raise _Hang()
+
+    try:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(budget))
+    except (ValueError, AttributeError):  # non-main thread / platform
+        main()
+        return
+    try:
+        main()
+        signal.alarm(0)
+    except _Hang:
+        print(
+            json.dumps(
+                {
+                    "metric": "align_throughput",
+                    "value": None,
+                    "unit": "audio_seconds_per_second_per_chip",
+                    "vs_baseline": None,
+                    "sat_throughput": None,
+                    "error": (
+                        f"device backend hang: no result within {budget:.0f}s "
+                        "(axon tunnel unresponsive; rerun when healthy)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    _watchdog_main()
