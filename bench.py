@@ -290,29 +290,18 @@ def main():
 
 def _watchdog_main():
     """Run main() under a watchdog: the axon tunnel sometimes hangs
-    entirely (device init or a transfer never returns). Rather than dying
-    with no output, print a JSON line flagging the hang so the round still
-    records something diagnosable. Budget via MFA_TPU_BENCH_WATCHDOG_S."""
-    import signal
+    entirely (device init or a transfer never returns, blocking inside a
+    C++ call the interpreter can't interrupt). A daemon thread fires after
+    MFA_TPU_BENCH_WATCHDOG_S, prints a JSON line flagging the hang (so the
+    round records something diagnosable instead of nothing), and hard-exits."""
+    import threading
 
     budget = float(os.environ.get("MFA_TPU_BENCH_WATCHDOG_S", 1320))
+    done = threading.Event()
 
-    class _Hang(Exception):
-        pass
-
-    def _on_alarm(_sig, _frm):
-        raise _Hang()
-
-    try:
-        signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(int(budget))
-    except (ValueError, AttributeError):  # non-main thread / platform
-        main()
-        return
-    try:
-        main()
-        signal.alarm(0)
-    except _Hang:
+    def _watch():
+        if done.wait(timeout=budget):
+            return
         print(
             json.dumps(
                 {
@@ -330,6 +319,12 @@ def _watchdog_main():
             flush=True,
         )
         os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    try:
+        main()
+    finally:
+        done.set()
 
 
 if __name__ == "__main__":

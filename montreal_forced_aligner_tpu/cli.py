@@ -941,6 +941,33 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
             f"Transcription check: WER {metrics['wer']:.4f} over "
             f"{metrics['num_utterances']} utterances"
         )
+        if _jax.process_count() > 1:
+            # corpus-wide number matching a single-process run (reference:
+            # parent-process aggregation of per-job results): reduce the
+            # utterance-weighted WER/CER sums across hosts
+            import numpy as _np
+
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_allgather,
+            )
+
+            n_local = metrics["num_utterances"]
+            sums = host_allgather(
+                _np.array(
+                    [
+                        metrics["wer"] * n_local,
+                        metrics["cer"] * n_local,
+                        n_local,
+                    ]
+                )
+            )
+            tot = _np.sum(sums, axis=0)
+            if tot[2] > 0:
+                click.echo(
+                    f"Transcription check (all hosts): WER "
+                    f"{tot[0] / tot[2]:.4f}, CER {tot[1] / tot[2]:.4f} over "
+                    f"{int(tot[2])} utterances"
+                )
         from montreal_forced_aligner_tpu.evaluation import score_wer
 
         flagged = []
@@ -1251,7 +1278,9 @@ def train_lm_cli(source_path, output_model_path, order, dictionary_path,
               help="decode N-best hypotheses (determinized K-best Viterbi)")
 @click.option("--rescore_lm_path", type=click.Path(exists=True), default=None,
               help="larger ARPA LM for N-best rescoring (needs --nbest > 1)")
-@click.option("--rescore_weight", default=1.0, show_default=True)
+@click.option("--rescore_weight", default=None, type=float,
+              help="LM weight during N-best rescoring  [default: "
+                   "--language_model_weight]")
 @click.option("--language_model_weight", default=1.0, show_default=True,
               help="LM scale during decoding (reference semantics)")
 @click.option("--word_insertion_penalty", default=0.0, show_default=True,
@@ -1350,11 +1379,17 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
             f"transcribing {corpus.num_utterances} utterances"
         )
     rescore_lm = ArpaModel.read(rescore_lm_path) if rescore_lm_path else None
-    if rescore_lm is None and archive_rescore is not None and nbest > 1:
+    if rescore_lm is None and archive_rescore is not None:
+        # the reference always rescores against the archive's largest LM
+        # (lattice rescoring, transcriber.py:701-760); the exact N-best
+        # equivalent needs alternatives to re-rank, so decode N-best even
+        # when the user asked for 1-best
         rescore_lm = archive_rescore
-        if rescore_weight == 1.0:
-            rescore_weight = language_model_weight
+        if nbest <= 1:
+            nbest = 10
         click.echo("Rescoring N-best with the archive's large LM")
+    if rescore_weight is None:
+        rescore_weight = language_model_weight
     results = tr.transcribe_corpus(
         corpus, nbest=nbest, rescore_lm=rescore_lm,
         rescore_weight=rescore_weight,

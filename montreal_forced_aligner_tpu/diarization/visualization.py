@@ -42,6 +42,10 @@ def manifold_points(
         algorithm = ManifoldAlgorithm[algorithm]
     begin = time.time()
     to_fit = np.asarray(ivectors, np.float64)
+    # sklearn requires n_neighbors (tsne perplexity) strictly below the
+    # sample count in every manifold; clamp once for all algorithms so
+    # small corpora don't crash the plot
+    n_neighbors = max(1, min(n_neighbors, to_fit.shape[0] - 1))
     fit_metric = metric
     tsne_iterations = 500 if quick else 1000
     mds_iterations = 150 if quick else 300
@@ -68,8 +72,6 @@ def manifold_points(
             else _distance_matrix(to_fit, fit_metric)
         )
     elif algorithm is ManifoldAlgorithm.tsne:
-        if n_neighbors > to_fit.shape[0]:
-            n_neighbors = to_fit.shape[0] - 1
         points = manifold.TSNE(
             metric=fit_metric,
             random_state=0,

@@ -213,9 +213,12 @@ def extract_ivectors(
 
 
 def apply_utterance_cmn(feature_batches):
-    """Per-utterance cepstral mean normalization (the reference's i-vector
-    features use sliding-window CMVN, ``features.py:321-337``; over typical
-    2-10 s utterances a full-utterance mean is the batched equivalent)."""
+    """Per-utterance cepstral mean normalization.
+
+    NOT on the production feature path: the i-vector pipeline uses
+    :func:`~montreal_forced_aligner_tpu.ops.feats.sliding_cmn` (Kaldi
+    ``apply-cmvn-sliding`` semantics). Kept as the simple normalization
+    for synthetic-feature tests and API users who want utterance CMN."""
     import jax
 
     out = []

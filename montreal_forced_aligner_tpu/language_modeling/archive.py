@@ -90,12 +90,18 @@ class LanguageModelArchive:
             root = Path(tmp)
             self.large.write(root / f"{name}.arpa")
             if self.medium is not None:
-                self.medium.write(root / f"{name}_medium.arpa")
+                # the reference matches "_med" (models.py:1333-1338, which
+                # renames "_medium" inputs to "_med") — write what it reads
+                self.medium.write(root / f"{name}_med.arpa")
             if self.small is not None:
                 self.small.write(root / f"{name}_small.arpa")
             with open(root / "meta.json", "w", encoding="utf-8") as f:
                 json.dump(self.meta, f, indent=2)
-            tmp_zip = path.with_name(f"{path.name}.tmp{os.getpid()}")
+            import socket
+
+            tmp_zip = path.with_name(
+                f"{path.name}.tmp{socket.gethostname()}.{os.getpid()}"
+            )
             with zipfile.ZipFile(tmp_zip, "w", zipfile.ZIP_DEFLATED) as zf:
                 for p in sorted(root.iterdir()):
                     zf.write(p, p.name)
@@ -117,9 +123,12 @@ class LanguageModelArchive:
                 if p.name == "meta.json":
                     meta = json.loads(p.read_text(encoding="utf-8"))
                 elif p.suffix == ".arpa" or p.suffix == ".lm":
+                    # the reference names the pruned variants "_small" and
+                    # "_med" (accepting legacy "_medium"); anything else is
+                    # the full model
                     if p.stem.endswith("_small"):
                         small = ArpaModel.read(p)
-                    elif p.stem.endswith("_medium"):
+                    elif p.stem.endswith(("_med", "_medium")):
                         medium = ArpaModel.read(p)
                     else:
                         large = ArpaModel.read(p)

@@ -198,8 +198,14 @@ class AcousticModel:
                     shutil.copy(src, root / name)
             # write-then-rename: multi-host runs may save the (identical)
             # model to one shared path from every process; an atomic rename
-            # can't produce a torn archive
-            tmp_zip = path.with_name(f"{path.name}.tmp{os.getpid()}")
+            # can't produce a torn archive. PIDs are only unique per
+            # machine, so the suffix includes the hostname for shared
+            # filesystems (NFS across hosts)
+            import socket
+
+            tmp_zip = path.with_name(
+                f"{path.name}.tmp{socket.gethostname()}.{os.getpid()}"
+            )
             with zipfile.ZipFile(tmp_zip, "w", zipfile.ZIP_DEFLATED) as zf:
                 for p in sorted(root.rglob("*")):
                     zf.write(p, p.relative_to(root))

@@ -352,5 +352,10 @@ def estimate_speaker_fmllr(
     valid = np.asarray(beta, np.float64) >= min_count
     if valid.any():
         idx = np.nonzero(valid)[0]
-        out[idx] = solve_fmllr_batched(K[idx], G_mats[idx], beta[idx])
+        # chunk the speaker axis: the batched solver holds float64
+        # (chunk, D, E, E) inverses (~5.5 MB/speaker at D=40), so an
+        # unbounded batch would add gigabytes on large-speaker corpora
+        for lo in range(0, len(idx), 64):
+            sub = idx[lo : lo + 64]
+            out[sub] = solve_fmllr_batched(K[sub], G_mats[sub], beta[sub])
     return out
