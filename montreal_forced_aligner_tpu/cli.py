@@ -840,12 +840,16 @@ def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
 @click.option("--audio_directory", "-a", type=click.Path(exists=True),
               default=None,
               help="Additional root searched for sound files")
-@click.option("--output_directory", type=click.Path(), default=None,
+@click.option("--output_directory", "--output_path", type=click.Path(),
+              default=None,
               help="Write oovs_found.txt / utterance_oovs.txt here "
                    "(reference analyze_oovs, corpus_validator.py:130)")
+@click.option("--rules_path", type=click.Path(exists=True), default=None,
+              help="Phonological rules yaml applied to the dictionary "
+                   "before validation (reference --rules_path)")
 def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
                  test_transcriptions, ignore_acoustics, speaker_characters,
-                 audio_directory, output_directory):
+                 audio_directory, output_directory, rules_path):
     """Validate a corpus + dictionary (reference: ``mfa validate``,
     ``validation/corpus_validator.py:77``): counts, OOVs, audio issues."""
     from collections import Counter, defaultdict
@@ -855,6 +859,13 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
     from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
 
     lex = Lexicon.load(dictionary_path)
+    if rules_path is not None:
+        from montreal_forced_aligner_tpu.dictionary.rules import (
+            PhonologicalRule,
+            apply_rules_to_lexicon,
+        )
+
+        apply_rules_to_lexicon(lex, PhonologicalRule.load_rules(rules_path))
     corpus = Corpus.load(
         corpus_directory,
         speaker_characters=speaker_characters,
@@ -1778,9 +1789,10 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--min_cluster_size", default=15, show_default=True,
               help="Density methods: smallest cluster / core-point degree")
 @click.option("--batch_size", default=16, show_default=True)
-@click.option("--evaluate/--no_evaluate", default=False,
+@click.option("--evaluate", "--validate", "evaluate", is_flag=True,
+              default=False,
               help="Score the clustering against the corpus's original "
-                   "speaker labels (reference diarize_speakers --evaluate)")
+                   "speaker labels (reference --evaluate/--validate)")
 @click.option("--classify/--cluster", "classify", default=False,
               show_default=True,
               help="classify: reassign each utterance to the best-scoring "
