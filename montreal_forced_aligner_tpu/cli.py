@@ -1809,11 +1809,17 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--manifold_algorithm", default="tsne", show_default=True,
               type=click.Choice(["tsne", "mds", "spectral", "isomap"]),
               help="Projection for --visualize (reference ManifoldAlgorithm)")
+@click.option("--output_format", default="long_textgrid", show_default=True,
+              type=click.Choice(
+                  ["long_textgrid", "short_textgrid", "json", "csv"],
+                  case_sensitive=False),
+              help="Format for relabeled transcript exports (reference "
+                   "SpeakerDiarizer.export_files)")
 def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
                          batch_size, evaluate, classify, metric,
-                         visualize, manifold_algorithm):
+                         visualize, manifold_algorithm, output_format):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
@@ -1889,6 +1895,65 @@ def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
             )
             f.write(f"{utt.speaker}/{utt.file_name}\t{utt.begin}\t{end}\t"
                     f"{new_spk}\n")
+    # relabeled transcript files + run parameters (reference
+    # SpeakerDiarizer.export_files, speaker_diarizer.py:1505): whole-file
+    # utterances export as .lab, segmented files as tiers per new speaker
+    import yaml as _yaml
+
+    new_speaker = {}
+    for pos, utt_idx in enumerate(order):
+        lbl = result.labels[pos]
+        new_speaker[utt_idx] = (
+            corpus.speakers[int(lbl)] if classify else f"speaker{int(lbl)}"
+        )
+    with open(out / "parameters.yaml", "w", encoding="utf-8") as f:
+        _yaml.safe_dump(
+            {
+                "ivector_extractor_path": str(ivector_extractor_path),
+                "expected_num_speakers": expected_num_speakers,
+                "cluster": not classify,
+                "metric": metric,
+                "cluster_type": cluster_type,
+                "distance_threshold": distance_threshold,
+                "min_cluster_size": min_cluster_size,
+            },
+            f,
+        )
+    from montreal_forced_aligner_tpu.io.textgrid import Interval, TextGrid
+
+    by_file = {}
+    for utt in corpus.utterances:
+        by_file.setdefault(utt.file_name, []).append(utt)
+    ext = {
+        "long_textgrid": ".TextGrid", "short_textgrid": ".TextGrid",
+        "json": ".json", "csv": ".csv",
+    }[output_format.lower()]
+    for fname, utts in by_file.items():
+        # file_name mirrors the corpus-relative path (reference
+        # construct_output_path); create intermediate directories
+        target_parent = (out / fname).parent
+        target_parent.mkdir(parents=True, exist_ok=True)
+        if len(utts) == 1 and utts[0].end is None:
+            (out / f"{fname}.lab").write_text(
+                utts[0].text, encoding="utf-8"
+            )
+            continue
+        tiers = {}
+        xmax = 0.0
+        for utt in utts:
+            spk = new_speaker.get(utt.id, utt.speaker)
+            end = utt.end if utt.end is not None else utt.begin
+            tiers.setdefault(spk, []).append(
+                Interval(utt.begin, end, utt.text)
+            )
+            xmax = max(xmax, end)
+        tg = TextGrid(xmin=0.0, xmax=xmax, tiers=tiers)
+        if output_format.lower() == "json":
+            tg.write_json(out / f"{fname}{ext}")
+        elif output_format.lower() == "csv":
+            tg.write_csv(out / f"{fname}{ext}")
+        else:
+            tg.write(out / f"{fname}{ext}", output_format=output_format.lower())
     n = len(set(result.labels.tolist()))
     click.echo(f"Clustered {corpus.num_utterances} utterances into {n} speakers")
     if visualize:

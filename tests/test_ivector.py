@@ -469,3 +469,46 @@ def test_diarize_cli_visualize(tmp_path):
     assert r.exit_code == 0, r.output
     assert "cluster plot" in r.output
     assert (out / "cluster_plot.png").exists()
+
+
+def test_diarize_cli_exports_relabeled_files(tmp_path):
+    """diarize_speakers writes parameters.yaml and relabeled transcript
+    files (reference SpeakerDiarizer.export_files)."""
+    import yaml
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+
+    rng = np.random.RandomState(11)
+    corpus = tmp_path / "corpus"
+    for spk in (0, 1):
+        d = corpus / f"spk{spk}"
+        d.mkdir(parents=True)
+        for u in range(3):
+            write_wave(d / f"u{u}.wav", make_speaker_wave(rng, spk, 4.0), SR)
+            (d / f"u{u}.lab").write_text("hello there")
+    model = tmp_path / "ivec.npz"
+    runner = CliRunner()
+    r = runner.invoke(
+        cli,
+        ["train_ivector", str(corpus), str(model), "--num_gauss", "8",
+         "--ivector_dim", "4", "--num_iterations", "2", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    out = tmp_path / "diar"
+    r = runner.invoke(
+        cli,
+        ["diarize_speakers", str(corpus), str(model), str(out),
+         "--expected_num_speakers", "2", "--batch_size", "4"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    params = yaml.safe_load((out / "parameters.yaml").read_text())
+    assert params["expected_num_speakers"] == 2
+    # whole-file (.lab) utterances export relabeled as .lab text files,
+    # mirroring the corpus-relative layout
+    labs = sorted(out.rglob("*.lab"))
+    assert len(labs) == 6
+    assert labs[0].read_text() == "hello there"
