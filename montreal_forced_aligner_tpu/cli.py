@@ -847,9 +847,12 @@ def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
 @click.option("--rules_path", type=click.Path(exists=True), default=None,
               help="Phonological rules yaml applied to the dictionary "
                    "before validation (reference --rules_path)")
-def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml parameter file (reference --config_path semantics)")
+@click.pass_context
+def validate_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
                  test_transcriptions, ignore_acoustics, speaker_characters,
-                 audio_directory, output_directory, rules_path):
+                 audio_directory, output_directory, rules_path, config_path):
     """Validate a corpus + dictionary (reference: ``mfa validate``,
     ``validation/corpus_validator.py:77``): counts, OOVs, audio issues."""
     from collections import Counter, defaultdict
@@ -858,6 +861,15 @@ def validate_cli(corpus_directory, dictionary_path, acoustic_model_path,
     from montreal_forced_aligner_tpu.dictionary.lexicon import Lexicon
     from montreal_forced_aligner_tpu.dictionary.tokenizer import SimpleTokenizer
 
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["test_transcriptions", "ignore_acoustics", "speaker_characters"],
+        )
+        test_transcriptions = ov.get("test_transcriptions", test_transcriptions)
+        ignore_acoustics = ov.get("ignore_acoustics", ignore_acoustics)
+        speaker_characters = ov.get("speaker_characters", speaker_characters)
     lex = Lexicon.load(dictionary_path)
     if rules_path is not None:
         from montreal_forced_aligner_tpu.dictionary.rules import (
@@ -1652,12 +1664,26 @@ def train_g2p_cli(dictionary_path, output_model_path, order,
               help="Add a column with each pronunciation's score")
 @click.option("--sorted", "sorted_output", is_flag=True, default=False,
               help="Sort the output alphabetically")
-def g2p_cli(input_path, g2p_model_path, output_path, num_pronunciations,
-            dictionary_path, include_bracketed, export_scores, sorted_output):
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml parameter file (reference --config_path semantics)")
+@click.pass_context
+def g2p_cli(ctx, input_path, g2p_model_path, output_path, num_pronunciations,
+            dictionary_path, include_bracketed, export_scores, sorted_output,
+            config_path):
     """Generate pronunciations for a word list (one word per line) or a
     corpus directory's vocabulary (reference: ``mfa g2p``,
     ``g2p/generator.py:475-1100``)."""
     from pathlib import Path as _P
+
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["num_pronunciations", "include_bracketed", "export_scores"],
+        )
+        num_pronunciations = ov.get("num_pronunciations", num_pronunciations)
+        include_bracketed = ov.get("include_bracketed", include_bracketed)
+        export_scores = ov.get("export_scores", export_scores)
 
     from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
     from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
@@ -1815,14 +1841,37 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
                   case_sensitive=False),
               help="Format for relabeled transcript exports (reference "
                    "SpeakerDiarizer.export_files)")
-def diarize_speakers_cli(corpus_directory, ivector_extractor_path,
+@click.option("--config_path", type=click.Path(exists=True), default=None,
+              help="Yaml parameter file (reference --config_path semantics)")
+@click.pass_context
+def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
                          output_directory, expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
                          batch_size, evaluate, classify, metric,
-                         visualize, manifold_algorithm, output_format):
+                         visualize, manifold_algorithm, output_format,
+                         config_path):
     """Cluster utterances into speakers (reference: ``mfa diarize_speakers``,
     ``diarization/speaker_diarizer.py``). Writes utt2spk.tsv."""
     from pathlib import Path as _P
+
+    if config_path:
+        data = _load_command_config(config_path)
+        ov = _config_overrides(
+            ctx, data,
+            ["expected_num_speakers", "distance_threshold", "cluster_type",
+             "min_cluster_size", "batch_size", "metric", "output_format",
+             "manifold_algorithm"],
+        )
+        expected_num_speakers = ov.get(
+            "expected_num_speakers", expected_num_speakers
+        )
+        distance_threshold = ov.get("distance_threshold", distance_threshold)
+        cluster_type = ov.get("cluster_type", cluster_type)
+        min_cluster_size = ov.get("min_cluster_size", min_cluster_size)
+        batch_size = ov.get("batch_size", batch_size)
+        metric = ov.get("metric", metric)
+        output_format = ov.get("output_format", output_format)
+        manifold_algorithm = ov.get("manifold_algorithm", manifold_algorithm)
 
     from montreal_forced_aligner_tpu.corpus.corpus import Corpus
     from montreal_forced_aligner_tpu.diarization.speaker_diarizer import (
