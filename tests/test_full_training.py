@@ -189,3 +189,38 @@ def test_lvcsr_cross_word_position_dependent(full_train, monkeypatch):
     for i in dense:
         assert results[i].text == dense[i].text
         assert abs(results[i].log_likelihood - dense[i].log_likelihood) < 0.1
+
+
+def test_sat_two_pass_frame_parity(full_train, tmp_path):
+    """The production SAT two-pass alignment (SI pass 1 -> device fMLLR ->
+    adapted pass 2) matches an independent numpy two-pass built on the
+    reference token-passing decoder (float64 stats, scalar row-sweep
+    solve) frame-exactly."""
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.parity.harness import compare_corpus_sat
+
+    tmp, corpus_dir, dict_path, _ta, final, _truths = full_train
+    model_path = tmp / "sat_parity.zip"
+    final.save(model_path)
+    aligner = PretrainedAligner(
+        model_path, dict_path,
+        AlignerConfig(frame_bucket_multiple=32, batch_size=4),
+    )
+    corpus = Corpus.load(corpus_dir)
+    report = compare_corpus_sat(aligner, corpus, max_utterances=6)
+    assert report
+    total = sum(r.num_frames for r in report)
+    mismatches = sum(r.frame_mismatches for r in report)
+    # the two fMLLR estimations run in different precisions (device
+    # float32 sums vs numpy float64), so allow a whisker of drift at
+    # phone boundaries but demand essentially frame-exact agreement
+    assert mismatches <= max(1, total // 200), (
+        f"{mismatches}/{total} frame mismatches"
+    )
+    b_tot = sum(r.boundary_total for r in report)
+    b_w1 = sum(r.boundary_within_1 for r in report)
+    assert b_tot > 0 and b_w1 / b_tot >= 0.98
