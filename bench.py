@@ -44,17 +44,10 @@ if os.environ.get("JAX_PLATFORMS"):
 
 # persistent compilation cache: the axon-tunneled TPU pays 20-75 s per
 # compile; caching executables across runs keeps the bench inside its
-# time budget (harmless no-op where serialization is unsupported)
-try:
-    import jax as _jax_cc
+# time budget (same helper the CLI uses, incl. its opt-out)
+from montreal_forced_aligner_tpu.cli import _enable_compilation_cache
 
-    _jax_cc.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_mfa"),
-    )
-    _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+_enable_compilation_cache()
 
 REF_DATA = Path("/root/reference/tests/data")
 SMALL = "--small" in sys.argv  # CPU-sized sanity run

@@ -203,9 +203,12 @@ class AlignerConfig:
     fmllr_min_count: float = 100.0
     compute_confidence: bool = False
     devices: Optional[tuple] = None  # default: all local devices
-    # SPMD mode: shard every batch over a global device mesh instead of
-    # round-robin local placement (required for multi-host runs; None =
-    # auto, on when jax.process_count() > 1)
+    # SPMD mode: shard every batch over a device mesh instead of
+    # round-robin local placement. None = auto: on for single-process
+    # multi-chip TPU hosts (matching TrainableAligner). Multi-process
+    # (pod) alignment instead shards the corpus per host at the CLI and
+    # keeps each host on its local devices — alignment needs no
+    # cross-host reduction, so per-host sharding avoids lockstep.
     distributed: Optional[bool] = None
     # language-specific pre-tokenization (reference --language; english is
     # rule-based, ja/zh/ko/th gate on their segmentation packages)
@@ -369,7 +372,13 @@ class PretrainedAligner:
 
         distributed = self.config.distributed
         if distributed is None:
-            distributed = False
+            # auto: engage the mesh on single-process multi-chip TPU hosts
+            # (multi-process runs use per-host corpus sharding instead)
+            distributed = (
+                _jax.process_count() == 1
+                and _jax.default_backend() == "tpu"
+                and len(_jax.devices()) > 1
+            )
         if distributed and _jax.process_count() > 1:
             # multi-host alignment shards the corpus per host instead (see
             # cli.align: each host aligns its own speakers on local devices
@@ -422,21 +431,13 @@ class PretrainedAligner:
         fn = self._shard_emit_fns.get(key)
         if fn is not None:
             return fn
-        from functools import partial as _partial
-
         from jax.sharding import PartitionSpec
 
-        try:
-            from jax import shard_map as _shard_map
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map as _shard_map
-        import inspect as _inspect
-
-        no_rep = (
-            {"check_vma": False}
-            if "check_vma" in _inspect.signature(_shard_map).parameters
-            else {"check_rep": False}
+        from montreal_forced_aligner_tpu.parallel.data_parallel import (
+            _NO_REP_CHECK as no_rep,
+            shard_map as _shard_map,
         )
+
         data = PartitionSpec("data")
         rep = PartitionSpec()
         gspecs = BatchedGraph(*([data] * len(BatchedGraph._fields)))

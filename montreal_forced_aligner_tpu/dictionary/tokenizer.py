@@ -83,13 +83,15 @@ class SimpleTokenizer:
                 resolved = []
                 any_known = False
                 for i, p in enumerate(parts):
-                    options = (
-                        [p + marker, marker + p, p]
-                        if 0 < i < len(parts)
-                        else [p + marker, p]
-                        if i == 0
-                        else [marker + p, p]
-                    )
+                    # first part: initial-clitic form ("l'"); final part:
+                    # prefer the final-clitic form ("'s") over the
+                    # suffix-attached one; middle parts may be either
+                    if i == 0:
+                        options = [p + marker, p]
+                    elif i == len(parts) - 1:
+                        options = [marker + p, p + marker, p]
+                    else:
+                        options = [p + marker, marker + p, p]
                     pick = next((o for o in options if self._known(o)), None)
                     if pick is None:
                         resolved.append(p)

@@ -159,13 +159,15 @@ class ModelManager:
             release = self.find_release(model_type, name, version)
             if release is not None:
                 assets = release.get("assets", [])
+                # no fallback to an arbitrary asset: saving checksums.md5
+                # as <name>.zip would just fail confusingly at load time
                 asset = next(
                     (
                         a
                         for a in assets
                         if a.get("name", "").endswith(tuple(exts))
                     ),
-                    assets[0] if assets else None,
+                    None,
                 )
                 if asset is not None:
                     ext = next(
@@ -183,7 +185,12 @@ class ModelManager:
                     tmp.write_bytes(data)
                     tmp.rename(dst)
                     return dst
-            network_note = f"no release found for {model_type}-{name}"
+                network_note = (
+                    f"release {release.get('tag_name')!r} has no asset "
+                    f"matching {'/'.join(exts)}"
+                )
+            else:
+                network_note = f"no release found for {model_type}-{name}"
         except Exception as e:  # URLError, timeout, JSON errors, ...
             network_note = f"network unavailable ({e.__class__.__name__})"
         raise RuntimeError(

@@ -107,7 +107,11 @@ def pallas_state_loglikes(
     S_padded = ((S + S_TILE - 1) // S_TILE) * S_TILE
     if S_padded != S:
         state_pdf = jnp.pad(state_pdf, ((0, 0), (0, S_padded - S)))
-    T_TILE = min(MAX_T_TILE, ((T + 7) // 8) * 8)
+    # balanced frame tiles: ceil-divide T into the fewest MAX_T_TILE-bound
+    # tiles, then round the tile to 8. A fixed min(512, T) tile pads T=600
+    # to 1024 (41% wasted matmul work); balancing pads it to 608.
+    n_tiles = -(-T // MAX_T_TILE)
+    T_TILE = ((-(-T // n_tiles) + 7) // 8) * 8
     T_pad = (-T) % T_TILE
     if T_pad:
         feats = jnp.pad(feats, ((0, 0), (0, T_pad), (0, 0)))

@@ -37,6 +37,11 @@ from typing import Callable, List, Optional, Sequence
 
 logger = logging.getLogger("mfa_tpu")
 
+# bracketed spans the simple tokenizer maps to special words
+# (DEFAULT_BRACKETS in dictionary/tokenizer.py); kept whole across
+# whitespace so "[no speech]" stays one span
+_BRACKETED_SPAN = re.compile(r"[<\[{(＜][^>\]})＞]*[>\]})＞]")
+
 GENERIC_PREFIXES = {
     "non", "electro", "multi", "cross", "pseudo", "techno", "robo", "thermo",
 }
@@ -151,9 +156,18 @@ class EnglishTokenizer(LanguageTokenizer):
         # generic prefixes joined over an explicit hyphen+space
         for p in GENERIC_PREFIXES:
             text = re.sub(rf"\b({p})\s*-\s*(\w)", r"\1-\2", text)
-        tokens = text.split()
+        # protect bracketed/cutoff spans (possibly multi-word: "[no
+        # speech]", "<cutoff my word>") from whitespace splitting — the
+        # simple tokenizer must see them whole to map them to its
+        # special words
         out: List[str] = []
-        for tok in tokens:
+        pos = 0
+        for m in _BRACKETED_SPAN.finditer(text):
+            for tok in text[pos : m.start()].split():
+                out.extend(self._split_word(tok))
+            out.append(m.group(0))
+            pos = m.end()
+        for tok in text[pos:].split():
             out.extend(self._split_word(tok))
         return " ".join(out)
 
@@ -170,7 +184,11 @@ class _GatedTokenizer(LanguageTokenizer):
         self._warned = False
         try:
             self._impl = self._build(**kwargs)
-        except ImportError:
+        except Exception:
+            # not just ImportError: a partially-installed stack (package
+            # present, model data missing — OSError from spacy/pkuseg,
+            # RuntimeError from mecab without a dicdir) must also fall
+            # back gracefully rather than crash aligner construction
             self._impl = None
 
     def _build(self, **kwargs):  # pragma: no cover - packages absent here

@@ -195,21 +195,13 @@ class TrainingPipeline:
         fn = cache.get(key)
         if fn is not None:
             return fn
-        import inspect as _inspect
-        from functools import partial as _partial
-
         from jax.sharding import PartitionSpec
 
-        try:
-            from jax import shard_map as _shard_map
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map as _shard_map
-
-        no_rep = (
-            {"check_vma": False}
-            if "check_vma" in _inspect.signature(_shard_map).parameters
-            else {"check_rep": False}
+        from montreal_forced_aligner_tpu.parallel.data_parallel import (
+            _NO_REP_CHECK as no_rep,
+            shard_map as _shard_map,
         )
+
         data = PartitionSpec("data")
         rep = PartitionSpec()
         gspecs = BatchedGraph(*([data] * len(BatchedGraph._fields)))

@@ -15,6 +15,7 @@ alignments the previous stage left cached on the pipeline batches).
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, replace
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -111,6 +112,14 @@ class TrainableAligner:
             self.mesh = get_mesh()
         self.language = language
         if _jax.process_count() > 1:
+            if self.mesh is None:
+                # per-host sharding is only sound when the mesh combines
+                # the statistics; without it every host would silently
+                # train an independent model on its own speaker shard
+                raise ValueError(
+                    "multi-process training requires the SPMD mesh; do not "
+                    "pass --no_distributed on a multi-process (pod) run"
+                )
             from montreal_forced_aligner_tpu.parallel.multihost import (
                 shard_corpus_for_host,
             )
@@ -302,7 +311,16 @@ class TrainableAligner:
         if getattr(trainer, "speaker_transforms", None) is not None:
             aux["speaker_transforms"] = trainer.speaker_transforms
         if aux:
-            np.savez_compressed(aux_path, **aux)
+            # write-then-rename like model.save: every process of a
+            # multi-host run checkpoints to the same shared path
+            import socket
+
+            # (suffix stays .npz: np.savez appends it otherwise)
+            tmp = aux_path.with_name(
+                f"{aux_path.stem}.tmp{socket.gethostname()}.{os.getpid()}.npz"
+            )
+            np.savez_compressed(tmp, **aux)
+            os.replace(tmp, aux_path)
 
     def _load_checkpoint(self, stage, pipeline, topo, lda_mat):
         """Returns a trainer reconstructed from a stage checkpoint (with the

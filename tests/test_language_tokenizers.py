@@ -161,3 +161,36 @@ def test_aligner_language_changes_tokens(tmp_path):
     results2 = al2.align_corpus(corpus2)
     words2 = [w.label for w in sorted(results2[0].words, key=lambda w: w.begin)]
     assert words2 == ["<unk>", "a"]
+
+
+def test_english_preserves_multiword_bracketed_spans():
+    """Whitespace inside bracketed spans must survive pre-tokenization so
+    the simple tokenizer can map the whole span to its special word."""
+    from montreal_forced_aligner_tpu.tokenization.languages import (
+        EnglishTokenizer,
+    )
+
+    t = EnglishTokenizer()
+    out = t.pre_tokenize("hello [no speech] there <cut off wor>")
+    assert "[no speech]" in out
+    assert "<cut off wor>" in out
+
+
+def test_gated_tokenizer_survives_broken_backend():
+    """A segmentation backend that raises a non-ImportError during
+    construction (partially-installed stack) must degrade to the identity
+    fallback, not crash."""
+    from montreal_forced_aligner_tpu.tokenization.languages import (
+        _GatedTokenizer,
+    )
+
+    class Broken(_GatedTokenizer):
+        name = "broken"
+        package = "brokenpkg"
+        install_hint = "pip install brokenpkg"
+
+        def _build(self, **kwargs):
+            raise OSError("model data missing")
+
+    t = Broken()
+    assert t.pre_tokenize("some text") == "some text"
