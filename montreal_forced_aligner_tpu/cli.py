@@ -1310,6 +1310,9 @@ def train_lm_cli(source_path, output_model_path, order, dictionary_path,
               help="Per-word entry cost (reference semantics)")
 @click.option("--config_path", type=click.Path(exists=True), default=None,
               help="Yaml parameter file (reference --config_path semantics)")
+@click.option("--profile_dir", type=click.Path(), default=None,
+              help="Write a JAX profiler trace of the decode here "
+                   "(view with TensorBoard; parity with align/train)")
 @click.option("--output_type", default="transcription", show_default=True,
               type=click.Choice(["transcription", "alignment"]),
               help="transcription: utterance-text tiers; alignment: "
@@ -1328,10 +1331,35 @@ def transcribe_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
                    output_directory, language_model_path, evaluate, batch_size,
                    nbest, rescore_lm_path, rescore_weight,
                    language_model_weight, word_insertion_penalty, config_path,
-                   output_type, output_format, include_original_text,
-                   speaker_characters, audio_directory):
+                   profile_dir, output_type, output_format,
+                   include_original_text, speaker_characters, audio_directory):
     """Transcribe a corpus (reference: ``mfa transcribe``,
     ``transcription/transcriber.py:959``). Writes one .lab per utterance."""
+    import contextlib
+
+    if profile_dir:
+        import jax as _jax_prof
+
+        trace_cm = _jax_prof.profiler.trace(str(profile_dir))
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        return _transcribe_impl(
+            ctx, corpus_directory, dictionary_path, acoustic_model_path,
+            output_directory, language_model_path, evaluate, batch_size,
+            nbest, rescore_lm_path, rescore_weight, language_model_weight,
+            word_insertion_penalty, config_path, output_type, output_format,
+            include_original_text, speaker_characters, audio_directory,
+        )
+
+
+def _transcribe_impl(ctx, corpus_directory, dictionary_path,
+                     acoustic_model_path, output_directory,
+                     language_model_path, evaluate, batch_size, nbest,
+                     rescore_lm_path, rescore_weight, language_model_weight,
+                     word_insertion_penalty, config_path, output_type,
+                     output_format, include_original_text,
+                     speaker_characters, audio_directory):
     if config_path:
         data = _load_command_config(config_path)
         ov = _config_overrides(
