@@ -601,6 +601,9 @@ def version_cli():
               help="Scale factor on per-stage iteration counts (quick runs)")
 @click.option("--working_directory", type=click.Path(), default=None,
               help="Stage checkpoints for resume")
+@click.option("--clean/--no_clean", default=False, show_default=True,
+              help="Wipe existing checkpoints in --working_directory and "
+                   "start fresh (reference --clean semantics)")
 @click.option("--position_dependent_phones/--no_position_dependent_phones",
               default=True, show_default=True,
               help="Word-position phone variants (_B/_E/_I/_S), MFA default")
@@ -657,7 +660,7 @@ def version_cli():
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
-              num_iterations_scale, working_directory,
+              num_iterations_scale, working_directory, clean,
               position_dependent_phones, features_on_host, phone_set_type,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
@@ -666,6 +669,16 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
+
+    if clean and working_directory is not None:
+        import shutil as _shutil
+        from pathlib import Path as _Path
+
+        wd = _Path(working_directory)
+        if wd.exists():
+            # reference --clean: wipe prior run state so nothing resumes
+            _shutil.rmtree(wd)
+            click.echo(f"Cleaned working directory {wd}")
 
     from montreal_forced_aligner_tpu.training.trainer import (
         DEFAULT_RECIPE,

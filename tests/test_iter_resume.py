@@ -136,3 +136,39 @@ def test_resume_skips_to_latest_iteration(tmp_path, monkeypatch):
     t2 = _make(tmp_path, recipe, wd=wd)
     t2.train()
     assert iter_calls == [4, 5]
+
+
+def test_train_clean_flag_wipes_checkpoints(tmp_path):
+    """train --clean removes prior working-directory state so nothing
+    resumes (reference --clean semantics)."""
+    import yaml
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from test_training import WORD_PHONES, make_training_corpus
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=4)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    cfg = tmp_path / "recipe.yaml"
+    cfg.write_text(yaml.safe_dump(
+        {"training": [{"monophone": {"num_iterations": 2,
+                                     "max_gaussians": 20}}]}
+    ))
+    wd = tmp_path / "wd"
+    out = tmp_path / "m.zip"
+    runner = CliRunner()
+    args = ["train", str(corpus_dir), str(dict_path), str(out),
+            "--config_path", str(cfg), "--batch_size", "4",
+            "--chain_topology", "--working_directory", str(wd)]
+    r = runner.invoke(cli, args, catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    marker = wd / "stale_marker"
+    marker.write_text("x")
+    r = runner.invoke(cli, args + ["--clean"], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    assert "Cleaned working directory" in r.output
+    assert not marker.exists()
+    assert out.exists()
