@@ -58,9 +58,45 @@ def _enable_compilation_cache() -> None:
 
 
 @click.group(name="mfa-tpu")
-def cli():
+@click.option("-v", "--verbose", is_flag=True, default=False,
+              help="INFO-level progress logs (reference -v/--verbose)")
+@click.option("-q", "--quiet", is_flag=True, default=False,
+              help="Errors only (reference -q/--quiet)")
+@click.option("--debug", is_flag=True, default=False,
+              help="DEBUG-level logs incl. per-phase timings "
+                   "(reference --debug)")
+def cli(verbose, quiet, debug):
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
+    import logging as _logging
+
+    # configure the package logger to the console (reference
+    # configure_logger, helper.py:179); flags override the profile default
+    level = _logging.WARNING
+    try:
+        from montreal_forced_aligner_tpu.config import get_config
+
+        prof = get_config().current_profile
+        if getattr(prof, "debug", False):
+            level = _logging.DEBUG
+        elif getattr(prof, "verbose", False):
+            level = _logging.INFO
+    except Exception:
+        pass
+    if debug:
+        level = _logging.DEBUG
+    elif verbose:
+        level = _logging.INFO
+    elif quiet:
+        level = _logging.ERROR
+    pkg_logger = _logging.getLogger("mfa_tpu")
+    pkg_logger.setLevel(level)
+    if not pkg_logger.handlers:
+        h = _logging.StreamHandler()
+        h.setFormatter(
+            _logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        pkg_logger.addHandler(h)
     _honor_jax_platforms_env()
     _enable_compilation_cache()
     # multi-host pod runs: stitch the processes into one global device set
