@@ -264,6 +264,30 @@ def main():
             except Exception as e:  # report mono rather than nothing
                 print(f"SAT workload failed: {e!r}", file=sys.stderr)
 
+        # ---- training throughput (fixed tiny recipe, comparable across
+        # rounds): full mono EM on the mono corpus — flat start, graph
+        # compile, 4 iterations with 2 realignments, stats + MLE updates
+        train_tp = None
+        train_budget = float(os.environ.get("MFA_TPU_BENCH_TRAIN_BUDGET", 900))
+        if time.time() - t_start < train_budget:
+            try:
+                from montreal_forced_aligner_tpu.training.trainer import (
+                    StageConfig,
+                    TrainableAligner,
+                )
+
+                t0 = time.time()
+                ta = TrainableAligner(
+                    corpus_dir, dict_path,
+                    recipe=[StageConfig("monophone", "mono", 4, 64)],
+                    batch_size=32,
+                    variable_length_topology=False,
+                )
+                ta.train()
+                train_tp = mono_audio / (time.time() - t0)
+            except Exception as e:
+                print(f"train workload failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -275,6 +299,10 @@ def main():
                 "vs_baseline": None,
                 "sat_throughput": None if sat_tp is None else round(sat_tp, 2),
                 "sat_workload": "5k pdfs, 32 gauss/pdf, 40d LDA, 2-pass fMLLR",
+                "train_throughput": (
+                    None if train_tp is None else round(train_tp, 2)
+                ),
+                "train_workload": "mono flat-start + 4 EM iters (2 realigns)",
                 "breakdown": breakdown,
             }
         )
