@@ -50,6 +50,11 @@ from montreal_forced_aligner_tpu.cli import _enable_compilation_cache
 _enable_compilation_cache()
 
 REF_DATA = Path("/root/reference/tests/data")
+
+# partial results for the watchdog: if a later phase hangs the tunnel, the
+# hang line still carries whatever finished (losing the mono number to a
+# SAT/train stall would be worse than the stall itself)
+PARTIAL = {}
 SMALL = "--small" in sys.argv  # CPU-sized sanity run
 BREAKDOWN = "--breakdown" in sys.argv or not SMALL
 
@@ -238,6 +243,7 @@ def main():
         )
         mono_corpus = Corpus.load(corpus_dir)
         mono_tp = measure(mono, mono_corpus, mono_audio, repeats)
+        PARTIAL["value"] = round(mono_tp, 2)
 
         # ---- SAT-scale workload (the real shape: ~5k pdfs, LDA, fMLLR)
         sat_tp = None
@@ -258,6 +264,7 @@ def main():
                 )
                 sat_corpus = Corpus.load(sat_corpus_dir)
                 sat_tp = measure(sat, sat_corpus, sat_audio, 1 if SMALL else 3)
+                PARTIAL["sat_throughput"] = round(sat_tp, 2)
                 breakdown = (
                     phase_breakdown(sat, sat_corpus) if BREAKDOWN else None
                 )
@@ -285,6 +292,7 @@ def main():
                 )
                 ta.train()
                 train_tp = mono_audio / (time.time() - t0)
+                PARTIAL["train_throughput"] = round(train_tp, 2)
             except Exception as e:
                 print(f"train workload failed: {e!r}", file=sys.stderr)
 
@@ -327,13 +335,15 @@ def _watchdog_main():
             json.dumps(
                 {
                     "metric": "align_throughput",
-                    "value": None,
+                    "value": PARTIAL.get("value"),
                     "unit": "audio_seconds_per_second_per_chip",
                     "vs_baseline": None,
-                    "sat_throughput": None,
+                    "sat_throughput": PARTIAL.get("sat_throughput"),
+                    "train_throughput": PARTIAL.get("train_throughput"),
                     "error": (
-                        f"device backend hang: no result within {budget:.0f}s "
-                        "(axon tunnel unresponsive; rerun when healthy)"
+                        f"device backend hang after {budget:.0f}s "
+                        "(axon tunnel unresponsive; completed phases "
+                        "reported, the hung phase is null)"
                     ),
                 }
             ),
