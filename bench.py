@@ -3,8 +3,8 @@
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "sat_throughput", "breakdown"}
 
-Two workloads, both with variable-length utterances (2-30 s, exercising the
-frame-bucketing path):
+Three workloads, all with variable-length utterances (2-30 s, exercising
+the frame-bucketing path):
 
 - **mono**: the reference's checked-in Kaldi monophone model (132 pdfs,
   deltas) — comparable across rounds (the round-1 metric).
@@ -13,6 +13,8 @@ frame-bucketing path):
   independent alignment model) run through the full two-pass fMLLR
   alignment — the workload users actually run (reference recipe
   ``acoustic_modeling/trainer.py:193-240``).
+- **train**: monophone flat-start + 4 EM iterations (2 realignments) on
+  the mono corpus — training throughput in audio-s/s.
 
 ``breakdown`` reports per-phase times for one representative SAT batch
 (device phases measured with block_until_ready fences): host wave prep,
