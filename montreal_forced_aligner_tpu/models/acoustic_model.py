@@ -83,6 +83,15 @@ class AcousticModel:
     # speaker-independent model for the first pass of SAT alignment
     alignment_model: Optional[tuple] = None  # (TransitionModel, DiagGmmSet)
     occs: Optional[np.ndarray] = None
+    # phone -> {pdf_id: count} mapping from the final training alignment
+    # (reference bundle member ``phone_pdf.counts``,
+    # ``acoustic_modeling/trainer.py:665``; JSON)
+    phone_pdf_counts: Optional[Dict] = None
+    # phone LM over aligned phone sequences (reference bundles
+    # ``phone_lm.fst`` built by ``train_phone_lm``,
+    # ``transcription/transcriber.py:737``; persisted here as ARPA —
+    # ``phone_lm.arpa`` — consumed by ``--use_phone_model``)
+    phone_lm: Optional[object] = None  # language_modeling.ngram.ArpaModel
 
     @property
     def phone_names(self) -> Dict[int, str]:
@@ -163,6 +172,21 @@ class AcousticModel:
                     occs = reader.read_vector()
                 else:
                     occs = read_text_vector(f.read().decode("utf-8"))
+        phone_pdf_counts = None
+        if (root / "phone_pdf.counts").exists():
+            with open(root / "phone_pdf.counts", "r", encoding="utf-8") as f:
+                raw = json.load(f)
+            phone_pdf_counts = {
+                phone: {int(pdf): float(c) for pdf, c in pdfs.items()}
+                for phone, pdfs in raw.items()
+            }
+        phone_lm = None
+        if (root / "phone_lm.arpa").exists():
+            from montreal_forced_aligner_tpu.language_modeling.ngram import (
+                ArpaModel,
+            )
+
+            phone_lm = ArpaModel.read(root / "phone_lm.arpa")
         return cls(
             transition_model=tm,
             gmm=gmm,
@@ -172,6 +196,8 @@ class AcousticModel:
             lda_mat=lda,
             alignment_model=alimdl,
             occs=occs,
+            phone_pdf_counts=phone_pdf_counts,
+            phone_lm=phone_lm,
         )
 
     def save(self, path, extra_files: Optional[Dict[str, Path]] = None) -> None:
@@ -193,6 +219,18 @@ class AcousticModel:
                     KaldiBinaryWriter(f).write_matrix(self.lda_mat)
             if self.alignment_model is not None:
                 write_am_file(root / "final.alimdl", *self.alignment_model)
+            if self.phone_pdf_counts is not None:
+                with open(root / "phone_pdf.counts", "w", encoding="utf-8") as f:
+                    json.dump(
+                        {
+                            phone: {str(pdf): c for pdf, c in pdfs.items()}
+                            for phone, pdfs in self.phone_pdf_counts.items()
+                        },
+                        f,
+                        ensure_ascii=False,
+                    )
+            if self.phone_lm is not None:
+                self.phone_lm.write(root / "phone_lm.arpa")
             if extra_files:
                 for name, src in extra_files.items():
                     shutil.copy(src, root / name)

@@ -116,6 +116,19 @@ def host_allreduce_sum(arr):
     return out
 
 
+def host_barrier(name: str = "barrier") -> None:
+    """Cross-process synchronization point (no-op in single-process runs).
+    Used around shared-filesystem mutations (e.g. ``train --clean`` wiping a
+    pod-shared working directory) so no host races past another's writes."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def host_allreduce_max(value: int) -> int:
     import numpy as np
 
@@ -212,6 +225,21 @@ def shard_corpus_for_host(
     counts: Dict[str, int] = defaultdict(int)
     for utt in corpus.utterances:
         counts[label[find(("s", utt.speaker))]] += 1
+    # conversational corpora (one speaker across many files, multi-speaker
+    # files chaining speakers) can collapse into one giant component,
+    # leaving most hosts idle — surface that instead of stalling silently
+    total = sum(counts.values())
+    largest = max(counts.values(), default=0)
+    if process_count > 1 and total and largest > total / process_count:
+        import logging
+
+        logging.getLogger("mfa_tpu").warning(
+            "host sharding: the largest speaker<->file component holds "
+            "%d/%d utterances (> 1/%d of the corpus) — multi-speaker files "
+            "chain speakers into one atomic unit, so pod scaling will be "
+            "limited by it (consider splitting recordings per speaker)",
+            largest, total, process_count,
+        )
     mine = set(
         shard_speakers_for_host(dict(counts), process_index, process_count)
     )

@@ -57,6 +57,15 @@ class TrainerConfig:
     min_gaussian_occupancy: float = 10.0
     batch_size: int = 16
     subset: int = 0  # 0 = use all utterances
+    # device-resident EM: model + accumulators stay on device across
+    # iterations; per iteration the host sees only the (P, G) occupancy and
+    # a few scalars (False = legacy host-side update, kept for equivalence
+    # testing)
+    device_resident: bool = True
+    # minimum seconds between per-iteration resume checkpoints (0 = every
+    # iteration); each save fetches the model + state paths over the slow
+    # device->host link, so production runs throttle it
+    checkpoint_interval_s: float = 0.0
 
 
 @dataclass
@@ -75,11 +84,73 @@ class FeatureBatch:
     band_limits: Optional[tuple] = None  # (lb, ub)
     # cached alignment (updated on realignment iterations)
     frame_pdf: Optional[jnp.ndarray] = None  # (B, T) int32 device
-    frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host
-    state_path: Optional[np.ndarray] = None  # (B, T) int32 host
-    align_scores: Optional[np.ndarray] = None  # (B,) Viterbi scores
+    frame_tid: Optional[np.ndarray] = None  # (B, T) int32 host cache
+    state_path: Optional[np.ndarray] = None  # (B, T) int32 host cache
+    align_scores: Optional[np.ndarray] = None  # (B,) host cache
+    # device-resident alignment (authoritative when set; the host fields
+    # above become lazily-fetched caches — the EM loop never fetches them,
+    # d2h runs at ~10-30 MB/s on remote-attached TPUs)
+    state_path_dev: Optional[jnp.ndarray] = None  # (B, T) int32 device
+    frame_tid_dev: Optional[jnp.ndarray] = None  # (B, T) int32 device
+    align_scores_dev: Optional[jnp.ndarray] = None  # (B,) device
     # device mesh for SPMD placement (None = default single-device)
     mesh: Optional[object] = None
+
+    def set_device_alignment(self, state_path, scores, graph) -> None:
+        """Record a fresh alignment without leaving the device: derive the
+        per-frame pdf and transition-id arrays on device and invalidate the
+        host caches."""
+        from montreal_forced_aligner_tpu.ops.device_update import (
+            frame_tids_device,
+        )
+
+        self.state_path_dev = state_path
+        self.align_scores_dev = scores
+        self.frame_pdf = _frame_pdf_device(graph.state_pdf, state_path)
+        self.frame_tid_dev = frame_tids_device(
+            state_path,
+            self.put_b(self.frame_lengths),
+            graph.in_src,
+            graph.in_tid,
+            graph.final_tid,
+        )
+        self.state_path = None
+        self.frame_tid = None
+        self.align_scores = None
+
+    def set_host_alignment(self, state_path, frame_tid, align_scores) -> None:
+        """Record an alignment from host arrays (checkpoint load, alignment
+        conversion); device copies ship lazily via ``put_b`` at use sites."""
+        self.state_path = state_path
+        self.frame_tid = frame_tid
+        self.align_scores = align_scores
+        self.state_path_dev = None
+        self.frame_tid_dev = None
+        self.align_scores_dev = None
+        if state_path is not None and self.garrs is not None:
+            b = np.arange(state_path.shape[0])[:, None]
+            self.frame_pdf = self.put_b(self.garrs["state_pdf"][b, state_path])
+
+    def _fetch_dev(self, dev_arr):
+        return None if dev_arr is None else _to_host(dev_arr)
+
+    def host_state_path(self) -> Optional[np.ndarray]:
+        if self.state_path is None and self.state_path_dev is not None:
+            self.state_path = self._fetch_dev(self.state_path_dev)
+        return self.state_path
+
+    def host_frame_tid(self) -> Optional[np.ndarray]:
+        if self.frame_tid is None and self.frame_tid_dev is not None:
+            self.frame_tid = self._fetch_dev(self.frame_tid_dev)
+        return self.frame_tid
+
+    def host_align_scores(self) -> Optional[np.ndarray]:
+        if self.align_scores is None and self.align_scores_dev is not None:
+            self.align_scores = self._fetch_dev(self.align_scores_dev)
+        return self.align_scores
+
+    def has_alignment(self) -> bool:
+        return self.state_path is not None or self.state_path_dev is not None
 
     def put_b(self, x):
         """Place a batch-leading array: sharded over the mesh's "data" axis
@@ -89,6 +160,11 @@ class FeatureBatch:
     def put_rep(self, x):
         """Place a model/replicated array (same on every device)."""
         return put_replicated(x, self.mesh)
+
+
+@jax.jit
+def _frame_pdf_device(state_pdf, state_path):
+    return jnp.take_along_axis(state_pdf, state_path, axis=1)
 
 
 def put_batch(x, mesh):
@@ -414,6 +490,7 @@ class TrainingPipeline:
             fb.feats = np.asarray(final) if self.features_on_host else final
             fb.frame_pdf = None
             fb.frame_tid = None
+            fb.frame_tid_dev = None
 
     def utterance_loglikes(self) -> Dict[int, float]:
         """Per-utterance alignment log-likelihood per frame from the most
@@ -421,12 +498,13 @@ class TrainingPipeline:
         ``alignment/mixins.py:305-358``)."""
         out: Dict[int, float] = {}
         for fb in self.batches:
-            if fb.align_scores is None:
+            scores = fb.host_align_scores()
+            if scores is None:
                 continue
             for row, i in enumerate(fb.utt_indices):
                 L = int(fb.frame_lengths[row])
                 if L > 0:
-                    out[i] = float(fb.align_scores[row]) / L
+                    out[i] = float(scores[row]) / L
         return out
 
     def set_subset(self, utt_indices: Optional[set]) -> None:
@@ -573,25 +651,28 @@ class TrainingPipeline:
     def global_mean_var(self, max_batches: int = 4) -> Tuple[np.ndarray, np.ndarray]:
         """Global feature mean/var over (a prefix of) the corpus (spec:
         flat-start ``gmm_init_mono`` from ~10 feature matrices,
-        ``monophone.py:298-339``)."""
+        ``monophone.py:298-339``). Moments reduce on device; only (D,)
+        vectors cross the slow device->host link."""
+        from montreal_forced_aligner_tpu.ops.device_update import (
+            masked_feature_moments,
+        )
+
         tot = np.zeros(self.feature_dim)
         totsq = np.zeros(self.feature_dim)
         n = 0.0
-        for fb in self.batches[:max_batches]:
-            f = _to_host(fb.feats)
-            for row in range(min(f.shape[0], len(fb.frame_lengths))):
-                L = int(fb.frame_lengths[row])
-                tot += f[row, :L].sum(axis=0)
-                totsq += (f[row, :L] ** 2).sum(axis=0)
-                n += L
-        if self.mesh is not None and jax.process_count() > 1:
-            from montreal_forced_aligner_tpu.parallel.multihost import (
-                host_allreduce_sum,
+        pending = [
+            masked_feature_moments(
+                self.put_b(fb.feats), self.put_b(fb.frame_lengths)
             )
-
-            tot = host_allreduce_sum(tot)
-            totsq = host_allreduce_sum(totsq)
-            n = float(host_allreduce_sum(np.array([n]))[0])
+            for fb in self.batches[:max_batches]
+        ]
+        for s, sq, cnt in fetch_all(pending):
+            tot += s.astype(np.float64)
+            totsq += sq.astype(np.float64)
+            n += float(cnt)
+        # NOTE: under a multi-process mesh the device moments are already
+        # globally reduced by the SPMD psum (sharded inputs, replicated
+        # outputs) — no host allreduce on top.
         mean = tot / max(n, 1.0)
         var = np.maximum(totsq / max(n, 1.0) - mean**2, 1e-3)
         return mean, var

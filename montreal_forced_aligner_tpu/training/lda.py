@@ -139,6 +139,9 @@ class LdaTrainer(TriphoneTrainer):
     def post_iteration(self, iteration: int, pipeline: TrainingPipeline) -> None:
         if iteration not in self.mllt_iterations:
             return
+        # this hook reads AND rotates self.gmm on host: sync the
+        # device-resident model down first, invalidate the mirror after
+        self.sync_host_model(pipeline)
         D = self.gmm.dim
         G_total = np.zeros((D, D, D))
         beta_total = 0.0
@@ -175,6 +178,7 @@ class LdaTrainer(TriphoneTrainer):
         new_means = np.einsum("de,pge->pgd", M, old_means)
         self.gmm.means_invvars = (new_means * self.gmm.inv_vars).astype(np.float32)
         self.gmm.compute_gconsts()
+        self.invalidate_device_model()
         pipeline.set_feature_transform(uses_deltas=False, lda_mat=self.lda_mat)
         # feature change invalidates cached alignments; refresh them
         self._realign(pipeline)

@@ -90,6 +90,9 @@ class SatTrainer(TriphoneTrainer):
         return (~np.isin(fp, sil_pdfs)).astype(np.float32)
 
     def _estimate_fmllr(self, pipeline: TrainingPipeline) -> None:
+        # the device-resident EM keeps the model on device between host
+        # syncs; this hook reads self.gmm, so sync first
+        self.sync_host_model(pipeline)
         # global dense speaker space (speakers never span hosts; every host
         # holds the psum'd stat blocks for all of them)
         S = getattr(pipeline, "num_speakers_global", None) or len(
@@ -169,7 +172,7 @@ class SatTrainer(TriphoneTrainer):
         pending = []
         for fb in pipeline.batches:
             # recover the alignment labels from the cached state paths
-            sp = fb.state_path
+            sp = fb.host_state_path()
             b = np.arange(sp.shape[0])[:, None]
             frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
             fb.frame_pdf = frame_pdf
@@ -186,10 +189,11 @@ class SatTrainer(TriphoneTrainer):
 
         fetched = fetch_all([out for _fb, out in pending])
         for (fb, _out), (occ, mean_acc, var_acc, ll) in zip(pending, fetched):
+            ft = fb.host_frame_tid()
             tcounts = np.bincount(
-                fb.frame_tid[fb.frame_tid > 0],
+                ft[ft > 0],
                 minlength=self.tm.num_transition_ids + 1,
-            ) if fb.frame_tid is not None else np.zeros(self.tm.num_transition_ids + 1)
+            ) if ft is not None else np.zeros(self.tm.num_transition_ids + 1)
             acc.add(occ, mean_acc, var_acc, tcounts, float(ll),
                     float(fb.frame_lengths.sum()))
         self.alignment_gmm, _ = mle_update(
@@ -201,7 +205,7 @@ class SatTrainer(TriphoneTrainer):
             speaker_transforms=self.speaker_transforms,
         )
         for fb in pipeline.batches:
-            sp = fb.state_path
+            sp = fb.host_state_path()
             b = np.arange(sp.shape[0])[:, None]
             fb.frame_pdf = fb.put_b(fb.garrs["state_pdf"][b, sp])
 

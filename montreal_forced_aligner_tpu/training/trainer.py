@@ -532,7 +532,73 @@ class TrainableAligner:
             topo = trainer.tm.topo
             if getattr(trainer, "lda_mat", None) is not None:
                 lda_mat = trainer.lda_mat
+        if model is not None and prev_trainer is not None:
+            self._attach_final_artifacts(prev_trainer, pipeline, model)
         return model
+
+    def _attach_final_artifacts(self, trainer, pipeline, model) -> None:
+        """Compute the reference's finalize-time bundle members on the final
+        alignment: ``phone_pdf.counts`` (per-phone pdf counts from smoothed
+        transition stats, ``acoustic_modeling/trainer.py:665``) and the
+        phone LM (``train_phone_lm``, ``transcription/transcriber.py:737``)
+        persisted as ``phone_lm.arpa`` for ``--use_phone_model``."""
+        from collections import Counter, defaultdict
+
+        try:
+            tcounts = trainer._get_tcounts(pipeline)
+        except Exception:
+            return
+        tm = trainer.tm
+        phone_names = {v: k for k, v in self.lexicon.phone_table.items()}
+        mapping = defaultdict(Counter)
+        smoothing = 1.0
+        for tid in range(1, tm.num_transition_ids + 1):
+            pdf = int(tm.id2pdf[tid])
+            phone = phone_names.get(tm.transition_id_to_phone(tid))
+            if phone is None:
+                continue
+            mapping[phone][pdf] += smoothing + float(tcounts[tid])
+        model.phone_pdf_counts = {
+            p: dict(c) for p, c in sorted(mapping.items())
+        }
+        # phone LM from the final alignment's phone sequences (silence
+        # stripped: the decode graph's optional-silence branches model it)
+        texts = []
+        sil = {self.lexicon.silence_phone, "sp", self.lexicon.oov_phone}
+        strip = lambda n: (
+            n.rsplit("_", 1)[0]
+            if n.endswith(("_B", "_E", "_I", "_S"))
+            else n
+        )
+        for fb in pipeline.batches:
+            sp = fb.host_state_path()
+            if sp is None:
+                continue
+            ph = fb.garrs["state_phone"][
+                np.arange(sp.shape[0])[:, None], sp
+            ]
+            inst = fb.garrs["state_instance"][
+                np.arange(sp.shape[0])[:, None], sp
+            ]
+            for row in range(len(fb.utt_indices)):
+                L = int(fb.frame_lengths[row])
+                if L <= 0:
+                    continue
+                change = np.flatnonzero(np.diff(inst[row, :L])) + 1
+                starts = np.concatenate([[0], change])
+                labels = [
+                    strip(phone_names.get(int(p), ""))
+                    for p in ph[row, starts]
+                ]
+                labels = [l for l in labels if l and l not in sil]
+                if labels:
+                    texts.append(" ".join(labels))
+        if texts:
+            from montreal_forced_aligner_tpu.language_modeling.ngram import (
+                train_lm_from_texts,
+            )
+
+            model.phone_lm, _ = train_lm_from_texts(texts, order=2)
 
     def export_model(self, path) -> None:
         final = self.models[self.recipe[-1].name]
@@ -555,9 +621,9 @@ class TrainableAligner:
         counter = PronunciationCounter()
         n = 0
         for fb in pipeline.batches:
-            if fb.state_path is None:
+            if not fb.has_alignment():
                 continue
-            sp = fb.state_path
+            sp = fb.host_state_path()
             b = np.arange(sp.shape[0])[:, None]
             phone_f = fb.garrs["state_phone"][b, sp]
             word_f = fb.garrs["state_word"][b, sp]

@@ -161,8 +161,8 @@ class TriphoneTrainer(ViterbiEmTrainer):
         left/right phone context per frame, from the cached state paths."""
         out = []
         for fb in pipeline.batches:
-            assert fb.state_path is not None, "previous-stage alignment required"
-            sp = fb.state_path
+            assert fb.has_alignment(), "previous-stage alignment required"
+            sp = fb.host_state_path()
             b = np.arange(sp.shape[0])[:, None]
             phone = fb.garrs["state_phone"][b, sp]
             hmm_pos = fb.garrs["state_hmm_pos"][b, sp]
@@ -341,6 +341,13 @@ class TriphoneTrainer(ViterbiEmTrainer):
                     frame_tid[row, t] = tid
             fb.frame_pdf = fb.put_b(frame_pdf)
             fb.frame_tid = frame_tid
+            # the previous stage's device-resident alignment no longer
+            # matches the new tree/transition-ids
+            fb.frame_tid_dev = None
+            fb.state_path_dev = None
+            fb.state_path = None
+            fb.align_scores_dev = None
+        self._tcounts = None
 
     def initialize(self, pipeline: TrainingPipeline) -> None:
         labels = self._extract_labels(pipeline)

@@ -63,14 +63,24 @@ def transcribe_phones(
         uid: [p.label for p in aln.phones if p.label not in silence_labels]
         for uid, aln in results.items()
     }
-    lm = train_phone_lm(
-        {
-            uid: _PhoneSeq(labels)
-            for uid, labels in texts_results.items()
-            if labels
-        },
-        order=order,
-    )
+    # model archives trained by this framework bundle the finalize-time
+    # phone LM (reference bundles phone_lm.fst, models.py:367-379); use it
+    # instead of retraining from this corpus's alignments
+    from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
+
+    bundled = AcousticModel.load(acoustic_model_path).phone_lm
+    if bundled is not None:
+        logger.info("using the archive's bundled phone LM (phone_lm.arpa)")
+        lm = bundled
+    else:
+        lm = train_phone_lm(
+            {
+                uid: _PhoneSeq(labels)
+                for uid, labels in texts_results.items()
+                if labels
+            },
+            order=order,
+        )
 
     phone_vocab = sorted(
         {lab for labels in texts_results.values() for lab in labels}
