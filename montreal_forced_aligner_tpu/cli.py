@@ -1905,8 +1905,15 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 
 @cli.command("diarize_speakers")
 @click.argument("corpus_directory", type=click.Path(exists=True))
-@click.argument("ivector_extractor_path", type=click.Path(exists=True))
+@click.argument("ivector_extractor_path", type=str)
 @click.argument("output_directory", type=click.Path())
+@click.option("--xvector_model_path", type=click.Path(exists=True),
+              default=None,
+              help="Local SpeechBrain EncoderClassifier checkpoint for "
+                   "neural speaker embeddings; used when "
+                   "IVECTOR_EXTRACTOR_PATH is the literal 'speechbrain' "
+                   "(reference engages x-vectors the same way, "
+                   "diarization/multiprocessing.py:610)")
 @click.option("--expected_num_speakers", default=0, show_default=True,
               help="0 = threshold-based")
 @click.option("--distance_threshold", default=0.5, show_default=True)
@@ -1948,7 +1955,8 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
               help="Yaml parameter file (reference --config_path semantics)")
 @click.pass_context
 def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
-                         output_directory, expected_num_speakers,
+                         output_directory, xvector_model_path,
+                         expected_num_speakers,
                          distance_threshold, cluster_type, min_cluster_size,
                          batch_size, evaluate, classify, metric,
                          visualize, manifold_algorithm, output_format,
@@ -1986,6 +1994,90 @@ def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
     )
 
     corpus = Corpus.load(corpus_directory)
+    if ivector_extractor_path == "speechbrain":
+        # neural x-vector front end (reference surface: passing the literal
+        # 'speechbrain' engages EncoderClassifier embeddings); the
+        # clustering/classification below is shared with the i-vector path
+        if xvector_model_path is None:
+            raise click.ClickException(
+                "IVECTOR_EXTRACTOR_PATH 'speechbrain' needs "
+                "--xvector_model_path pointing at a local "
+                "EncoderClassifier checkpoint (no network egress here)"
+            )
+        from montreal_forced_aligner_tpu.diarization.embeddings import (
+            XVectorDiarizer,
+            XVectorEmbedder,
+        )
+
+        try:
+            embedder = XVectorEmbedder(xvector_model_path)
+        except RuntimeError as e:
+            raise click.ClickException(str(e))
+        if metric == "plda":
+            raise click.ClickException(
+                "--metric plda is not available with x-vector embeddings "
+                "(no PLDA model in a speechbrain checkpoint); use cosine"
+            )
+        xdiarizer = XVectorDiarizer(embedder, metric=metric)
+        order = list(range(corpus.num_utterances))
+        if classify:
+            import numpy as np
+
+            from montreal_forced_aligner_tpu.diarization.speaker_diarizer import (
+                DiarizationResult,
+            )
+            from montreal_forced_aligner_tpu.ivector.extractor import (
+                length_normalize,
+            )
+
+            emb = length_normalize(embedder.embed_corpus(corpus))
+            enrolled = {
+                s: emb[
+                    [
+                        i for i, u in enumerate(corpus.utterances)
+                        if u.speaker == s
+                    ]
+                ].mean(axis=0)
+                for s in corpus.speakers
+            }
+            names = list(enrolled)
+            enroll = length_normalize(
+                np.stack([enrolled[n] for n in names])
+            )
+            a = enroll / np.linalg.norm(enroll, axis=1, keepdims=True)
+            b = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            assigned = [names[i] for i in (a @ b.T).argmax(axis=0)]
+            name_idx = {s: i for i, s in enumerate(corpus.speakers)}
+            result = DiarizationResult(
+                labels=np.array([name_idx[n] for n in assigned]),
+                ivectors=emb,
+            )
+            moved = sum(
+                1 for i, u in enumerate(corpus.utterances)
+                if assigned[i] != u.speaker
+            )
+            click.echo(
+                f"Classification reassigned {moved}/{len(order)} utterances"
+            )
+        else:
+            result = xdiarizer.cluster_corpus(
+                corpus,
+                num_speakers=expected_num_speakers or None,
+                threshold=(
+                    None if expected_num_speakers else distance_threshold
+                ),
+                method=cluster_type,
+                min_cluster_size=min_cluster_size,
+            )
+        return _export_diarization(
+            corpus, result, order, output_directory, classify, evaluate,
+            visualize, manifold_algorithm, output_format,
+            metric=metric, extractor_path="speechbrain",
+            expected_num_speakers=expected_num_speakers,
+            cluster_type=cluster_type,
+            distance_threshold=distance_threshold,
+            min_cluster_size=min_cluster_size,
+        )
     batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
     extractor = IvectorExtractor.load(ivector_extractor_path)
     if metric == "plda" and extractor.plda is None:
@@ -2034,6 +2126,29 @@ def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
             method=cluster_type,
             min_cluster_size=min_cluster_size,
         )
+    _export_diarization(
+        corpus, result, order, output_directory, classify, evaluate,
+        visualize, manifold_algorithm, output_format,
+        metric=metric, extractor_path=str(ivector_extractor_path),
+        expected_num_speakers=expected_num_speakers,
+        cluster_type=cluster_type, distance_threshold=distance_threshold,
+        min_cluster_size=min_cluster_size,
+    )
+
+
+def _export_diarization(
+    corpus, result, order, output_directory, classify, evaluate,
+    visualize, manifold_algorithm, output_format, *,
+    metric="cosine", extractor_path="", expected_num_speakers=0,
+    cluster_type="agglomerative", distance_threshold=0.5,
+    min_cluster_size=15,
+):
+    """Shared diarization export tail (utt2spk.tsv, relabeled transcripts,
+    parameters.yaml, optional plot/evaluation) for the i-vector and
+    x-vector paths (reference SpeakerDiarizer.export_files,
+    ``speaker_diarizer.py:1505``)."""
+    from pathlib import Path as _P
+
     out = _P(output_directory)
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "utt2spk.tsv", "w", encoding="utf-8") as f:
@@ -2061,7 +2176,7 @@ def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
     with open(out / "parameters.yaml", "w", encoding="utf-8") as f:
         _yaml.safe_dump(
             {
-                "ivector_extractor_path": str(ivector_extractor_path),
+                "ivector_extractor_path": extractor_path,
                 "expected_num_speakers": expected_num_speakers,
                 "cluster": not classify,
                 "metric": metric,

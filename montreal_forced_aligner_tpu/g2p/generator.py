@@ -25,9 +25,20 @@ from montreal_forced_aligner_tpu.g2p.trainer import (
 class G2PGenerator:
     """Generate pronunciations for words (reference entry point: ``mfa g2p``)."""
 
-    def __init__(self, model: G2PModel, beam: int = 32):
+    def __init__(self, model, beam: int = 32):
+        from montreal_forced_aligner_tpu.g2p.openfst_model import (
+            OpenFstG2PModel,
+        )
+
         self.model = model
         self.beam = beam
+        # reference-format (pynini FST) models carry their own inference;
+        # delegate and skip the graphone-LM indexing below
+        if isinstance(model, OpenFstG2PModel):
+            self.generate = model.generate
+            self.generate_pronunciations = model.generate_pronunciations
+            self.by_first = {}
+            return
         # index graphone symbols by their first grapheme (or epsilon)
         self.by_first: Dict[str, List[Tuple[str, Tuple[str, ...], Tuple[str, ...]]]] = (
             defaultdict(list)

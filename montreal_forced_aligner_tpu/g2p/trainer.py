@@ -255,9 +255,18 @@ class G2PModel:
                 zf.write(tmp / "meta.json", "meta.json")
 
     @classmethod
-    def load(cls, path) -> "G2PModel":
+    def load(cls, path):
         import tempfile
 
+        from montreal_forced_aligner_tpu.g2p.openfst_model import (
+            OpenFstG2PModel,
+            is_reference_g2p_archive,
+        )
+
+        if is_reference_g2p_archive(path):
+            # reference pynini-built archive (models.py:930): model.fst +
+            # symbol tables; inference via the pynini-free OpenFst reader
+            return OpenFstG2PModel.load(path)
         with tempfile.TemporaryDirectory() as tmp:
             with zipfile.ZipFile(path) as zf:
                 zf.extractall(tmp)

@@ -88,6 +88,15 @@ class WhisperTranscriber:
             str(model_path)
         )
         self.language = _iso_language(language)
+        gc = self.model.generation_config
+        if self.language is not None and not hasattr(gc, "lang_to_id"):
+            # minimal / pre-multilingual generation configs cannot condition
+            # on a language; decode unconditioned rather than erroring
+            logger.warning(
+                "whisper checkpoint lacks multilingual token maps; ignoring "
+                "language hint %r", self.language,
+            )
+            self.language = None
 
     def transcribe(
         self, samples: np.ndarray, sample_rate: int = MODEL_SAMPLE_RATE
