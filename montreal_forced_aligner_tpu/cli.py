@@ -57,7 +57,22 @@ def _enable_compilation_cache() -> None:
         pass
 
 
-@click.group(name="mfa-tpu")
+class _MfaGroup(click.Group):
+    """Click group that turns the framework's typed errors (phone-set
+    mismatch, unreadable corpus, dictionary parse failure, ...) into a
+    one-paragraph diagnosis + non-zero exit instead of a traceback
+    (reference error surface, ``exceptions.py:72-961``)."""
+
+    def invoke(self, ctx):
+        from montreal_forced_aligner_tpu.exceptions import MFAError
+
+        try:
+            return super().invoke(ctx)
+        except MFAError as e:
+            raise click.ClickException(str(e)) from e
+
+
+@click.group(name="mfa-tpu", cls=_MfaGroup)
 @click.option("-v", "--verbose", is_flag=True, default=False,
               help="INFO-level progress logs (reference -v/--verbose)")
 @click.option("-q", "--quiet", is_flag=True, default=False,
@@ -988,6 +1003,16 @@ def validate_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
         click.echo(f"Sound file errors: {len(bad_audio)}")
         for f, e in bad_audio[:10]:
             click.echo(f"  {f}: {e}")
+    # container-level triage: truncated/unreadable files, per-speaker
+    # sample-rate mixtures, segments past end-of-file (reference
+    # analyze_setup wav issues, validation/corpus_validator.py:77)
+    file_issues = corpus.audit_files()
+    if file_issues:
+        click.echo(f"Sound file issues: {len(file_issues)}")
+        for issue in file_issues[:20]:
+            click.echo(
+                f"  [{issue['issue']}] {issue['file']}: {issue['detail']}"
+            )
     if output_directory is not None:
         out = Path(output_directory)
         out.mkdir(parents=True, exist_ok=True)
@@ -997,6 +1022,13 @@ def validate_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
         with open(out / "utterance_oovs.txt", "w", encoding="utf-8") as f:
             for key, words in sorted(utterance_oovs.items()):
                 f.write(f"{key}\t{', '.join(words)}\n")
+        if file_issues:
+            with open(out / "sound_file_issues.txt", "w", encoding="utf-8") as f:
+                for issue in file_issues:
+                    f.write(
+                        f"{issue['issue']}\t{issue['file']}\t"
+                        f"{issue['detail']}\n"
+                    )
         click.echo(f"Wrote OOV reports to {out}")
     if test_transcriptions:
         if acoustic_model_path is None:

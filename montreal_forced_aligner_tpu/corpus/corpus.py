@@ -111,7 +111,11 @@ class Corpus:
                 for p in directory.rglob(f"*{ext}"):
                     transcript_index.setdefault(p.stem, p)
         if not wavs:
-            raise FileNotFoundError(f"no .wav files under {directory}")
+            from montreal_forced_aligner_tpu.exceptions import (
+                EmptyCorpusError,
+            )
+
+            raise EmptyCorpusError(directory)
 
         def speaker_from_stem(stem: str, default: str) -> str:
             if speaker_characters in (0, "0", None):
@@ -210,7 +214,82 @@ class Corpus:
                 )
                 uid += 1
         corpus.speakers = sorted(speakers)
+        if wavs and not corpus.utterances:
+            from montreal_forced_aligner_tpu.exceptions import (
+                NoTranscriptsError,
+            )
+
+            raise NoTranscriptsError(directory, len(wavs))
         return corpus
+
+    # -- file pathology audit -------------------------------------------------
+    def audit_files(self) -> List[dict]:
+        """Per-file health report for validation (reference analyze_setup's
+        wav triage, ``validation/corpus_validator.py:77``): unreadable or
+        truncated containers, sample-rate mixtures within a speaker, and
+        basic metadata (rate/channels/duration). Returns a list of issue
+        dicts: {"file", "issue", "detail"}."""
+        from montreal_forced_aligner_tpu.io.wav import probe_wave
+
+        issues: List[dict] = []
+        meta: Dict[str, dict] = {}
+        for key, path in sorted(self.files.items()):
+            info = probe_wave(path)
+            meta[key] = info
+            if info.get("issue"):
+                issues.append(
+                    {
+                        "file": str(path),
+                        "issue": info["issue"],
+                        "detail": info.get("detail", ""),
+                    }
+                )
+        # sample-rate mixtures within a speaker (per-speaker CMVN/fMLLR
+        # statistics assume consistent acoustics)
+        by_speaker: Dict[str, Dict[int, List[str]]] = {}
+        for utt in self.utterances:
+            info = meta.get(utt.file_name)
+            if not info or not info.get("sample_rate"):
+                continue
+            by_speaker.setdefault(utt.speaker, {}).setdefault(
+                int(info["sample_rate"]), []
+            ).append(utt.file_name)
+        for speaker, rates in sorted(by_speaker.items()):
+            if len(rates) > 1:
+                detail = ", ".join(
+                    f"{r} Hz: {sorted(set(fs))[:3]}"
+                    for r, fs in sorted(rates.items())
+                )
+                issues.append(
+                    {
+                        "file": speaker,
+                        "issue": "mixed_sample_rates",
+                        "detail": (
+                            f"speaker {speaker!r} mixes sample rates "
+                            f"({detail}); per-speaker CMVN/fMLLR will "
+                            "average across them after resampling"
+                        ),
+                    }
+                )
+        # utterance segments past the end of their file
+        for utt in self.utterances:
+            info = meta.get(utt.file_name)
+            if not info or not info.get("duration"):
+                continue
+            if utt.end is not None and utt.end > info["duration"] + 0.05:
+                issues.append(
+                    {
+                        "file": utt.file_name,
+                        "issue": "segment_past_end",
+                        "detail": (
+                            f"utterance [{utt.begin:.2f}, {utt.end:.2f}] "
+                            f"exceeds the file's {info['duration']:.2f}s "
+                            "audio (truncated recording or stale "
+                            "TextGrid?)"
+                        ),
+                    }
+                )
+        return issues
 
     def load_audio(self, utt: Utterance, native: bool = False):
         return read_wave(

@@ -46,8 +46,12 @@ def parse_dictionary_file(path) -> Iterable[Tuple[str, Pronunciation]]:
                 continue
             parts = line.split()
             if len(parts) <= 1:
-                raise ValueError(
-                    f"Error parsing line {i} of {path}: no pronunciation: {raw!r}"
+                from montreal_forced_aligner_tpu.exceptions import (
+                    DictionaryParseError,
+                )
+
+                raise DictionaryParseError(
+                    path, i + 1, raw, "no pronunciation after the word"
                 )
             word = unicodedata.normalize("NFKC", parts.pop(0))
             probs: List[Optional[float]] = [None, None, None, None]
@@ -115,7 +119,12 @@ class Lexicon:
     def prune_to_phone_inventory(self) -> int:
         """Drop pronunciations using phones absent from the model's phone
         table (words left with no pronunciation become OOVs). Returns the
-        number of pruned pronunciations."""
+        number of pruned pronunciations.
+
+        When EVERY word would be pruned the dictionary and model evidently
+        use different phone sets — raise :class:`PhoneMismatchError`
+        (reference ``AcousticModel.validate``, ``models.py:790``) instead of
+        silently aligning everything to ``<unk>``."""
         known = set()
         for name in self.phone_table:
             known.add(name)
@@ -123,15 +132,38 @@ class Lexicon:
                 if name.endswith(pos):
                     known.add(name[: -len(pos)])
         pruned = 0
+        missing_phones = set()
+        had_words = bool(self.words)
         for word in list(self.words):
-            kept = [
-                p for p in self.words[word] if all(ph in known for ph in p.phones)
-            ]
+            kept = []
+            for p in self.words[word]:
+                bad = [ph for ph in p.phones if ph not in known]
+                if bad:
+                    missing_phones.update(bad)
+                else:
+                    kept.append(p)
             pruned += len(self.words[word]) - len(kept)
             if kept:
                 self.words[word] = kept
             else:
                 del self.words[word]
+        if had_words and not self.words:
+            from montreal_forced_aligner_tpu.exceptions import (
+                PhoneMismatchError,
+            )
+
+            raise PhoneMismatchError(
+                missing_phones, set(self.phone_table) - {"<eps>"}
+            )
+        if pruned:
+            import logging
+
+            logging.getLogger("mfa_tpu").warning(
+                "pruned %d pronunciations using phones absent from the "
+                "model (%s); affected words fall back to other "
+                "pronunciations or <unk>",
+                pruned, sorted(missing_phones)[:10],
+            )
         return pruned
 
     def bump_version(self) -> None:

@@ -113,6 +113,101 @@ def probe_channels(path) -> int:
     return 1
 
 
+def probe_wave(path) -> dict:
+    """Container-level health check without full decode: returns
+    {"sample_rate", "num_channels", "duration", "issue", "detail"} where
+    ``issue`` is None for healthy files, or one of ``unreadable`` /
+    ``truncated`` / ``empty``. Used by the corpus audit
+    (reference wav triage, ``validation/corpus_validator.py:77``)."""
+    lower = str(path).lower()
+    out = {
+        "sample_rate": None, "num_channels": None, "duration": None,
+        "issue": None, "detail": "",
+    }
+    try:
+        if lower.endswith(".flac"):
+            with open(path, "rb") as f:
+                head = f.read(64)
+            if head[:4] != b"fLaC":
+                out["issue"] = "unreadable"
+                out["detail"] = "missing fLaC stream marker"
+                return out
+            # STREAMINFO: sample rate 20 bits at body offset 10,
+            # channels-1 next 3 bits, bits/sample-1 next 5,
+            # total samples 36 bits
+            body = head[8:]
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x7) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                body[14:18], "big"
+            )
+            out["sample_rate"] = rate
+            out["num_channels"] = channels
+            out["duration"] = total / rate if rate else None
+            if total == 0:
+                out["issue"] = "empty"
+                out["detail"] = "STREAMINFO reports zero samples"
+            return out
+        if lower.endswith(".mp3") or lower.endswith(".opus"):
+            import os as _os
+
+            size = _os.path.getsize(path)
+            if size < 128:
+                out["issue"] = "truncated"
+                out["detail"] = f"only {size} bytes"
+            return out
+        with open(path, "rb") as f:
+            data = f.read(64 * 1024)
+        if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            out["issue"] = "unreadable"
+            out["detail"] = "not a RIFF/WAVE container"
+            return out
+        import os as _os
+
+        file_size = _os.path.getsize(path)
+        pos = 12
+        fmt = None
+        data_size = None
+        data_offset = None
+        while pos + 8 <= len(data):
+            chunk_id = data[pos : pos + 4]
+            chunk_size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if chunk_id == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+            elif chunk_id == b"data":
+                data_size = chunk_size
+                data_offset = pos + 8
+                break
+            pos += 8 + chunk_size + (chunk_size & 1)
+        if fmt is None or data_size is None:
+            out["issue"] = "unreadable"
+            out["detail"] = "missing fmt/data chunk"
+            return out
+        _code, channels, rate, _bps, block_align, _bits = fmt
+        out["sample_rate"] = rate
+        out["num_channels"] = channels
+        frames = data_size // max(block_align, 1)
+        out["duration"] = frames / rate if rate else None
+        available = file_size - data_offset
+        if available + 8 < data_size:  # header promises more than exists
+            out["issue"] = "truncated"
+            out["detail"] = (
+                f"data chunk declares {data_size} bytes but only "
+                f"{available} are present (file cut short?)"
+            )
+            out["duration"] = (
+                (available // max(block_align, 1)) / rate if rate else None
+            )
+        elif frames == 0:
+            out["issue"] = "empty"
+            out["detail"] = "zero-length data chunk"
+        return out
+    except OSError as e:
+        out["issue"] = "unreadable"
+        out["detail"] = str(e)
+        return out
+
+
 def read_wave(
     path,
     begin: float = 0.0,

@@ -371,10 +371,16 @@ class TrainableAligner:
         """Utterances unusable for training: empty transcript or nothing but
         OOVs (reference ``acoustic_modeling/trainer.py:324``)."""
         excluded = set()
+        oov_samples = []
         for utt in self.corpus.utterances:
             tokens = pipeline.tokenizer.tokenize(utt.text)
             if not any(t in self.lexicon.words for t in tokens):
                 excluded.add(utt.id)
+                oov_samples.extend(tokens[:2])
+        if excluded and len(excluded) == self.corpus.num_utterances:
+            from montreal_forced_aligner_tpu.exceptions import AllOovError
+
+            raise AllOovError(self.corpus.num_utterances, oov_samples)
         if excluded:
             logger.info(
                 "excluding %d utterances with empty/OOV-only transcripts",
