@@ -320,7 +320,10 @@ class PretrainedAligner:
         )
         self.default_dictionary_key = default_key or next(iter(self.lexicons))
         self.lexicon = self.lexicons[self.default_dictionary_key]
-        self._validate_phone_sets()
+        # NOTE: dictionary-vs-model phone validation happens inside
+        # Lexicon.prune_to_phone_inventory (reference AcousticModel.validate
+        # semantics, models.py:790): a fully mismatched dictionary raises
+        # PhoneMismatchError there; partial mismatches prune with a warning.
         if rules_path is not None:
             from montreal_forced_aligner_tpu.dictionary.rules import (
                 PhonologicalRule,
@@ -406,36 +409,6 @@ class PretrainedAligner:
         self._gmm_per_device = {}
         self._graph_pool_obj = None
         self._shard_emit_fns = {}
-
-    def _validate_phone_sets(self) -> None:
-        """Early dictionary-vs-model phone check (reference
-        ``AcousticModel.validate``, ``models.py:790``): every dictionary
-        phone must exist in the model's inventory, else alignment would die
-        deep inside graph compilation with a bare KeyError."""
-        table = self.model.phone_table
-        if not table:
-            return
-        base_names = set()
-        for name in table:
-            base = name
-            for pos in POSITIONS:
-                if base.endswith(pos):
-                    base = base[: -len(pos)]
-                    break
-            base_names.add(base)
-        missing = set()
-        for lex in self.lexicons.values():
-            for prons in lex.words.values():
-                for pron in prons:
-                    for ph in pron.phones:
-                        if ph not in base_names:
-                            missing.add(ph)
-        if missing:
-            from montreal_forced_aligner_tpu.exceptions import (
-                PhoneMismatchError,
-            )
-
-            raise PhoneMismatchError(missing, base_names - {"<eps>"})
 
     def _graph_pool(self, num_items: int):
         """Lazily created persistent graph-compile pool, or None when the

@@ -147,17 +147,46 @@ def fine_tune_alignments(
         if (aligner.model.uses_lda and aligner.model.lda_mat is not None)
         else None
     )
-    W, gconsts = aligner._device_gmm[0], aligner._device_gmm[1]
     new_begins: Dict[Tuple[int, int], float] = {}
+
+    # distributed path: boundary micro-windows shard over the aligner's
+    # mesh like align/train batches do (multi-process runs already shard
+    # the corpus per host at the CLI, so each host fine-tunes its shard)
+    mesh = getattr(aligner, "mesh", None)
+    from montreal_forced_aligner_tpu.training.base import (
+        _align_batch,
+        put_batch,
+    )
+
+    # mesh-aware cached placement of the model (replicated when distributed)
+    W, gconsts, _w_rows = aligner._gmm_on(None)
+    row_mult = aligner._row_multiple() if mesh is not None else 1
+    sharded = _sharded_align_fn(mesh) if mesh is not None else None
+
+    def run_align(win, wlens, graph):
+        if sharded is None:
+            return _align_batch(
+                jnp.asarray(win), jnp.asarray(wlens), graph, W, gconsts, 1.0
+            )
+        return sharded(
+            put_batch(win, mesh), put_batch(wlens, mesh), graph, W, gconsts
+        )
 
     for lo in range(0, len(jobs), batch_size):
         chunk = jobs[lo : lo + batch_size]
         wave_chunk = [waves[j.graph_index] for j in chunk]
+        n_real = len(chunk)
+        n_pad = -(-n_real // row_mult) * row_mult - n_real
+        wave_chunk = wave_chunk + [wave_chunk[-1]] * n_pad
         L = max(len(w) for w in wave_chunk)
         feats, flens = compute_mfcc_batch(
             wave_chunk, cfg=fine_cfg, padded_len=((L + 159) // 160) * 160
         )
-        mean_rows = jnp.asarray(np.stack([spk_means[j.graph_index] for j in chunk]))
+        mean_stack = np.stack(
+            [spk_means[j.graph_index] for j in chunk]
+            + [spk_means[chunk[-1].graph_index]] * n_pad
+        )
+        mean_rows = jnp.asarray(mean_stack)
         x = feats - mean_rows[:, None, :]
         flens_j = jnp.asarray(flens)
         if lda is None:
@@ -169,20 +198,18 @@ def fine_tune_alignments(
         ff_host = np.asarray(ff)
         Tw = max(j.seg_end_frame - j.seg_start_frame for j in chunk)
         D = ff_host.shape[2]
-        win = np.zeros((len(chunk), Tw, D), np.float32)
-        wlens = np.zeros(len(chunk), np.int32)
+        win = np.zeros((n_real + n_pad, Tw, D), np.float32)
+        wlens = np.zeros(n_real + n_pad, np.int32)
         for r, j in enumerate(chunk):
             n = min(j.seg_end_frame, int(flens[r])) - j.seg_start_frame
             n = max(n, 1)
             win[r, :n] = ff_host[r, j.seg_start_frame : j.seg_start_frame + n]
             wlens[r] = n
-        garrs = batch_graphs([graphs[j.graph_index] for j in chunk])
-        graph = ship_graph_to_device(garrs)
-        from montreal_forced_aligner_tpu.training.base import _align_batch
-
-        state_path, _scores = _align_batch(
-            jnp.asarray(win), jnp.asarray(wlens), graph, W, gconsts, 1.0
-        )
+        glist = [graphs[j.graph_index] for j in chunk]
+        glist = glist + [glist[-1]] * n_pad
+        garrs = batch_graphs(glist)
+        graph = ship_graph_to_device(garrs, mesh=mesh)
+        state_path, _scores = run_align(win, wlens, graph)
         sp = np.asarray(state_path)
         b_idx = np.arange(sp.shape[0])[:, None]
         word_f = garrs["state_word"][b_idx, sp]  # 0 = phone A, 1 = phone B
@@ -217,6 +244,36 @@ def fine_tune_alignments(
                     w.begin = w.phones[0].begin
                     w.end = w.phones[-1].end
     return results
+
+
+def _sharded_align_fn(mesh):
+    """shard_map-wrapped fine-tune alignment step (the fine-tune analogue
+    of ``TrainingPipeline.sharded_align_fn``; micro-window graphs never fit
+    a band, so this is the dense path at acoustic_scale 1.0)."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec
+
+    from montreal_forced_aligner_tpu.ops.viterbi import BatchedGraph
+    from montreal_forced_aligner_tpu.parallel.data_parallel import (
+        _NO_REP_CHECK as no_rep,
+        shard_map as _shard_map,
+    )
+    from montreal_forced_aligner_tpu.training.base import _align_batch
+
+    data = PartitionSpec("data")
+    rep = PartitionSpec()
+    gspecs = BatchedGraph(*([data] * len(BatchedGraph._fields)))
+
+    def local(feats, fl, g, Wl, gc):
+        return _align_batch(feats, fl, g, Wl, gc, 1.0)
+
+    return _jax.jit(
+        _shard_map(
+            local, mesh=mesh,
+            in_specs=(data, data, gspecs, rep, rep),
+            out_specs=(data, data), **no_rep,
+        )
+    )
 
 
 def _speaker_means(aligner, corpus: Corpus) -> np.ndarray:

@@ -387,7 +387,8 @@ def align_cli(
             )
             fine_tune = False
         phone_transcripts = transcribe_phones(
-            acoustic_model_path, corpus, results, batch_size=batch_size
+            acoustic_model_path, corpus, results, batch_size=batch_size,
+            phone_lm=aligner.model.phone_lm,
         )
         click.echo(
             f"Phone-transcribed {len(phone_transcripts)} utterances"
@@ -2109,6 +2110,16 @@ def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
             cluster_type=cluster_type,
             distance_threshold=distance_threshold,
             min_cluster_size=min_cluster_size,
+        )
+    from pathlib import Path as _Path
+
+    if not _Path(ivector_extractor_path).exists():
+        # plain-str argument (to admit the literal 'speechbrain'); restore
+        # click.Path(exists=True)'s clean failure for mistyped paths
+        raise click.ClickException(
+            f"IVECTOR_EXTRACTOR_PATH {ivector_extractor_path!r} does not "
+            "exist (pass an i-vector extractor archive, or the literal "
+            "'speechbrain' with --xvector_model_path)"
         )
     batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
     extractor = IvectorExtractor.load(ivector_extractor_path)

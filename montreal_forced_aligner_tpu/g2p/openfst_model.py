@@ -149,15 +149,17 @@ class OpenFstG2PModel:
             logger.debug("G2P: graphemes not in model: %r", missing)
             return []
         input_ids = [self.grapheme_table[c] for c in chars]
-        # expansions keyed by ilabel: which grapheme-id sequence it consumes
-        exp = {
-            gid: tuple(
-                self.grapheme_table[g]
-                for g in parts
-                if g in self.grapheme_table
-            )
-            for gid, parts in self._ilabel_graphemes.items()
-        }
+        # expansions keyed by ilabel: which grapheme-id sequence it
+        # consumes. A chunk with any unresolvable part maps to the empty
+        # tuple, which shortest_paths treats as "arc never matches" —
+        # silently shrinking the chunk would consume the wrong number of
+        # graphemes while still emitting the full phone chunk.
+        exp = {}
+        for gid, parts in self._ilabel_graphemes.items():
+            if all(g in self.grapheme_table for g in parts):
+                exp[gid] = tuple(self.grapheme_table[g] for g in parts)
+            else:
+                exp[gid] = ()
         paths = shortest_paths(
             self.fst, input_ids, k=max(num_pronunciations * 4, 8),
             ilabel_expansions=exp,

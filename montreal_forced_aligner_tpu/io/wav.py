@@ -202,9 +202,10 @@ def probe_wave(path) -> dict:
             out["issue"] = "empty"
             out["detail"] = "zero-length data chunk"
         return out
-    except OSError as e:
+    except (OSError, IndexError, struct.error, ValueError) as e:
+        # files truncated inside their own headers land here
         out["issue"] = "unreadable"
-        out["detail"] = str(e)
+        out["detail"] = str(e) or type(e).__name__
         return out
 
 

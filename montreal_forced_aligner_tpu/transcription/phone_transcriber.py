@@ -40,6 +40,7 @@ def transcribe_phones(
     order: int = 2,
     batch_size: int = 16,
     acoustic_scale: float = 1.0 / 12,
+    phone_lm=None,
 ) -> Dict[int, List[CtmInterval]]:
     """Free phone decode of ``corpus`` informed by its own alignments.
 
@@ -65,13 +66,11 @@ def transcribe_phones(
     }
     # model archives trained by this framework bundle the finalize-time
     # phone LM (reference bundles phone_lm.fst, models.py:367-379); use it
-    # instead of retraining from this corpus's alignments
-    from montreal_forced_aligner_tpu.models.acoustic_model import AcousticModel
-
-    bundled = AcousticModel.load(acoustic_model_path).phone_lm
-    if bundled is not None:
+    # instead of retraining from this corpus's alignments. Callers that
+    # already hold the loaded model pass it via ``phone_lm``.
+    if phone_lm is not None:
         logger.info("using the archive's bundled phone LM (phone_lm.arpa)")
-        lm = bundled
+        lm = phone_lm
     else:
         lm = train_phone_lm(
             {

@@ -164,3 +164,16 @@ def test_validate_reports_file_pathologies(tmp_path):
     assert "mixed_sample_rates" in r.output
     report = (out / "sound_file_issues.txt").read_text()
     assert "truncated" in report and "mixed_sample_rates" in report
+
+
+def test_probe_wave_header_truncated(tmp_path):
+    """Files cut short inside their own headers report as unreadable
+    rather than crashing the audit."""
+    f = tmp_path / "stub.flac"
+    f.write_bytes(b"fLaC\x00\x00\x00\x22")  # marker + nothing else
+    info = probe_wave(f)
+    assert info["issue"] == "unreadable"
+    w = tmp_path / "stub.wav"
+    w.write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt ")  # header cut mid-chunk
+    info = probe_wave(w)
+    assert info["issue"] == "unreadable"

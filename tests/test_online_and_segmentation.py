@@ -145,3 +145,19 @@ def test_speechbrain_vad_gating(tmp_path):
 
     with _pytest.raises((RuntimeError, FileNotFoundError)):
         SpeechbrainVAD(tmp_path / "missing")
+
+
+def test_transcribe_utterance_online(tmp_path):
+    """Single-utterance online transcription (reference
+    ``online/transcription.py:28``): decode one waveform without corpus
+    machinery; the synthetic tone model recovers its transcript."""
+    from montreal_forced_aligner_tpu.online.transcription import (
+        transcribe_utterance_online,
+    )
+
+    _corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    result = transcribe_utterance_online(model, dict_path, wave, 16000)
+    assert result.text.split() == ["ab", "a"]
+    assert result.words
+    assert result.words[0].begin >= 0.0
