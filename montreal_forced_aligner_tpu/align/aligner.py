@@ -106,6 +106,14 @@ def _final_feats(feats, frame_lengths, mean_rows, lda, pitch=None):
 
 
 @jax.jit
+def _nonsilence_weight(frame_pdf, sil_mask):
+    """1.0 on non-silence frames, 0.0 on silence (fMLLR silence_weight=0,
+    reference ``corpus/features.py:608``); computed on device from a (P,)
+    silence-pdf mask so pass-1 state paths never cross to the host."""
+    return 1.0 - jnp.take(sil_mask, frame_pdf, axis=0)
+
+
+@jax.jit
 def _phone_confidence(ff, state_path, graph, W, gconsts):
     """Per-frame confidence margin: aligned pdf log-like minus the best
     pdf log-like (reference ``PhoneConfidenceFunction``,
@@ -602,44 +610,37 @@ class PretrainedAligner:
 
         W1, gc1, w_rows1, means, iv, gc, miv = self._fmllr_params_on()
         sil_pdfs = self._silence_pdfs()
+        # (P,) silence mask: the non-silence frame weight becomes a device
+        # gather, so pass 1 never fetches a state path to the host
+        # (d2h runs at ~10-30 MB/s on remote-attached TPUs)
+        P = self.model.gmm.num_pdfs
+        sil_mask_host = np.zeros(P, np.float32)
+        sil_mask_host[sil_pdfs] = 1.0
+        sil_mask = self._put_rep(sil_mask_host)
 
-        # dispatch every first-pass alignment before fetching any state path,
-        # then run the stats pass with a device-resident running sum so only
-        # the final (num_speakers, ...) K/G/beta blocks are fetched once:
-        # blocking fetches are full round trips on remote-attached TPUs, and
-        # per-batch host copies of G would peak at batches x speakers x D^4
         from montreal_forced_aligner_tpu.training.base import (
+            _frame_pdf_device,
             fetch_all,
-            start_host_copies,
         )
 
         import time as _time
 
         _t0 = _time.time()
-        paths = []
+        # device-resident (K, G, beta) running sums, one per device (batches
+        # are placed round-robin; cross-device adds are not allowed). The
+        # whole pass — alignment, frame-pdf gather, silence weighting,
+        # statistics — is dispatched without a single host round trip;
+        # only the final (num_speakers, ...) K/G/beta blocks are fetched.
+        stats_per_dev = {}
+        spk_indices = []
         for batch, flens, garrs, graph, ff in prepared:
             state_path, _sc = self._run_emit_and_align(
                 ff, self._put_b(flens), graph, W1, gc1, w_rows1,
                 garrs.get("_band_limits"),
             )
-            paths.append(state_path)
-        start_host_copies(paths)
-        _logger.debug(
-            "fmllr pass-1 dispatch took %.3fs", _time.time() - _t0
-        )
-        _t0 = _time.time()
-        # device-resident (K, G, beta) running sums, one per device (batches
-        # are placed round-robin; cross-device adds are not allowed)
-        stats_per_dev = {}
-        spk_indices = []
-        for (batch, flens, garrs, graph, ff), state_path in zip(
-            prepared, paths
-        ):
-            sp = np.asarray(state_path)
-            b = np.arange(sp.shape[0])[:, None]
-            frame_pdf = garrs["state_pdf"][b, sp]
-            weight = (~np.isin(frame_pdf, sil_pdfs)).astype(np.float32)
-            spk_idx = np.zeros(sp.shape[0], np.int32)
+            frame_pdf = _frame_pdf_device(graph.state_pdf, state_path)
+            weight = _nonsilence_weight(frame_pdf, sil_mask)
+            spk_idx = np.zeros(len(flens), np.int32)
             spk_idx[: len(batch)] = [
                 speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
@@ -647,9 +648,9 @@ class PretrainedAligner:
             out = accumulate_fmllr_stats(
                 ff,
                 self._put_b(flens),
-                self._put_b(frame_pdf),
+                frame_pdf,
                 self._put_b(spk_idx),
-                self._put_b(weight),
+                weight,
                 means,
                 iv,
                 gc,
@@ -664,7 +665,7 @@ class PretrainedAligner:
                 else tuple(a + b_ for a, b_ in zip(prev, out))
             )
         _logger.debug(
-            "fmllr pass-1 fetch + stats dispatch took %.3fs",
+            "fmllr pass-1 align + stats dispatch took %.3fs",
             _time.time() - _t0,
         )
         _t0 = _time.time()

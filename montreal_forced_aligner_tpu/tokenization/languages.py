@@ -8,8 +8,10 @@ sudachipy / hangul-jamo+mecab / pythainlp / pkuseg+dragonmapper): when the
 package is present the full pipeline runs; when absent the tokenizer
 degrades gracefully (English falls back to a pure-rule implementation of
 the reference's deterministic retokenization rules; the CJK/Thai
-tokenizers fall back to the simple tokenizer with a one-time warning —
-these languages genuinely require their segmentation models).
+tokenizers fall back to dictionary maximum-matching segmentation over the
+pronunciation lexicon's words — the vocabulary that actually matters for
+alignment — with a one-time warning; full morphological fidelity still
+requires the external segmentation models).
 
 English rules ported from the reference (``tokenization/english.py:20-434``):
 
@@ -172,16 +174,87 @@ class EnglishTokenizer(LanguageTokenizer):
         return " ".join(out)
 
 
+class DictionarySegmenter:
+    """Viterbi maximum-matching segmentation over the pronunciation
+    dictionary's word list.
+
+    The in-framework fallback for unsegmented scripts when the reference's
+    external segmenters (sudachipy / pkuseg / mecab-ko / pythainlp) are
+    unavailable: the vocabulary that matters for alignment is the lexicon's,
+    and a run of unspaced text is split into the cheapest cover of lexicon
+    words (cost 1 per word, 2 per unknown character, longest word preferred
+    on ties — classic maximum matching). A chunk that contains no
+    multi-character dictionary word is left intact (so Latin OOVs never
+    shatter into letters).
+    """
+
+    def __init__(self, word_set):
+        self.words = {
+            w for w in (word_set or ())
+            if w and not w.startswith(("<", "[", "{", "("))
+        }
+        self.max_len = max((len(w) for w in self.words), default=1)
+
+    def segment_chunk(self, chunk: str):
+        n = len(chunk)
+        if n <= 1 or chunk in self.words or not self.words:
+            return [chunk]
+        INF = 1e9
+        cost = [0.0] + [INF] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            cost[i] = cost[i - 1] + 2.0  # unknown single character
+            back[i] = i - 1
+            top = min(self.max_len, i)
+            for L in range(1, top + 1):
+                if chunk[i - L : i] in self.words:
+                    c = cost[i - L] + 1.0
+                    if c <= cost[i]:  # <=: longest word wins ties
+                        cost[i] = c
+                        back[i] = i - L
+        out = []
+        i = n
+        used_word = False
+        while i > 0:
+            j = back[i]
+            piece = chunk[j:i]
+            if i - j > 1 and piece in self.words:
+                used_word = True
+            out.append(piece)
+            i = j
+        if not used_word:
+            return [chunk]
+        return out[::-1]
+
+    def __call__(self, text: str) -> str:
+        out = []
+        pos = 0
+        # bracketed spans stay whole (they map to special words downstream)
+        for m in _BRACKETED_SPAN.finditer(text):
+            for chunk in text[pos : m.start()].split():
+                out.extend(self.segment_chunk(chunk))
+            out.append(m.group(0))
+            pos = m.end()
+        for chunk in text[pos:].split():
+            out.extend(self.segment_chunk(chunk))
+        return " ".join(out)
+
+
 class _GatedTokenizer(LanguageTokenizer):
     """Shell for tokenizers whose segmentation model is an optional
-    dependency; falls back to identity with a one-time warning."""
+    dependency; falls back to dictionary maximum-matching segmentation
+    (over the lexicon's words) with a one-time warning when the external
+    package is absent."""
 
     package = ""
     install_hint = ""
 
-    def __init__(self, **kwargs):
+    def __init__(self, word_set=None, **kwargs):
         self._impl = None
         self._warned = False
+        self._fallback = None
+        if word_set:
+            self._fallback = DictionarySegmenter(word_set)
         try:
             self._impl = self._build(**kwargs)
         except Exception:
@@ -198,11 +271,15 @@ class _GatedTokenizer(LanguageTokenizer):
         if self._impl is None:
             if not self._warned:
                 logger.warning(
-                    "%s tokenizer requires %s (%s); falling back to the "
-                    "simple tokenizer", self.name, self.package,
-                    self.install_hint,
+                    "%s tokenizer requires %s (%s); falling back to %s",
+                    self.name, self.package, self.install_hint,
+                    "dictionary maximum-matching segmentation"
+                    if self._fallback is not None
+                    else "the simple tokenizer",
                 )
                 self._warned = True
+            if self._fallback is not None:
+                return self._fallback(text)
             return text
         return self._impl(text)
 
@@ -311,9 +388,7 @@ def get_language_tokenizer(
             "tokenizer", language,
         )
         return None
-    if cls is EnglishTokenizer:
-        return EnglishTokenizer(word_set=word_set)
-    return cls()
+    return cls(word_set=word_set)
 
 
 def compose_tokenizer(simple_tokenizer, language_tokenizer):

@@ -13,6 +13,7 @@ import logging
 import math
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,11 @@ logger = logging.getLogger("mfa_tpu")
 
 
 from typing import NamedTuple
+
+
+@jax.jit
+def _sum_frames(frame_lengths):
+    return frame_lengths.sum().astype(jnp.float32)
 
 
 class DeviceAccumulators(NamedTuple):
@@ -320,15 +326,20 @@ class ViterbiEmTrainer:
         m = self._ensure_mirror(pipeline)
         occ = mean = var = ll = frames = None
         for fb in pipeline.batches:
+            flens_j = pipeline.put_b(fb.frame_lengths)
             o, ma, va, l = _accumulate_batch(
                 fb.put_b(fb.feats),
-                pipeline.put_b(fb.frame_lengths),
+                flens_j,
                 fb.frame_pdf,
                 m.W,
                 m.gconsts,
                 self.gmm.num_pdfs,
             )
-            f = jnp.asarray(float(fb.frame_lengths.sum()), jnp.float32)
+            # frame count reduced on device: under a multi-process mesh the
+            # sharded sum comes back globally psum'd like the loglike (a
+            # host-side fb.frame_lengths.sum() would be this process's rows
+            # only, skewing loglike/frame logging on pods)
+            f = _sum_frames(flens_j)
             if occ is None:
                 occ, mean, var, ll, frames = o, ma, va, l, f
             else:

@@ -142,3 +142,40 @@ def test_g2p_cli_accepts_reference_archive(tmp_path):
     text = out.read_text()
     assert "cab\tcc aa bb" in text
     assert "abc\taa bb cc" in text
+
+
+def test_phonetisaurus_style_archive(tmp_path):
+    """Chunked (phonetisaurus) label conventions: grapheme chunks joined by
+    the sequence separator consume several input graphemes; phone chunks
+    expand to several output phones (reference PhonetisaurusRewriter,
+    ``g2p/generator.py:239``)."""
+    from montreal_forced_aligner_tpu.g2p.openfst_model import OpenFstG2PModel
+
+    # graphemes: c,h,a,t + chunk "c|h"; phones: k,ae,t + chunk "t|ch"
+    gt = {"<eps>": 0, "c": 1, "h": 2, "a": 3, "t": 4, "c|h": 5}
+    pt = {"<eps>": 0, "k": 1, "ae": 2, "t": 3, "t|ch": 4}
+    # path for "chat": (c|h -> k) (a -> ae) (t -> t|ch)  [cost 0.3]
+    # plus char-by-char fallback (c->k, h->eps, a->ae, t->t) [cost 4.0]
+    arcs = [[
+        (5, 1, 0.1, 1),           # c|h : k
+        (1, 1, 1.0, 2),           # c : k
+    ], [
+        (3, 2, 0.1, 3),           # a : ae
+    ], [
+        (2, 0, 1.0, 1),           # h : eps
+    ], [
+        (4, 4, 0.1, 4),           # t : t|ch  (multi-phone output chunk)
+        (4, 3, 1.0, 4),           # t : t
+    ], []]
+    fst = SimpleFst(
+        start=0, arcs=arcs,
+        finals=np.array([np.inf, np.inf, np.inf, np.inf, 0.0], np.float32),
+    )
+    model = OpenFstG2PModel(
+        fst, gt, pt,
+        meta={"architecture": "phonetisaurus", "sequence_separator": "|"},
+    )
+    prons = model.generate("chat", num_pronunciations=2)
+    assert prons
+    # cheapest path uses the chunked arcs: k ae t ch
+    assert prons[0][0] == ("k", "ae", "t", "ch")

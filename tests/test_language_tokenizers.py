@@ -194,3 +194,39 @@ def test_gated_tokenizer_survives_broken_backend():
 
     t = Broken()
     assert t.pre_tokenize("some text") == "some text"
+
+
+def test_dictionary_maxmatch_fallback_segments_cjk():
+    """Without the external segmenters, CJK/Thai languages fall back to
+    Viterbi maximum matching over the lexicon words: unspaced text splits
+    into dictionary words instead of passing through unsegmented."""
+    from montreal_forced_aligner_tpu.tokenization.languages import (
+        DictionarySegmenter,
+        get_language_tokenizer,
+    )
+
+    words = {"你好", "世界", "今天", "天气", "好"}
+    tok = get_language_tokenizer("japanese", word_set=words)
+    assert tok is not None
+    out = tok.pre_tokenize("你好世界")
+    assert out.split() == ["你好", "世界"]
+    # longest-match on ties: 今天 + 天气 beats 今天 + 天 + 气? (气 unknown)
+    seg = DictionarySegmenter(words)
+    assert seg.segment_chunk("今天天气") == ["今天", "天气"]
+    # unknown run containing no dictionary word stays whole (Latin OOVs
+    # never shatter into letters)
+    assert seg.segment_chunk("zorp") == ["zorp"]
+    # unknown characters between words become singletons
+    assert seg.segment_chunk("你好x世界") == ["你好", "x", "世界"]
+    # bracketed spans survive whole
+    assert "[no speech]" in tok.pre_tokenize("你好[no speech]世界")
+
+
+def test_dictionary_maxmatch_prefers_fewer_words():
+    from montreal_forced_aligner_tpu.tokenization.languages import (
+        DictionarySegmenter,
+    )
+
+    seg = DictionarySegmenter({"ab", "cd", "abcd", "a", "b"})
+    # one word beats two
+    assert seg.segment_chunk("abcd") == ["abcd"]
