@@ -430,7 +430,75 @@ class TrainableAligner:
             )
             self._excluded |= bad
 
+    # -- run-state marker (reference workflow done/dirty flags,
+    # ``abc.py:1085-1109`` + ``check_previous_run``) --------------------------
+    def _run_fingerprint(self) -> dict:
+        return {
+            "recipe": [
+                {
+                    "name": st.name, "kind": st.kind,
+                    "num_iterations": st.num_iterations,
+                    "max_gaussians": st.max_gaussians,
+                    "num_leaves": getattr(st, "num_leaves", None),
+                    "subset": getattr(st, "subset", None),
+                }
+                for st in self.recipe
+            ],
+            "batch_size": self.batch_size,
+            "variable_length_topology": self.variable_length_topology,
+            "phone_set_type": str(self.phone_set_type),
+        }
+
+    def _mark_run_state(self, state: str) -> None:
+        """Write RUNNING/DONE markers so an interrupted run is detectable
+        (the reference marks workflows dirty on error and resumes or wipes
+        with --clean). On resume after a crash, a RUNNING marker plus a
+        differing configuration fingerprint warns that checkpoints were
+        produced under different settings."""
+        if self.working_directory is None:
+            return
+        import json as _json
+
+        import jax as _jax
+
+        if _jax.process_count() > 1 and _jax.process_index() != 0:
+            return
+        self.working_directory.mkdir(parents=True, exist_ok=True)
+        marker = self.working_directory / "run_state.json"
+        if state == "running" and marker.exists():
+            try:
+                prev = _json.loads(marker.read_text())
+            except Exception:
+                prev = {}
+            if prev.get("state") == "running":
+                logger.warning(
+                    "previous training run in %s did not finish cleanly; "
+                    "resuming from its checkpoints (use --clean to start "
+                    "fresh)", self.working_directory,
+                )
+            if prev.get("fingerprint") not in (
+                None, self._run_fingerprint()
+            ):
+                logger.warning(
+                    "training configuration differs from the one that "
+                    "produced the checkpoints in %s (recipe/batch/topology "
+                    "changed); resuming may mix incompatible state — "
+                    "use --clean unless this is intentional",
+                    self.working_directory,
+                )
+        marker.write_text(
+            _json.dumps(
+                {"state": state, "fingerprint": self._run_fingerprint()}
+            )
+        )
+
     def train(self) -> AcousticModel:
+        self._mark_run_state("running")
+        model = self._train_impl()
+        self._mark_run_state("done")
+        return model
+
+    def _train_impl(self) -> AcousticModel:
         pipeline = TrainingPipeline(
             self.corpus, self.lexicon, batch_size=self.batch_size,
             features_on_host=self.features_on_host,

@@ -172,3 +172,40 @@ def test_train_clean_flag_wipes_checkpoints(tmp_path):
     assert "Cleaned working directory" in r.output
     assert not marker.exists()
     assert out.exists()
+
+
+def test_run_state_marker(tmp_path, monkeypatch, caplog):
+    """A run killed mid-stage leaves a 'running' marker; the resumed run
+    warns about the unclean shutdown, and a changed configuration
+    fingerprint adds a compatibility warning (reference workflow dirty
+    flags + check_previous_run)."""
+    import json
+    import logging
+
+    recipe = [StageConfig("monophone", "mono", 4, 30)]
+    wd = tmp_path / "work"
+    orig_save = ViterbiEmTrainer._save_iter_checkpoint
+
+    def killer(self, it, pipeline, current_target):
+        orig_save(self, it, pipeline, current_target)
+        if it == 2:
+            raise _KillAt()
+
+    monkeypatch.setattr(ViterbiEmTrainer, "_save_iter_checkpoint", killer)
+    t1 = _make(tmp_path, recipe, wd=wd)
+    with pytest.raises(_KillAt):
+        t1.train()
+    state = json.loads((wd / "run_state.json").read_text())
+    assert state["state"] == "running"
+
+    monkeypatch.setattr(ViterbiEmTrainer, "_save_iter_checkpoint", orig_save)
+    # resume with a DIFFERENT recipe: both warnings fire
+    recipe2 = [StageConfig("monophone", "mono", 4, 40)]
+    t2 = _make(tmp_path, recipe2, wd=wd)
+    with caplog.at_level(logging.WARNING, logger="mfa_tpu"):
+        t2.train()
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "did not finish cleanly" in msgs
+    assert "configuration differs" in msgs
+    state = json.loads((wd / "run_state.json").read_text())
+    assert state["state"] == "done"
