@@ -210,6 +210,11 @@ class AlignerConfig:
     frame_bucket_multiple: int = 256
     fmllr_min_count: float = 100.0
     compute_confidence: bool = False
+    # reference --single_speaker: disables speaker adaptation (equivalent
+    # to uses_speaker_adaptation=False) — SAT models align single-pass with
+    # the speaker-independent final.alimdl (command_line/utils.py:127;
+    # job-splitting concerns don't apply to the batched pipeline)
+    uses_speaker_adaptation: bool = True
     devices: Optional[tuple] = None  # default: all local devices
     # SPMD mode: shard every batch over a device mesh instead of
     # round-robin local placement. None = auto: on for single-process
@@ -911,7 +916,11 @@ class PretrainedAligner:
             _time.time() - _phase_t0,
         )
         _sub_t0 = _time.time()
-        two_pass = self.model.uses_fmllr and self.model.alignment_model is not None
+        two_pass = (
+            self.model.uses_fmllr
+            and self.model.alignment_model is not None
+            and cfg.uses_speaker_adaptation
+        )
         if two_pass:
             prepared = self._fmllr_second_pass_feats(
                 prepared, corpus, speaker_index, num_speakers
@@ -922,12 +931,25 @@ class PretrainedAligner:
                 "fmllr two-pass total took %.3fs", _time.time() - _sub_t0
             )
         _sub_t0 = _time.time()
+        # --single_speaker SI mode: a SAT model without speaker adaptation
+        # aligns with the speaker-independent final.alimdl, matching the
+        # reference's first-pass-only behavior (alignment/base.py:491-558
+        # with uses_speaker_adaptation False)
+        si_mode = (
+            not cfg.uses_speaker_adaptation
+            and self.model.uses_fmllr
+            and self.model.alignment_model is not None
+        )
+        si_params = self._fmllr_params_on()[:3] if si_mode else None
         pending = []
         for batch, flens, garrs, graph, ff in prepared:
             dev = (
                 None if self.mesh is not None else list(ff.devices())[0]
             )
-            W_d, gc_d, w_rows_d = self._gmm_on(dev)
+            if si_params is not None:
+                W_d, gc_d, w_rows_d = si_params
+            else:
+                W_d, gc_d, w_rows_d = self._gmm_on(dev)
             band_limits = garrs.pop("_band_limits", None)
             state_path, scores = self._run_emit_and_align(
                 ff, self._put_b(flens, dev), graph, W_d, gc_d, w_rows_d,

@@ -236,6 +236,10 @@ def _recipe_from_config(data):
                    "--use_phone_model)")
 @click.option("--fine_tune/--no_fine_tune", default=False,
               help="Refine boundaries at 1 ms resolution")
+@click.option("--single_speaker", is_flag=True, default=False,
+              help="Disable speaker adaptation (SAT models align "
+                   "single-pass with the speaker-independent model; "
+                   "reference --single_speaker)")
 @click.option("--g2p_model_path", type=click.Path(exists=True), default=None,
               help="G2P model for OOV pronunciations")
 @click.option("--rules_path", type=click.Path(exists=True), default=None,
@@ -282,6 +286,7 @@ def align_cli(
     include_silence,
     use_phone_model,
     fine_tune,
+    single_speaker,
     g2p_model_path,
     rules_path,
     profile_dir,
@@ -334,6 +339,7 @@ def align_cli(
         num_graph_workers=graph_workers,
         distributed=distributed,
         language=language,
+        uses_speaker_adaptation=not single_speaker,
     )
     aligner = PretrainedAligner(
         acoustic_model_path,

@@ -236,3 +236,38 @@ def test_accuracy_runner_self_agreement(tmp_path):
     assert metrics["boundary_agreement_10ms"] == 1.0
     assert metrics["phone_error_rate"] == 0.0
     assert metrics["files"] == 1
+
+
+def test_single_speaker_mode_skips_adaptation(sat_model_zip, tmp_path):
+    """--single_speaker disables speaker adaptation: a SAT model aligns
+    single-pass with the speaker-independent final.alimdl (reference
+    --single_speaker ~ uses_speaker_adaptation false,
+    command_line/utils.py:127)."""
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+
+    _tmp, corpus_dir, dict_path, model_zip = sat_model_zip
+    corpus = Corpus.load(corpus_dir)
+    al = PretrainedAligner(
+        model_zip, dict_path,
+        AlignerConfig(batch_size=4, uses_speaker_adaptation=False),
+    )
+    called = []
+    orig = al._fmllr_second_pass_feats
+    al._fmllr_second_pass_feats = lambda *a, **k: called.append(1) or orig(*a, **k)
+    res = al.align_corpus(corpus)
+    assert not called, "fMLLR two-pass ran despite --single_speaker"
+    assert len(res) == corpus.num_utterances
+    for aln in res.values():
+        assert aln.phones
+        assert np.isfinite(aln.log_likelihood)
+    # still produces the same phone label sequences as the adapted
+    # two-pass on this clean synthetic corpus (timing may differ slightly)
+    al2 = PretrainedAligner(model_zip, dict_path, AlignerConfig(batch_size=4))
+    res2 = al2.align_corpus(corpus)
+    for uid in res:
+        seq_si = [p.label for p in res[uid].phones if p.label != "sil"]
+        seq_sat = [p.label for p in res2[uid].phones if p.label != "sil"]
+        assert seq_si == seq_sat
