@@ -229,6 +229,10 @@ def _recipe_from_config(data):
                    "jax.sharding.Mesh; auto-on for multi-host runs). Default "
                    "round-robins batches over local devices.")
 @click.option("--include_silence/--no_include_silence", default=False)
+@click.option("--textgrid_cleanup/--no_textgrid_cleanup", default=None,
+              help="Reference-spelling alias: cleanup strips silence "
+                   "intervals from exports (equivalent to "
+                   "--no_include_silence; reference config.py:178)")
 @click.option("--use_phone_model/--no_use_phone_model", default=False,
               help="After alignment, decode a free phone transcription with "
                    "a phone LM trained from the alignments and evaluate it "
@@ -284,6 +288,7 @@ def align_cli(
     graph_workers,
     distributed,
     include_silence,
+    textgrid_cleanup,
     use_phone_model,
     fine_tune,
     single_speaker,
@@ -301,6 +306,8 @@ def align_cli(
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
+    if textgrid_cleanup is not None:
+        include_silence = not textgrid_cleanup
     if config_path:
         data = _load_command_config(config_path)
         ov = _config_overrides(
@@ -659,6 +666,9 @@ def version_cli():
               help="Scale factor on per-stage iteration counts (quick runs)")
 @click.option("--working_directory", type=click.Path(), default=None,
               help="Stage checkpoints for resume")
+@click.option("--seed", default=0, show_default=True,
+              help="RNG seed for Gaussian split perturbations and subset "
+                   "sampling (reference GLOBAL_CONFIG.seed)")
 @click.option("--checkpoint_interval", default=60.0, show_default=True,
               help="Minimum seconds between per-iteration resume "
                    "checkpoints (0 = every iteration; each save round-trips "
@@ -722,8 +732,8 @@ def version_cli():
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
-              num_iterations_scale, working_directory, checkpoint_interval,
-              clean,
+              num_iterations_scale, working_directory, seed,
+              checkpoint_interval, clean,
               position_dependent_phones, features_on_host, phone_set_type,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
@@ -807,7 +817,8 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
     ta = TrainableAligner(
         corpus_directory, dictionary_path, recipe=recipe,
         base_config=_TrainerConfig(
-            checkpoint_interval_s=float(checkpoint_interval)
+            checkpoint_interval_s=float(checkpoint_interval),
+            seed=int(seed),
         ),
         batch_size=batch_size, working_directory=working_directory,
         speaker_characters=speaker_characters,

@@ -57,6 +57,9 @@ class TrainerConfig:
     min_gaussian_occupancy: float = 10.0
     batch_size: int = 16
     subset: int = 0  # 0 = use all utterances
+    # RNG seed for Gaussian split perturbations + subset sampling
+    # (reference GLOBAL_CONFIG.seed; runs are deterministic per seed)
+    seed: int = 0
     # device-resident EM: model + accumulators stay on device across
     # iterations; per iteration the host sees only the (P, G) occupancy and
     # a few scalars (False = legacy host-side update, kept for equivalence

@@ -409,7 +409,8 @@ class ViterbiEmTrainer:
             self.tm.mle_update(acc.transition_counts.astype(np.float64))
             if mixup_target is not None and mixup_target > self.gmm.total_gauss:
                 self.gmm = split_gaussians(
-                    self.gmm, acc.occ, mixup_target, power=self.config.power
+                    self.gmm, acc.occ, mixup_target, power=self.config.power,
+                    seed=self.config.seed,
                 )
             self._mirror.invalidate()
             return {"loglike": acc.total_loglike, "frames": acc.total_frames}
@@ -444,7 +445,7 @@ class ViterbiEmTrainer:
         if mixup_target is not None and mixup_target > self.gmm.total_gauss:
             sched = split_schedule_host(
                 w, self.gmm.num_gauss, occ_h, mixup_target, self.gmm.dim,
-                power=self.config.power,
+                power=self.config.power, seed=self.config.seed,
             )
         num_gauss = self.gmm.num_gauss
         if sched is None:

@@ -532,7 +532,10 @@ class TrainableAligner:
                         1, stage_subset // _jax.process_count()
                     )
                 if stage_subset and stage_subset < self.corpus.num_utterances:
-                    subset = select_training_subset(self.corpus, stage_subset)
+                    subset = select_training_subset(
+                        self.corpus, stage_subset,
+                        seed=1234 + self.base_config.seed,
+                    )
                     subset -= self._excluded
                     pipeline.set_subset(subset)
                     logger.info("subset: %d utterances", len(subset))
