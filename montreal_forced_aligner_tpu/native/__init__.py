@@ -87,3 +87,21 @@ def flac_lib() -> Optional[ctypes.CDLL]:
         ]
         lib._mfa_configured = True
     return lib
+
+
+def fmllr_lib() -> Optional[ctypes.CDLL]:
+    lib = load_native("fmllr_solve")
+    if lib is not None and not getattr(lib, "_mfa_configured", False):
+        lib.fmllr_solve_batched.restype = ctypes.c_int
+        lib.fmllr_solve_batched.argtypes = [
+            ctypes.c_void_p,  # K
+            ctypes.c_void_p,  # G
+            ctypes.c_void_p,  # beta
+            ctypes.c_void_p,  # W (in/out)
+            ctypes.c_longlong,  # S
+            ctypes.c_longlong,  # D
+            ctypes.c_int,  # num_iters
+            ctypes.c_int,  # num_threads
+        ]
+        lib._mfa_configured = True
+    return lib

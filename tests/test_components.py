@@ -1046,3 +1046,33 @@ def test_fmllr_batched_solver_matches_scalar():
     )
     ref0 = solve_fmllr(K[0], G[0], float(beta[0]), min_count=100.0)
     np.testing.assert_allclose(out[0], ref0, rtol=2e-4, atol=2e-4)
+
+
+def test_native_fmllr_solver_matches_numpy():
+    """The C++ fMLLR row-sweep solver is numerically interchangeable with
+    the numpy implementation (same double-precision math; ~10x faster —
+    the host solve was the largest non-transfer cost of SAT alignment)."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.ops import transforms as T
+
+    if T._solve_fmllr_native(
+        np.zeros((1, 4, 5)), np.tile(np.eye(5), (1, 4, 1, 1)),
+        np.array([1000.0]), 2,
+    ) is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(7)
+    S, D = 6, 13
+    E = D + 1
+    X = rng.randn(S, 800, E)
+    X[:, :, -1] = 1.0
+    G = np.einsum("sne,snf->sef", X, X)
+    G_mats = np.tile(G[:, None], (1, D, 1, 1)) + np.eye(E) * 5
+    K = rng.randn(S, D, E) * 20
+    beta = np.full(S, 800.0)
+    beta[0] = 10.0  # low-count speaker still solved identically
+    Wn = T._solve_fmllr_native(K, G_mats, beta, 40)
+    Wp = T._solve_fmllr_batched_numpy(K, G_mats, beta, 40)
+    np.testing.assert_allclose(Wn, Wp, atol=2e-4, rtol=2e-4)
