@@ -91,24 +91,28 @@ class MapAdapter:
             pipeline.corpus.speakers
         )
         spk_offset = getattr(pipeline, "spk_offset", 0)
+        from montreal_forced_aligner_tpu.align.aligner import (
+            _nonsilence_weight,
+        )
+
         sil_pdfs = self.aligner._silence_pdfs()
+        sil_mask_host = np.zeros(gmm.num_pdfs, np.float32)
+        sil_mask_host[sil_pdfs] = 1.0
+        sil_mask = pipeline.put_rep(sil_mask_host)
         means = pipeline.put_rep(gmm.get_means())
         iv = pipeline.put_rep(gmm.inv_vars)
         gc = pipeline.put_rep(gmm.gconsts)
         miv = pipeline.put_rep(gmm.means_invvars)
         pending = []
         for fb in pipeline.batches:
-            from montreal_forced_aligner_tpu.training.base import _to_host
-
-            fp = _to_host(fb.frame_pdf)
-            weight = (~np.isin(fp, sil_pdfs)).astype(np.float32)
+            weight = _nonsilence_weight(fb.frame_pdf, sil_mask)
             pending.append(
                 accumulate_fmllr_stats(
                     fb.put_b(fb.feats),
                     pipeline.put_b(fb.frame_lengths),
                     fb.frame_pdf,
                     pipeline.put_b(fb.speaker_idx + spk_offset),
-                    pipeline.put_b(weight),
+                    weight,
                     means, iv, gc, miv, S,
                 )
             )

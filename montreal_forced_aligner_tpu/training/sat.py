@@ -81,13 +81,15 @@ class SatTrainer(TriphoneTrainer):
             return dict(uses_deltas=False, lda_mat=self.lda_mat)
         return dict(uses_deltas=True, lda_mat=None)
 
-    def _silence_weight_mask(self, fb) -> np.ndarray:
-        """0.0 on silence-phone frames, else 1.0 (silence_weight=0.0)."""
-        from montreal_forced_aligner_tpu.training.base import _to_host
+    def _silence_weight_mask(self, fb, sil_mask_dev):
+        """0.0 on silence-phone frames, else 1.0 (silence_weight=0.0);
+        computed on device from a (P,) silence-pdf mask — fetching the
+        per-frame pdfs to the host cost a (B, T) d2h round trip per batch."""
+        from montreal_forced_aligner_tpu.align.aligner import (
+            _nonsilence_weight,
+        )
 
-        sil_pdfs = np.array(self._silence_pdfs(), dtype=np.int64)
-        fp = _to_host(fb.frame_pdf)
-        return (~np.isin(fp, sil_pdfs)).astype(np.float32)
+        return _nonsilence_weight(fb.frame_pdf, sil_mask_dev)
 
     def _estimate_fmllr(self, pipeline: TrainingPipeline) -> None:
         # the device-resident EM keeps the model on device between host
@@ -107,15 +109,18 @@ class SatTrainer(TriphoneTrainer):
         iv = pipeline.put_rep(self.gmm.inv_vars)
         gc = pipeline.put_rep(self.gmm.gconsts)
         miv = pipeline.put_rep(self.gmm.means_invvars)
+        sil_mask_host = np.zeros(self.gmm.num_pdfs, np.float32)
+        sil_mask_host[self._silence_pdfs()] = 1.0
+        sil_mask = pipeline.put_rep(sil_mask_host)
         pending = []
         for fb in pipeline.batches:
-            weight = self._silence_weight_mask(fb)
+            weight = self._silence_weight_mask(fb, sil_mask)
             out = accumulate_fmllr_stats(
                 fb.put_b(fb.feats),
                 pipeline.put_b(fb.frame_lengths),
                 fb.frame_pdf,
                 pipeline.put_b(fb.speaker_idx + spk_offset),
-                pipeline.put_b(weight),
+                weight,
                 means,
                 iv,
                 gc,
