@@ -40,6 +40,8 @@ from montreal_forced_aligner_tpu.ops.feats import (
     splice_frames,
     apply_transform,
     frame_mask,
+    nonsilence_weight as _nonsilence_weight,
+    silence_pdf_mask,
 )
 from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
 from montreal_forced_aligner_tpu.ops.mfcc import (
@@ -103,14 +105,6 @@ def _final_feats(feats, frame_lengths, mean_rows, lda, pitch=None):
     if lda is None:
         return compute_deltas(x, frame_lengths)
     return apply_transform(splice_frames(x, frame_lengths, 3, 3), lda)
-
-
-@jax.jit
-def _nonsilence_weight(frame_pdf, sil_mask):
-    """1.0 on non-silence frames, 0.0 on silence (fMLLR silence_weight=0,
-    reference ``corpus/features.py:608``); computed on device from a (P,)
-    silence-pdf mask so pass-1 state paths never cross to the host."""
-    return 1.0 - jnp.take(sil_mask, frame_pdf, axis=0)
 
 
 @jax.jit
@@ -565,6 +559,34 @@ class PretrainedAligner:
                     pdfs.add(pdf)
         return np.array(sorted(pdfs), dtype=np.int32)
 
+    def _ali_params_on(self):
+        """Device-resident speaker-independent (final.alimdl) tensors for
+        alignment passes, cached across ``align_corpus`` calls. Silence
+        boosting applies here exactly as to the final model (the reference
+        runs ``gmm-boost-silence`` on whichever model aligns,
+        ``alignment/mixins.py:193-203``)."""
+        if getattr(self, "_ali_device_params", None) is not None:
+            return self._ali_device_params
+        _ali_tm, ali_gmm = self.model.alignment_model
+        gc1_host = ali_gmm.gconsts.copy()
+        if self.config.boost_silence != 1.0:
+            gc1_host[self._silence_pdfs()] += math.log(
+                self.config.boost_silence
+            )
+        W1_host, _ = ali_gmm.flatten_for_device()
+        W1 = self._put_rep(W1_host)
+        gc1 = self._put_rep(gc1_host)
+        P1, G1, _D1 = ali_gmm.means_invvars.shape
+        w_rows1 = None
+        if _pallas_emission_eligible(P1, G1):
+            from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
+
+            w_rows1 = self._put_rep(
+                pack_rows(ali_gmm.means_invvars, ali_gmm.inv_vars, gc1_host)
+            )
+        self._ali_device_params = (W1, gc1, w_rows1)
+        return self._ali_device_params
+
     def _fmllr_params_on(self):
         """Device-resident two-pass model constants, cached across
         ``align_corpus`` calls (the SI alignment model + fMLLR parameter
@@ -572,20 +594,7 @@ class PretrainedAligner:
         seconds on remote-attached TPUs)."""
         if getattr(self, "_fmllr_device_params", None) is not None:
             return self._fmllr_device_params
-        ali_tm, ali_gmm = self.model.alignment_model
-        W1_host, _ = ali_gmm.flatten_for_device()
-        W1 = self._put_rep(W1_host)
-        gc1 = self._put_rep(ali_gmm.gconsts)
-        P1, G1, _D1 = ali_gmm.means_invvars.shape
-        w_rows1 = None
-        if _pallas_emission_eligible(P1, G1):
-            from montreal_forced_aligner_tpu.ops.pallas_emission import pack_rows
-
-            w_rows1 = self._put_rep(
-                pack_rows(
-                    ali_gmm.means_invvars, ali_gmm.inv_vars, ali_gmm.gconsts
-                )
-            )
+        W1, gc1, w_rows1 = self._ali_params_on()
         gmm = self.model.gmm
         self._fmllr_device_params = (
             W1,
@@ -618,10 +627,9 @@ class PretrainedAligner:
         # (P,) silence mask: the non-silence frame weight becomes a device
         # gather, so pass 1 never fetches a state path to the host
         # (d2h runs at ~10-30 MB/s on remote-attached TPUs)
-        P = self.model.gmm.num_pdfs
-        sil_mask_host = np.zeros(P, np.float32)
-        sil_mask_host[sil_pdfs] = 1.0
-        sil_mask = self._put_rep(sil_mask_host)
+        sil_mask = self._put_rep(
+            silence_pdf_mask(sil_pdfs, self.model.gmm.num_pdfs)
+        )
 
         from montreal_forced_aligner_tpu.training.base import (
             _frame_pdf_device,
@@ -940,7 +948,9 @@ class PretrainedAligner:
             and self.model.uses_fmllr
             and self.model.alignment_model is not None
         )
-        si_params = self._fmllr_params_on()[:3] if si_mode else None
+        # SI mode ships only the alignment-model triplet (not the final
+        # model's fMLLR estimation tensors, which it never uses)
+        si_params = self._ali_params_on() if si_mode else None
         pending = []
         for batch, flens, garrs, graph, ff in prepared:
             dev = (

@@ -306,8 +306,6 @@ def align_cli(
 ):
     """Align a corpus to word/phone TextGrids (reference:
     ``command_line/align.py:164``)."""
-    if textgrid_cleanup is not None:
-        include_silence = not textgrid_cleanup
     if config_path:
         data = _load_command_config(config_path)
         ov = _config_overrides(
@@ -331,6 +329,10 @@ def align_cli(
         include_silence = ov.get("include_silence", include_silence)
         fine_tune = ov.get("fine_tune", fine_tune)
         use_phone_model = ov.get("use_phone_model", use_phone_model)
+    # applied after config handling so an explicit flag always wins over a
+    # config-file include_silence (command line beats config file)
+    if textgrid_cleanup is not None:
+        include_silence = not textgrid_cleanup
     from montreal_forced_aligner_tpu.align.aligner import (
         AlignerConfig,
         PretrainedAligner,

@@ -171,18 +171,40 @@ def train_ivector_extractor(
         )
         stats.append((gamma, Xc))
 
+    # component occupancy is iteration-independent: reduce it once, on
+    # device, and fetch the (C,) vector a single time
+    total_gamma = np.zeros(C)
+    for gamma, _Xc in stats:
+        total_gamma += np.asarray(gamma.sum(axis=0))
+
     for it in range(num_iterations):
         T_sig, TT_sig = _prep_T(ubm, T)
-        A = np.zeros((C, D, R))
-        Bm = np.zeros((C, R, R))
-        aux = 0.0
+        # device-resident accumulation across batches: the (C, R, R)
+        # B-accumulator alone is ~38 MB at C=256/R=192 — fetching it per
+        # batch per iteration swamps the ~10-30 MB/s device->host link;
+        # summing on device costs one fetch per iteration instead
+        parts = []
         for gamma, Xc in stats:
             w_hat, Linv = _estep(gamma, Xc, T_sig, TT_sig)
             A_b, B_b = _mstep_accumulate(gamma, Xc, w_hat, Linv)
-            A += np.asarray(A_b)
-            Bm += np.asarray(B_b)
-            aux += float(jnp.sum(w_hat**2))
-        total_gamma = sum(np.asarray(g).sum(axis=0) for g, _ in stats)
+            parts.append((A_b, B_b, jnp.sum(w_hat**2)))
+        # pairwise (tree) reduction: float32 cross-batch error grows
+        # O(log n) instead of O(n)
+        while len(parts) > 1:
+            nxt = [
+                tuple(a + b for a, b in zip(parts[i], parts[i + 1]))
+                for i in range(0, len(parts) - 1, 2)
+            ]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        A_dev, Bm_dev, aux_dev = parts[0]
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        A, Bm, aux = fetch_all([A_dev, Bm_dev, aux_dev])
+        A = np.asarray(A, np.float64)
+        Bm = np.asarray(Bm, np.float64)
+        aux = float(aux)
         for c in range(C):
             if total_gamma[c] < gaussian_min_count:
                 continue

@@ -136,6 +136,31 @@ def train_ubm(
     pad = (-N) % chunk
     frames_p = np.concatenate([frames, np.zeros((pad, D), np.float32)])
     mask_full = np.concatenate([np.ones(N, bool), np.zeros(pad, bool)])
+    # ship frame chunks to device ONCE when they fit a conservative HBM
+    # budget (re-uploading every EM iteration cost an h2d pass of the whole
+    # frame matrix per iteration — ~24x the corpus size over the schedule);
+    # above the budget, stream per iteration as before to avoid OOM on
+    # large corpora (override: MFA_TPU_UBM_DEVICE_FRAMES_GB)
+    import os as _os
+
+    budget_bytes = float(
+        _os.environ.get("MFA_TPU_UBM_DEVICE_FRAMES_GB", 2.0)
+    ) * (1 << 30)
+    resident = frames_p.nbytes <= budget_bytes
+
+    def iter_chunks():
+        for lo in range(0, len(frames_p), chunk):
+            yield (
+                jnp.asarray(frames_p[lo : lo + chunk]),
+                jnp.asarray(mask_full[lo : lo + chunk]),
+            )
+
+    device_chunks = list(iter_chunks()) if resident else None
+    if not resident:
+        logger.info(
+            "UBM frames (%.1f GB) exceed the device-residency budget; "
+            "streaming per iteration", frames_p.nbytes / (1 << 30),
+        )
 
     prev_ll = None
     for it, target in enumerate(schedule):
@@ -143,21 +168,36 @@ def train_ubm(
             ubm = ubm.split(target, seed=seed + it)
         W, gconst = ubm.device_params()
         G = ubm.num_gauss
-        occ = np.zeros(G)
-        mean_acc = np.zeros((G, D))
-        var_acc = np.zeros((G, D))
-        total_ll = 0.0
-        for lo in range(0, len(frames_p), chunk):
-            o, m, v, ll = _ubm_estep(
-                jnp.asarray(frames_p[lo : lo + chunk]),
-                jnp.asarray(mask_full[lo : lo + chunk]),
-                W,
-                gconst,
-            )
-            occ += np.asarray(o)
-            mean_acc += np.asarray(m)
-            var_acc += np.asarray(v)
-            total_ll += float(ll)
+        # accumulate on device (one small fetch per iteration); cross-chunk
+        # sums use pairwise (tree) reduction so float32 error grows
+        # O(log n) rather than O(n) — within-chunk sums were already f32
+        occ_d = mean_d = var_d = ll_d = None
+
+        def tree_sum(parts):
+            while len(parts) > 1:
+                nxt = []
+                for i in range(0, len(parts) - 1, 2):
+                    nxt.append(
+                        tuple(a + b for a, b in zip(parts[i], parts[i + 1]))
+                    )
+                if len(parts) % 2:
+                    nxt.append(parts[-1])
+                parts = nxt
+            return parts[0]
+
+        parts = []
+        for f_dev, m_dev in (device_chunks or iter_chunks()):
+            parts.append(_ubm_estep(f_dev, m_dev, W, gconst))
+        occ_d, mean_d, var_d, ll_d = tree_sum(parts)
+        from montreal_forced_aligner_tpu.training.base import fetch_all
+
+        occ, mean_acc, var_acc, total_ll = fetch_all(
+            [occ_d, mean_d, var_d, ll_d]
+        )
+        occ = np.asarray(occ, np.float64)
+        mean_acc = np.asarray(mean_acc, np.float64)
+        var_acc = np.asarray(var_acc, np.float64)
+        total_ll = float(total_ll)
         # M-step
         keep = occ > max(min_gaussian_weight * N, 2.0)
         occ_k = np.maximum(occ, 1e-10)

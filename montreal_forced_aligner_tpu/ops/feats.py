@@ -236,3 +236,20 @@ def apply_per_speaker_transform(
         precision=jax.lax.Precision.HIGHEST,
     )
     return out + trans[:, None, :, D]
+
+
+def silence_pdf_mask(sil_pdfs, num_pdfs: int):
+    """(P,) float32 mask: 1.0 at silence pdfs (for :func:`nonsilence_weight`)."""
+    import numpy as _np
+
+    mask = _np.zeros(num_pdfs, _np.float32)
+    mask[_np.asarray(sil_pdfs, _np.int64)] = 1.0
+    return mask
+
+
+@jax.jit
+def nonsilence_weight(frame_pdf, sil_mask):
+    """1.0 on non-silence frames, 0.0 on silence (fMLLR silence_weight=0,
+    reference ``corpus/features.py:608``); a device gather over a (P,)
+    silence-pdf mask so per-frame pdfs never round-trip to the host."""
+    return 1.0 - jnp.take(sil_mask, frame_pdf, axis=0)

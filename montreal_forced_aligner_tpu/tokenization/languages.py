@@ -214,15 +214,19 @@ class DictionarySegmenter:
                         back[i] = i - L
         out = []
         i = n
-        used_word = False
+        covered = 0
         while i > 0:
             j = back[i]
             piece = chunk[j:i]
-            if i - j > 1 and piece in self.words:
-                used_word = True
+            if piece in self.words:
+                covered += i - j
             out.append(piece)
             i = j
-        if not used_word:
+        # only split when dictionary words cover at least half the chunk:
+        # CJK runs over a single-character-rich lexicon still segment, but
+        # a mostly-unknown run (e.g. a Latin OOV that happens to contain
+        # one lexicon letter) stays whole instead of shattering
+        if covered * 2 < n:
             return [chunk]
         return out[::-1]
 

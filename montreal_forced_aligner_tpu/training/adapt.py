@@ -91,14 +91,16 @@ class MapAdapter:
             pipeline.corpus.speakers
         )
         spk_offset = getattr(pipeline, "spk_offset", 0)
-        from montreal_forced_aligner_tpu.align.aligner import (
-            _nonsilence_weight,
+        from montreal_forced_aligner_tpu.ops.feats import (
+            nonsilence_weight as _nonsilence_weight,
+            silence_pdf_mask,
         )
 
-        sil_pdfs = self.aligner._silence_pdfs()
-        sil_mask_host = np.zeros(gmm.num_pdfs, np.float32)
-        sil_mask_host[sil_pdfs] = 1.0
-        sil_mask = pipeline.put_rep(sil_mask_host)
+        sil_mask = pipeline.put_rep(
+            silence_pdf_mask(
+                self.aligner._silence_pdfs(), gmm.num_pdfs
+            )
+        )
         means = pipeline.put_rep(gmm.get_means())
         iv = pipeline.put_rep(gmm.inv_vars)
         gc = pipeline.put_rep(gmm.gconsts)

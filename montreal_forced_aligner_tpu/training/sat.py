@@ -85,11 +85,11 @@ class SatTrainer(TriphoneTrainer):
         """0.0 on silence-phone frames, else 1.0 (silence_weight=0.0);
         computed on device from a (P,) silence-pdf mask — fetching the
         per-frame pdfs to the host cost a (B, T) d2h round trip per batch."""
-        from montreal_forced_aligner_tpu.align.aligner import (
-            _nonsilence_weight,
+        from montreal_forced_aligner_tpu.ops.feats import (
+            nonsilence_weight,
         )
 
-        return _nonsilence_weight(fb.frame_pdf, sil_mask_dev)
+        return nonsilence_weight(fb.frame_pdf, sil_mask_dev)
 
     def _estimate_fmllr(self, pipeline: TrainingPipeline) -> None:
         # the device-resident EM keeps the model on device between host
@@ -109,9 +109,11 @@ class SatTrainer(TriphoneTrainer):
         iv = pipeline.put_rep(self.gmm.inv_vars)
         gc = pipeline.put_rep(self.gmm.gconsts)
         miv = pipeline.put_rep(self.gmm.means_invvars)
-        sil_mask_host = np.zeros(self.gmm.num_pdfs, np.float32)
-        sil_mask_host[self._silence_pdfs()] = 1.0
-        sil_mask = pipeline.put_rep(sil_mask_host)
+        from montreal_forced_aligner_tpu.ops.feats import silence_pdf_mask
+
+        sil_mask = pipeline.put_rep(
+            silence_pdf_mask(self._silence_pdfs(), self.gmm.num_pdfs)
+        )
         pending = []
         for fb in pipeline.batches:
             weight = self._silence_weight_mask(fb, sil_mask)

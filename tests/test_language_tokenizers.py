@@ -230,3 +230,20 @@ def test_dictionary_maxmatch_prefers_fewer_words():
     seg = DictionarySegmenter({"ab", "cd", "abcd", "a", "b"})
     # one word beats two
     assert seg.segment_chunk("abcd") == ["abcd"]
+
+
+def test_dictionary_maxmatch_single_char_lexicon():
+    """Chunks covered by single-character lexicon words still segment
+    (common in Chinese/Thai); mostly-unknown runs stay whole even when a
+    lexicon letter appears inside them."""
+    from montreal_forced_aligner_tpu.tokenization.languages import (
+        DictionarySegmenter,
+    )
+
+    seg = DictionarySegmenter({"好", "天"})
+    assert seg.segment_chunk("好天好") == ["好", "天", "好"]
+    seg2 = DictionarySegmenter({"a", "cat"})
+    # 1 of 5 chars covered -> stays whole (no shattering of Latin OOVs)
+    assert seg2.segment_chunk("zorpa") == ["zorpa"]
+    # "cat" + unknown x: 3 of 4 covered -> segments
+    assert seg2.segment_chunk("catx") == ["cat", "x"]
