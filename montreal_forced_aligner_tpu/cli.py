@@ -213,7 +213,36 @@ def _recipe_from_config(data):
     return stages
 
 
+def _num_jobs_option(f):
+    """Reference-script compatibility: MFA's most common flag. Parallelism
+    here is batch/device-driven (one SPMD program over the mesh), so the
+    value only logs a hint instead of spawning worker processes."""
+    import functools
+
+    f = click.option(
+        "--num_jobs", "-j", "num_jobs", default=None, type=int,
+        help="Accepted for reference-CLI compatibility; parallelism is "
+             "batch/device-driven here (see --batch_size/--distributed)",
+    )(f)
+
+    @functools.wraps(f)
+    def wrapper(*args, **kwargs):
+        nj = kwargs.pop("num_jobs", None)
+        if nj is not None:
+            import logging as _logging
+
+            _logging.getLogger("mfa_tpu").info(
+                "--num_jobs %s accepted for compatibility; this framework "
+                "parallelizes via device batches (--batch_size) and the "
+                "device mesh (--distributed), not worker processes", nj,
+            )
+        return f(*args, **kwargs)
+
+    return wrapper
+
+
 @cli.command("align")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
@@ -656,6 +685,7 @@ def version_cli():
 
 
 @cli.command("train")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
@@ -879,6 +909,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
 
 
 @cli.command("adapt")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
@@ -935,6 +966,7 @@ def adapt_cli(corpus_directory, dictionary_path, acoustic_model_path,
 
 
 @cli.command("validate")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.option("--acoustic_model_path", type=click.Path(exists=True), default=None)
@@ -1416,6 +1448,7 @@ def train_lm_cli(source_path, output_model_path, order, dictionary_path,
 
 
 @cli.command("transcribe")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
@@ -1899,6 +1932,7 @@ def g2p_cli(ctx, input_path, g2p_model_path, output_path, num_pronunciations,
 
 
 @cli.command("train_ivector")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--num_gauss", default=256, show_default=True)
@@ -1956,6 +1990,7 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
 
 
 @cli.command("diarize_speakers")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("ivector_extractor_path", type=str)
 @click.argument("output_directory", type=click.Path())

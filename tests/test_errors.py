@@ -177,3 +177,23 @@ def test_probe_wave_header_truncated(tmp_path):
     w.write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt ")  # header cut mid-chunk
     info = probe_wave(w)
     assert info["issue"] == "unreadable"
+
+
+def test_num_jobs_compat_flag(tmp_path):
+    """-j/--num_jobs is accepted on the main commands for reference-script
+    compatibility (parallelism is batch/device-driven here)."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parent))
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path)
+    model, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    r = CliRunner().invoke(
+        cli,
+        ["align", str(corpus_dir), str(dict_path), str(model),
+         str(tmp_path / "o"), "-j", "8"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    assert list((tmp_path / "o").rglob("*.TextGrid"))
