@@ -1783,9 +1783,14 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
 @click.option("--random_starts", default=10, show_default=True,
               help="Random EM starts for the pair-ngram engine (reference "
                    "--num_random_starts, default 25 there)")
+@click.option("--reference_format", is_flag=True, default=False,
+              help="Write the model as a reference-format G2P archive "
+                   "(binary OpenFst model.fst + symbol tables, loadable by "
+                   "pynini/MFA as well as this framework) instead of the "
+                   "graphone-LM zip")
 def train_g2p_cli(dictionary_path, output_model_path, order,
                   num_alignment_iterations, evaluation_mode, phonetisaurus,
-                  random_starts):
+                  random_starts, reference_format):
     """Train a G2P model from a pronunciation dictionary (reference:
     ``mfa train_g2p`` — default PyniniTrainer pair-ngram engine,
     ``g2p/trainer.py:79-880``; ``--phonetisaurus`` selects the
@@ -1835,8 +1840,18 @@ def train_g2p_cli(dictionary_path, output_model_path, order,
             f"phone error rate {metrics['phone_error_rate']:.4f}"
         )
     model = make_trainer().train_from_dictionary(dictionary_path)
-    model.save(output_model_path)
-    click.echo(f"Saved G2P model to {output_model_path}")
+    if reference_format:
+        from montreal_forced_aligner_tpu.g2p.export_openfst import (
+            export_reference_g2p,
+        )
+
+        export_reference_g2p(model, output_model_path)
+        click.echo(
+            f"Saved reference-format G2P archive to {output_model_path}"
+        )
+    else:
+        model.save(output_model_path)
+        click.echo(f"Saved G2P model to {output_model_path}")
 
 
 @cli.command("g2p")

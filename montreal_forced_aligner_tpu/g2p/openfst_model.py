@@ -144,25 +144,19 @@ class OpenFstG2PModel:
         if self.unicode_decomposition:
             word = unicodedata.normalize("NFD", word)
         chars = list(word)
-        missing = [c for c in chars if c not in self.grapheme_table]
+        # composition matches on grapheme STRINGS: chunked tables
+        # (phonetisaurus convention) often contain only multi-grapheme
+        # chunk symbols, so single graphemes may have no id of their own
+        known_parts = {
+            g for parts in self._ilabel_graphemes.values() for g in parts
+        }
+        missing = [c for c in chars if c not in known_parts]
         if missing:
             logger.debug("G2P: graphemes not in model: %r", missing)
             return []
-        input_ids = [self.grapheme_table[c] for c in chars]
-        # expansions keyed by ilabel: which grapheme-id sequence it
-        # consumes. A chunk with any unresolvable part maps to the empty
-        # tuple, which shortest_paths treats as "arc never matches" —
-        # silently shrinking the chunk would consume the wrong number of
-        # graphemes while still emitting the full phone chunk.
-        exp = {}
-        for gid, parts in self._ilabel_graphemes.items():
-            if all(g in self.grapheme_table for g in parts):
-                exp[gid] = tuple(self.grapheme_table[g] for g in parts)
-            else:
-                exp[gid] = ()
         paths = shortest_paths(
-            self.fst, input_ids, k=max(num_pronunciations * 4, 8),
-            ilabel_expansions=exp,
+            self.fst, chars, k=max(num_pronunciations * 4, 8),
+            ilabel_expansions=dict(self._ilabel_graphemes),
         )
         out: List[Tuple[Tuple[str, ...], float]] = []
         seen = set()

@@ -179,3 +179,39 @@ def test_phonetisaurus_style_archive(tmp_path):
     assert prons
     # cheapest path uses the chunked arcs: k ae t ch
     assert prons[0][0] == ("k", "ae", "t", "ch")
+
+
+def test_export_reference_format_round_trip(tmp_path):
+    """Two-way interop: a graphone model trained here exports as a
+    reference-format archive (backoff n-gram FST + chunked symbol tables)
+    that the import path loads, and its pronunciations agree with the
+    graphone engine on in-training words."""
+    from montreal_forced_aligner_tpu.g2p.export_openfst import (
+        export_reference_g2p,
+    )
+    from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
+    from montreal_forced_aligner_tpu.g2p.openfst_model import OpenFstG2PModel
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PModel, G2PTrainer
+
+    d = tmp_path / "g2p.dict"
+    d.write_text(
+        "cat\tk ae t\nbat\tb ae t\ncab\tk ae b\ntab\tt ae b\n"
+        "at\tae t\nbad\tb ae d\ncad\tk ae d\ntad\tt ae d\n"
+    )
+    model = G2PTrainer(order=3, num_alignment_iterations=3).train_from_dictionary(d)
+    out = tmp_path / "ref_g2p.zip"
+    export_reference_g2p(model, out)
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+    assert {"model.fst", "graphemes.txt", "phones.txt", "meta.json"} <= names
+
+    loaded = G2PModel.load(out)
+    assert isinstance(loaded, OpenFstG2PModel)
+    native = G2PGenerator(model)
+    for word in ("cat", "bat", "tab", "cad"):
+        ref_prons = loaded.generate(word, num_pronunciations=1)
+        nat_prons = native.generate(word, num_pronunciations=1)
+        assert ref_prons, f"exported model produced nothing for {word!r}"
+        assert ref_prons[0][0] == nat_prons[0][0], (
+            word, ref_prons[0], nat_prons[0]
+        )
