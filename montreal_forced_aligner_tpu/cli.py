@@ -509,6 +509,7 @@ def align_cli(
 
 
 @cli.command("align_one")
+@_num_jobs_option
 @click.argument("sound_file", type=click.Path(exists=True))
 @click.argument("text_file", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
@@ -1168,6 +1169,7 @@ def validate_cli(ctx, corpus_directory, dictionary_path, acoustic_model_path,
 
 
 @cli.command("create_segments_vad")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("output_directory", type=click.Path())
 @click.option("--max_segment_length", default=30.0, show_default=True)
@@ -1211,6 +1213,7 @@ def create_segments_vad_cli(corpus_directory, output_directory,
 
 
 @cli.command("create_segments")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))
@@ -1366,6 +1369,7 @@ def evaluate_alignments_cli(
 
 
 @cli.command("train_lm")
+@_num_jobs_option
 @click.argument("source_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=3, show_default=True)
@@ -1765,6 +1769,7 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
 
 
 @cli.command("train_g2p")
+@_num_jobs_option
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=8, show_default=True)
@@ -1855,6 +1860,7 @@ def train_g2p_cli(dictionary_path, output_model_path, order,
 
 
 @cli.command("g2p")
+@_num_jobs_option
 @click.argument("input_path", type=click.Path(exists=True))
 @click.argument("g2p_model_path", type=click.Path(exists=True))
 @click.argument("output_path", type=click.Path())
@@ -2367,6 +2373,7 @@ def _export_diarization(
 
 
 @cli.command("train_tokenizer")
+@_num_jobs_option
 @click.argument("training_file", type=click.Path(exists=True))
 @click.argument("output_model_path", type=click.Path())
 @click.option("--order", default=6, show_default=True)
@@ -2421,6 +2428,7 @@ def train_tokenizer_cli(training_file, output_model_path, order,
 
 
 @cli.command("tokenize")
+@_num_jobs_option
 @click.argument("input_path", type=click.Path(exists=True))
 @click.argument("tokenizer_model_path", type=click.Path(exists=True))
 @click.argument("output_path", type=click.Path())
@@ -2440,6 +2448,7 @@ def tokenize_cli(input_path, tokenizer_model_path, output_path):
 
 
 @cli.command("train_dictionary")
+@_num_jobs_option
 @click.argument("corpus_directory", type=click.Path(exists=True))
 @click.argument("dictionary_path", type=click.Path(exists=True))
 @click.argument("acoustic_model_path", type=click.Path(exists=True))

@@ -16,7 +16,6 @@ the import path and checking pronunciations agree with the graphone engine.
 from __future__ import annotations
 
 import json
-import math
 import os
 import zipfile
 from pathlib import Path
@@ -26,7 +25,6 @@ import numpy as np
 
 from montreal_forced_aligner_tpu.g2p.trainer import (
     EPS,
-    JOIN,
     G2PModel,
     parse_graphone,
 )
@@ -35,10 +33,12 @@ from montreal_forced_aligner_tpu.io.openfst import (
     write_fst,
     write_symbol_table,
 )
+from montreal_forced_aligner_tpu.language_modeling.ngram import (
+    BOS,
+    EOS,
+    LOG10 as LN10,
+)
 
-LN10 = math.log(10.0)
-BOS = "<s>"
-EOS = "</s>"
 SEQUENCE_SEPARATOR = "|"
 
 
@@ -83,7 +83,11 @@ def compile_ngram_fst(model: G2PModel) -> Tuple[SimpleFst, Dict, Dict]:
     for n in range(1, lm.order):
         for gram, (_lp, bo) in lm.ngrams[n].items():
             # a context state exists when the gram is a context of a longer
-            # n-gram or carries a backoff weight
+            # n-gram or carries a backoff weight; histories ending in </s>
+            # are unreachable (EOS entries become final weights, never
+            # arcs) and would be dead states
+            if gram[-1] == EOS:
+                continue
             histories.add(gram)
     state_of = {h: i for i, h in enumerate(sorted(histories, key=lambda t: (len(t), t)))}
     num_states = len(state_of)
@@ -151,12 +155,12 @@ def export_reference_g2p(model: G2PModel, path) -> Path:
             "phone_order": model.phone_order,
             "version": model.meta.get("version", "0.1.0-tpu"),
             "unicode_decomposition": False,
-            "graphemes": sorted(
+            "graphemes": sorted({
                 part
                 for name in gtable
                 if name != "<eps>"
                 for part in name.split(SEQUENCE_SEPARATOR)
-            ),
+            }),
         }
         (root / "meta.json").write_text(
             json.dumps(meta, ensure_ascii=False)

@@ -75,6 +75,10 @@ class OpenFstG2PModel:
                 continue
             parts = tuple(p for p in name.split(sep) if p) if sep in name else (name,)
             self._ilabel_graphemes[gid] = parts
+        # input-side composition state, immutable after construction
+        self._known_parts = {
+            g for parts in self._ilabel_graphemes.values() for g in parts
+        }
         # output phone expansions (phonetisaurus chunks multiple phones)
         self._olabel_phones: Dict[int, Tuple[str, ...]] = {}
         for pid, name in self.phone_names.items():
@@ -147,16 +151,13 @@ class OpenFstG2PModel:
         # composition matches on grapheme STRINGS: chunked tables
         # (phonetisaurus convention) often contain only multi-grapheme
         # chunk symbols, so single graphemes may have no id of their own
-        known_parts = {
-            g for parts in self._ilabel_graphemes.values() for g in parts
-        }
-        missing = [c for c in chars if c not in known_parts]
+        missing = [c for c in chars if c not in self._known_parts]
         if missing:
             logger.debug("G2P: graphemes not in model: %r", missing)
             return []
         paths = shortest_paths(
             self.fst, chars, k=max(num_pronunciations * 4, 8),
-            ilabel_expansions=dict(self._ilabel_graphemes),
+            ilabel_expansions=self._ilabel_graphemes,
         )
         out: List[Tuple[Tuple[str, ...], float]] = []
         seen = set()

@@ -228,10 +228,10 @@ def read_symbol_table(path) -> Dict[str, int]:
 
 def shortest_paths(
     fst: SimpleFst,
-    input_ids: List[int],
+    input_ids: "List",
     k: int = 1,
     max_eps_run: int = 32,
-    ilabel_expansions: Optional[Dict[int, Tuple[int, ...]]] = None,
+    ilabel_expansions: Optional[Dict[int, tuple]] = None,
 ) -> List[Tuple[List[int], float]]:
     """K cheapest accepting paths of ``fst`` composed with the linear
     acceptor over ``input_ids`` (tropical semiring). Returns
@@ -245,9 +245,11 @@ def shortest_paths(
     epsilon steps to keep epsilon cycles finite). States may be re-expanded
     up to ``k`` times (standard k-shortest-paths relaxation).
 
-    ``ilabel_expansions`` maps an arc input label to the input-id sequence
-    it consumes (phonetisaurus-style chunked labels); default: the label
-    consumes exactly itself.
+    ``ilabel_expansions`` maps an arc input label to the input-token
+    sequence it consumes (phonetisaurus-style chunked labels); tokens are
+    compared by equality, so ``input_ids`` may be integer label ids or
+    grapheme strings as long as the expansions use the same domain.
+    Default: the label consumes exactly its own integer id.
     """
     import heapq
 

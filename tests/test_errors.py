@@ -57,9 +57,6 @@ def test_dictionary_parse_error_line_numbers(tmp_path):
 
 
 def test_phone_mismatch_error(tmp_path):
-    import sys
-
-    sys.path.insert(0, str(tmp_path.parent))
     from helpers import build_synthetic_corpus, build_synthetic_model
 
     from montreal_forced_aligner_tpu.align.aligner import (
@@ -182,9 +179,6 @@ def test_probe_wave_header_truncated(tmp_path):
 def test_num_jobs_compat_flag(tmp_path):
     """-j/--num_jobs is accepted on the main commands for reference-script
     compatibility (parallelism is batch/device-driven here)."""
-    import sys
-
-    sys.path.insert(0, str(tmp_path.parent))
     from helpers import build_synthetic_corpus, build_synthetic_model
 
     corpus_dir, wave = build_synthetic_corpus(tmp_path)
