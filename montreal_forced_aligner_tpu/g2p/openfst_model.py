@@ -130,6 +130,11 @@ class OpenFstG2PModel:
                 phones = fst.osymbols
             if graphemes is None and fst.isymbols:
                 graphemes = fst.isymbols
+            if phones is None and graphemes is not None:
+                # tokenizer archives (reference TokenizerModel,
+                # models.py:1121) transduce characters to characters and
+                # carry a single graphemes.sym for both sides
+                phones = graphemes
             if phones is None or graphemes is None:
                 raise FileNotFoundError(
                     f"{path}: missing phones/graphemes symbol tables "

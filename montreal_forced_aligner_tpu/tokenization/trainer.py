@@ -45,7 +45,10 @@ class TrainedTokenizer:
                 out_parts.append(chunk)
                 continue
             chars, _score = results[0]
-            out_parts.append("".join(chars).replace(SPACE, " ").strip())
+            joined = "".join(chars).replace(SPACE, " ")
+            # reference tokenizer FSTs mark boundaries with <space>
+            joined = joined.replace("<space>", " ")
+            out_parts.append(joined.strip())
         return " ".join(p for p in out_parts if p)
 
 

@@ -215,3 +215,51 @@ def test_export_reference_format_round_trip(tmp_path):
         assert ref_prons[0][0] == nat_prons[0][0], (
             word, ref_prons[0], nat_prons[0]
         )
+
+
+REFERENCE_TOKENIZER = (
+    "/root/reference/tests/data/tokenizer/test_tokenizer_model.zip"
+)
+
+
+def test_reference_tokenizer_model_loads_and_tokenizes(tmp_path):
+    """The reference's real pynini tokenizer archive (tokenizer.fst +
+    graphemes.sym, TokenizerModel spec ``models.py:1121``) loads through
+    the OpenFst interop and drives `mfa-tpu tokenize`: output restores
+    the input characters with (only) spaces inserted."""
+    from click.testing import CliRunner
+
+    from montreal_forced_aligner_tpu.cli import cli
+    from montreal_forced_aligner_tpu.g2p.openfst_model import OpenFstG2PModel
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
+
+    model = G2PModel.load(REFERENCE_TOKENIZER)
+    assert isinstance(model, OpenFstG2PModel)
+
+    src = tmp_path / "in.txt"
+    src.write_text("thisis\n")
+    out = tmp_path / "out.txt"
+    r = CliRunner().invoke(
+        cli, ["tokenize", str(src), REFERENCE_TOKENIZER, str(out)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    line = out.read_text().strip()
+    assert line, "tokenizer produced nothing"
+    assert line.replace(" ", "") == "thisis"
+
+
+def test_reference_phonetisaurus_tokenizer_model():
+    """The chunked (phonetisaurus) reference tokenizer archive also loads
+    and segments: 'thisis' -> 'this is'."""
+    from montreal_forced_aligner_tpu.g2p.trainer import G2PModel
+    from montreal_forced_aligner_tpu.tokenization.trainer import (
+        TrainedTokenizer,
+    )
+
+    model = G2PModel.load(
+        "/root/reference/tests/data/tokenizer/"
+        "test_tokenizer_model_phonetisaurus.zip"
+    )
+    tok = TrainedTokenizer(model=model)
+    assert tok.tokenize("thisis") == "this is"
