@@ -440,3 +440,24 @@ def test_language_model_archive_roundtrip_and_cli(tmp_path):
     la.large.write(arpa)
     flat = LanguageModelArchive.load(arpa)
     assert flat.medium is None and flat.decode_model is flat.large
+
+
+def test_reference_lm_archive_loads():
+    """The reference's real LanguageModel zip (meta.yaml + large/_med/_small
+    ARPA variants, models.py:1258) loads with every variant in its slot and
+    scores text (interop pinned on the checked-in fixture)."""
+    import math
+
+    from montreal_forced_aligner_tpu.language_modeling.archive import (
+        LanguageModelArchive,
+    )
+
+    a = LanguageModelArchive.load(
+        "/root/reference/tests/data/lm/test_lm.zip"
+    )
+    assert a.large is not None and a.large.order == 3
+    assert a.medium is not None and a.small is not None
+    lp = a.large.sentence_log_prob(["this", "is"])
+    assert math.isfinite(lp) and lp < 0
+    # pruned variants are genuinely smaller models
+    assert len(a.small.ngrams[3]) <= len(a.large.ngrams[3])
