@@ -107,11 +107,24 @@ class AcousticModel:
 
     @property
     def uses_deltas(self) -> bool:
-        return bool(self.meta.get("features", {}).get("deltas", self.lda_mat is None))
+        f = self.meta.get("features", {})
+        # this framework writes "deltas"; reference archives write
+        # "uses_deltas" (models.py:494-586 feature config keys)
+        if "deltas" in f:
+            return bool(f["deltas"])
+        if "uses_deltas" in f:
+            return bool(f["uses_deltas"])
+        return self.lda_mat is None
 
     @property
     def uses_fmllr(self) -> bool:
-        return bool(self.meta.get("features", {}).get("fmllr", False))
+        f = self.meta.get("features", {})
+        # reference archives mark SAT models with
+        # "uses_speaker_adaptation" (not "fmllr"); honoring only our own
+        # key silently skipped the two-pass for genuine MFA SAT models
+        return bool(
+            f.get("fmllr", f.get("uses_speaker_adaptation", False))
+        )
 
     @property
     def position_dependent_phones(self) -> bool:

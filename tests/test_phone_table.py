@@ -76,3 +76,53 @@ def test_real_mono_model_layout(mono_model_path):
     assert table["spn"] == 11
     assert len(table) - 1 == len(m.transition_model.topo.phones)
     assert "aa_B" in table
+
+
+def test_reference_sat_archive_detection_and_alignment(tmp_path):
+    """A REAL reference SAT-style archive (the checked-in g2p acoustic
+    model: LDA + final.alimdl + uses_speaker_adaptation meta) is detected
+    as a two-pass model — reference archives mark SAT with
+    "uses_speaker_adaptation", not this framework's "fmllr" key — and
+    aligns a corpus end-to-end through the full two-pass path."""
+    import numpy as np
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+    from montreal_forced_aligner_tpu.models.acoustic_model import (
+        AcousticModel,
+    )
+
+    archive = (
+        "/root/reference/tests/data/am/acoustic_g2p_output_model.zip"
+    )
+    m = AcousticModel.load(archive)
+    assert m.uses_fmllr, "reference uses_speaker_adaptation not honored"
+    assert m.alignment_model is not None
+    assert m.uses_lda and m.lda_mat is not None
+
+    # a tiny IPA dictionary drawn from the model's own phone inventory
+    d = tmp_path / "ipa.dict"
+    d.write_text("a\tɐ\nm\tm\nam\tɐ m\n")
+    corp = tmp_path / "corpus" / "spk"
+    corp.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(int(1.2 * sr)) / sr
+    wave = 3000 * np.sin(2 * np.pi * 200 * t) + rng.randn(len(t)) * 100
+    write_wave(corp / "u.wav", wave.astype(np.float32), sr)
+    (corp / "u.lab").write_text("am a")
+    al = PretrainedAligner(archive, d, AlignerConfig(batch_size=2))
+    called = []
+    orig = al._fmllr_second_pass_feats
+    al._fmllr_second_pass_feats = (
+        lambda *a, **k: called.append(1) or orig(*a, **k)
+    )
+    res = al.align_corpus(Corpus.load(tmp_path / "corpus"))
+    assert called, "two-pass fMLLR path did not run on the SAT archive"
+    assert len(res) == 1
+    aln = res[0]
+    assert aln.phones and np.isfinite(aln.log_likelihood)
