@@ -369,11 +369,42 @@ class PretrainedAligner:
         }
         self.compiler = self.compilers[self.default_dictionary_key]
         feat_meta = self.model.meta.get("features", {})
+        # honor the archive's stored feature configuration (reference
+        # models override defaults with their meta, ``pretrained.py:76-79``,
+        # ``models.py:494-586``): DSP parameters baked into the model at
+        # training time must drive feature extraction here too
+        defaults = MfccConfig()
         self.mfcc_config = MfccConfig(
+            sample_rate=int(
+                feat_meta.get("sample_frequency", defaults.sample_rate)
+            ),
             frame_shift_ms=float(feat_meta.get("frame_shift", 10)),
+            frame_length_ms=float(
+                feat_meta.get("frame_length", defaults.frame_length_ms)
+            ),
+            num_coefficients=int(
+                feat_meta.get(
+                    "num_coefficients", defaults.num_coefficients
+                )
+            ),
+            num_mel_bins=int(
+                feat_meta.get("num_mel_bins", defaults.num_mel_bins)
+            ),
+            low_frequency=float(
+                feat_meta.get("low_frequency", defaults.low_frequency)
+            ),
+            high_frequency=float(
+                feat_meta.get("high_frequency", defaults.high_frequency)
+            ),
+            snip_edges=bool(
+                feat_meta.get("snip_edges", defaults.snip_edges)
+            ),
             use_energy=bool(feat_meta.get("use_energy", False)),
         )
-        self.use_pitch = bool(feat_meta.get("pitch", False))
+        # own archives write "pitch"; reference archives write "use_pitch"
+        self.use_pitch = bool(
+            feat_meta.get("pitch", feat_meta.get("use_pitch", False))
+        )
         self.frame_shift = self.mfcc_config.frame_shift_ms / 1000.0
         # data parallelism: batches are placed round-robin over local
         # devices (single-host default — alignment is embarrassingly
