@@ -1573,6 +1573,7 @@ def _transcribe_impl(ctx, corpus_directory, dictionary_path,
         corpus_directory,
         speaker_characters=speaker_characters,
         audio_directory=audio_directory,
+        require_transcripts=False,
     )
     import jax as _jax
 
@@ -1619,6 +1620,7 @@ def _transcribe_impl(ctx, corpus_directory, dictionary_path,
             corpus_directory,
             speaker_characters=speaker_characters,
             audio_directory=audio_directory,
+            require_transcripts=False,
         )
         for utt in decoded.utterances:
             if utt.id in results:
@@ -1739,7 +1741,7 @@ def transcribe_whisper_cli(corpus_directory, model_path, output_directory,
     )
 
     tr = WhisperTranscriber(model_path, language=language)
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(corpus_directory, require_transcripts=False)
     results = tr.transcribe_corpus(corpus)
     _export_transcripts(corpus, results, output_directory)
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
@@ -1762,7 +1764,7 @@ def transcribe_speechbrain_cli(corpus_directory, model_path,
     )
 
     tr = SpeechbrainTranscriber(model_path, language=language)
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(corpus_directory, require_transcripts=False)
     results = tr.transcribe_corpus(corpus)
     _export_transcripts(corpus, results, output_directory)
     click.echo(f"Transcribed {len(results)} utterances to {output_directory}")
@@ -1982,7 +1984,7 @@ def train_ivector_cli(corpus_directory, output_model_path, num_gauss,
     )
     from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
 
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(corpus_directory, require_transcripts=False)
     batches, order = corpus_feature_batches(corpus, batch_size=batch_size)
     ubm = train_ubm(batches, num_gauss=num_gauss)
     extractor = train_ivector_extractor(
@@ -2101,7 +2103,7 @@ def diarize_speakers_cli(ctx, corpus_directory, ivector_extractor_path,
         corpus_feature_batches,
     )
 
-    corpus = Corpus.load(corpus_directory)
+    corpus = Corpus.load(corpus_directory, require_transcripts=False)
     if ivector_extractor_path == "speechbrain":
         # neural x-vector front end (reference surface: passing the literal
         # 'speechbrain' engages EncoderClassifier embeddings); the

@@ -78,6 +78,7 @@ class Corpus:
         directory,
         speaker_characters=0,
         audio_directory=None,
+        require_transcripts=True,
     ) -> "Corpus":
         """Scan a corpus directory.
 
@@ -88,6 +89,12 @@ class Corpus:
         ``audio_directory``: additional root searched for sound files whose
         transcripts live (by stem) under ``directory`` (reference
         ``--audio_directory``).
+        ``require_transcripts``: when False (transcribe/diarize/VAD
+        workflows), untranscribed sound files become empty-text
+        whole-file utterances instead of raising ``NoTranscriptsError``
+        — the reference always creates them (``corpus/acoustic_corpus.py``
+        sound-file-only loading); alignment/training keep the hard error
+        because they cannot do anything with textless audio.
         """
         directory = Path(directory)
         corpus = cls()
@@ -213,8 +220,29 @@ class Corpus:
                     )
                 )
                 uid += 1
+            elif not require_transcripts:
+                # untranscribed sound file: whole-file empty-text
+                # utterance so transcribe/diarize/VAD can process it
+                # (reference sound-file-only corpus loading)
+                speaker = speaker_from_stem(
+                    stem, wav.parent.name if wav.parent != directory else stem
+                )
+                speakers.add(speaker)
+                corpus.utterances.append(
+                    Utterance(
+                        id=uid,
+                        speaker=speaker,
+                        file_path=wav,
+                        file_name=file_key,
+                        begin=0.0,
+                        end=None,
+                        channel=0,
+                        text="",
+                    )
+                )
+                uid += 1
         corpus.speakers = sorted(speakers)
-        if wavs and not corpus.utterances:
+        if require_transcripts and wavs and not corpus.utterances:
             from montreal_forced_aligner_tpu.exceptions import (
                 NoTranscriptsError,
             )

@@ -156,29 +156,36 @@ def probe_wave(path) -> dict:
                 out["issue"] = "truncated"
                 out["detail"] = f"only {size} bytes"
             return out
-        with open(path, "rb") as f:
-            data = f.read(64 * 1024)
-        if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-            out["issue"] = "unreadable"
-            out["detail"] = "not a RIFF/WAVE container"
-            return out
         import os as _os
 
         file_size = _os.path.getsize(path)
-        pos = 12
         fmt = None
         data_size = None
         data_offset = None
-        while pos + 8 <= len(data):
-            chunk_id = data[pos : pos + 4]
-            chunk_size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            if chunk_id == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
-            elif chunk_id == b"data":
-                data_size = chunk_size
-                data_offset = pos + 8
-                break
-            pos += 8 + chunk_size + (chunk_size & 1)
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                out["issue"] = "unreadable"
+                out["detail"] = "not a RIFF/WAVE container"
+                return out
+            # seek chunk-by-chunk so arbitrarily large pre-data metadata
+            # chunks (LIST/bext/cue) can't push fmt/data out of a fixed
+            # read buffer and false-positive as unreadable
+            pos = 12
+            while pos + 8 <= file_size:
+                f.seek(pos)
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                chunk_id = hdr[:4]
+                chunk_size = struct.unpack("<I", hdr[4:8])[0]
+                if chunk_id == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", f.read(16))
+                elif chunk_id == b"data":
+                    data_size = chunk_size
+                    data_offset = pos + 8
+                    break
+                pos += 8 + chunk_size + (chunk_size & 1)
         if fmt is None or data_size is None:
             out["issue"] = "unreadable"
             out["detail"] = "missing fmt/data chunk"

@@ -182,24 +182,20 @@ def train_ivector_extractor(
         # device-resident accumulation across batches: the (C, R, R)
         # B-accumulator alone is ~38 MB at C=256/R=192 — fetching it per
         # batch per iteration swamps the ~10-30 MB/s device->host link;
-        # summing on device costs one fetch per iteration instead
-        parts = []
+        # summing on device costs one fetch per iteration instead.
+        # StreamingTreeSum folds eagerly (binomial counter) so peak device
+        # memory stays O(log n_batches), not one ~45 MB tuple per batch.
+        from montreal_forced_aligner_tpu.training.base import (
+            StreamingTreeSum,
+            fetch_all,
+        )
+
+        acc = StreamingTreeSum()
         for gamma, Xc in stats:
             w_hat, Linv = _estep(gamma, Xc, T_sig, TT_sig)
             A_b, B_b = _mstep_accumulate(gamma, Xc, w_hat, Linv)
-            parts.append((A_b, B_b, jnp.sum(w_hat**2)))
-        # pairwise (tree) reduction: float32 cross-batch error grows
-        # O(log n) instead of O(n)
-        while len(parts) > 1:
-            nxt = [
-                tuple(a + b for a, b in zip(parts[i], parts[i + 1]))
-                for i in range(0, len(parts) - 1, 2)
-            ]
-            if len(parts) % 2:
-                nxt.append(parts[-1])
-            parts = nxt
-        A_dev, Bm_dev, aux_dev = parts[0]
-        from montreal_forced_aligner_tpu.training.base import fetch_all
+            acc.add((A_b, B_b, jnp.sum(w_hat**2)))
+        A_dev, Bm_dev, aux_dev = acc.total()
 
         A, Bm, aux = fetch_all([A_dev, Bm_dev, aux_dev])
         A = np.asarray(A, np.float64)

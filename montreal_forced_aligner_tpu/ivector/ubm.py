@@ -171,25 +171,17 @@ def train_ubm(
         # accumulate on device (one small fetch per iteration); cross-chunk
         # sums use pairwise (tree) reduction so float32 error grows
         # O(log n) rather than O(n) — within-chunk sums were already f32
-        occ_d = mean_d = var_d = ll_d = None
+        # StreamingTreeSum keeps the O(log n) pairwise-summation error
+        # profile while holding only O(log n) live stat tuples on device
+        from montreal_forced_aligner_tpu.training.base import (
+            StreamingTreeSum,
+            fetch_all,
+        )
 
-        def tree_sum(parts):
-            while len(parts) > 1:
-                nxt = []
-                for i in range(0, len(parts) - 1, 2):
-                    nxt.append(
-                        tuple(a + b for a, b in zip(parts[i], parts[i + 1]))
-                    )
-                if len(parts) % 2:
-                    nxt.append(parts[-1])
-                parts = nxt
-            return parts[0]
-
-        parts = []
+        acc = StreamingTreeSum()
         for f_dev, m_dev in (device_chunks or iter_chunks()):
-            parts.append(_ubm_estep(f_dev, m_dev, W, gconst))
-        occ_d, mean_d, var_d, ll_d = tree_sum(parts)
-        from montreal_forced_aligner_tpu.training.base import fetch_all
+            acc.add(_ubm_estep(f_dev, m_dev, W, gconst))
+        occ_d, mean_d, var_d, ll_d = acc.total()
 
         occ, mean_acc, var_acc, total_ll = fetch_all(
             [occ_d, mean_d, var_d, ll_d]

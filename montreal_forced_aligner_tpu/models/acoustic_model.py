@@ -121,9 +121,17 @@ class AcousticModel:
         f = self.meta.get("features", {})
         # reference archives mark SAT models with
         # "uses_speaker_adaptation" (not "fmllr"); honoring only our own
-        # key silently skipped the two-pass for genuine MFA SAT models
+        # key silently skipped the two-pass for genuine MFA SAT models.
+        # Meta.yaml-era archives carry neither key, but the reference
+        # forces speaker adaptation on whenever final.alimdl is bundled
+        # (reference models.py:653-661) — mirror that fallback.
         return bool(
-            f.get("fmllr", f.get("uses_speaker_adaptation", False))
+            f.get(
+                "fmllr",
+                f.get(
+                    "uses_speaker_adaptation", self.alignment_model is not None
+                ),
+            )
         )
 
     @property

@@ -716,6 +716,38 @@ def fetch_all(tree):
     return jax.tree_util.tree_map(_to_host, tree)
 
 
+class StreamingTreeSum:
+    """Pairwise (binomial-counter) reduction over a stream of stat
+    tuples. Keeps float32 cross-batch error at O(log n) depth like a full
+    tree reduction, but holds only O(log n) live device tensors instead
+    of one per batch — large corpora accumulate (C,D,R)+(C,R,R)-sized
+    i-vector stats without scaling peak device memory with corpus size."""
+
+    def __init__(self):
+        self._levels = []
+
+    def add(self, part) -> None:
+        i = 0
+        while i < len(self._levels) and self._levels[i] is not None:
+            part = tuple(a + b for a, b in zip(self._levels[i], part))
+            self._levels[i] = None
+            i += 1
+        if i == len(self._levels):
+            self._levels.append(part)
+        else:
+            self._levels[i] = part
+
+    def total(self):
+        acc = None
+        for lvl in self._levels:
+            if lvl is None:
+                continue
+            acc = lvl if acc is None else tuple(
+                a + b for a, b in zip(acc, lvl)
+            )
+        return acc
+
+
 @jax.jit
 def _normalize_raw(feats, mean_rows):
     return feats - mean_rows[:, None, :]

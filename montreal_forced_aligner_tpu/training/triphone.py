@@ -347,6 +347,10 @@ class TriphoneTrainer(ViterbiEmTrainer):
             fb.state_path_dev = None
             fb.state_path = None
             fb.align_scores_dev = None
+            # a mid-stage checkpoint may have materialized a host copy of
+            # the previous stage's scores; clear it too so
+            # host_align_scores() cannot serve stale values
+            fb.align_scores = None
         self._tcounts = None
 
     def initialize(self, pipeline: TrainingPipeline) -> None:

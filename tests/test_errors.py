@@ -133,6 +133,41 @@ def test_probe_wave_truncated_and_unreadable(tmp_path):
     assert info["issue"] == "unreadable"
 
 
+def test_probe_wave_large_metadata_chunk(tmp_path):
+    """A valid WAV whose pre-data LIST chunk exceeds any fixed read buffer
+    still probes correctly (chunk-by-chunk seek, not a 64 KiB scan)."""
+    import struct as _struct
+
+    n = SR // 2
+    pcm = np.zeros(n, np.int16).tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, SR, SR * 2, 2, 16)
+    big = b"\x00" * (128 * 1024)  # 128 KiB of metadata before fmt/data
+    chunks = (
+        b"LIST" + _struct.pack("<I", len(big)) + big
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+    f = tmp_path / "bigmeta.wav"
+    f.write_bytes(b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    info = probe_wave(f)
+    assert info["issue"] is None, info
+    assert info["sample_rate"] == SR
+    assert info["duration"] == pytest.approx(0.5, abs=1e-3)
+
+
+def test_untranscribed_corpus_loads_for_transcription(tmp_path):
+    """With require_transcripts=False (transcribe/diarize/VAD workflows),
+    untranscribed sound files become whole-file empty-text utterances
+    (reference sound-file-only corpus loading) instead of a hard error."""
+    d = tmp_path / "corpus" / "spk"
+    d.mkdir(parents=True)
+    write_wave(d / "a.wav", np.zeros(SR, np.float32), SR)
+    corpus = Corpus.load(tmp_path / "corpus", require_transcripts=False)
+    assert len(corpus.utterances) == 1
+    u = corpus.utterances[0]
+    assert u.text == "" and u.speaker == "spk"
+
+
 def test_validate_reports_file_pathologies(tmp_path):
     """`mfa-tpu validate` surfaces truncated files and per-speaker sample
     rate mixtures in its report (reference corpus_validator wav triage)."""

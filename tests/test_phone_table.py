@@ -78,6 +78,51 @@ def test_real_mono_model_layout(mono_model_path):
     assert "aa_B" in table
 
 
+def test_meta_era_sat_archive_inferred_from_alimdl(tmp_path):
+    """meta.yaml-era reference SAT archives carry NEITHER 'fmllr' nor
+    'uses_speaker_adaptation'; the reference forces speaker adaptation on
+    whenever final.alimdl is bundled (reference models.py:653-661) — the
+    same inference must hold here."""
+    import shutil
+    import zipfile
+
+    import yaml
+
+    from montreal_forced_aligner_tpu.models.acoustic_model import (
+        AcousticModel,
+    )
+
+    archive = "/root/reference/tests/data/am/acoustic_g2p_output_model.zip"
+    root = tmp_path / "unpacked"
+    with zipfile.ZipFile(archive) as zf:
+        zf.extractall(root)
+    entries = list(root.iterdir())
+    if len(entries) == 1 and entries[0].is_dir():
+        root = entries[0]
+    # strip the speaker-adaptation keys to simulate the meta.yaml era
+    for name in ("meta.json", "meta.yaml"):
+        p = root / name
+        if p.exists():
+            meta = yaml.safe_load(p.read_text())
+            meta.get("features", {}).pop("uses_speaker_adaptation", None)
+            meta.get("features", {}).pop("fmllr", None)
+            if name.endswith(".json"):
+                import json
+
+                p.write_text(json.dumps(meta))
+            else:
+                p.write_text(yaml.safe_dump(meta))
+    m = AcousticModel.load(root)
+    assert "uses_speaker_adaptation" not in m.meta.get("features", {})
+    assert m.alignment_model is not None
+    assert m.uses_fmllr, "SAT not inferred from bundled final.alimdl"
+    # and a deltas-only model without alimdl must NOT become SAT
+    shutil.rmtree(root / "__pycache__", ignore_errors=True)
+    (root / "final.alimdl").unlink()
+    m2 = AcousticModel.load(root)
+    assert not m2.uses_fmllr
+
+
 def test_reference_sat_archive_detection_and_alignment(tmp_path):
     """A REAL reference SAT-style archive (the checked-in g2p acoustic
     model: LDA + final.alimdl + uses_speaker_adaptation meta) is detected
