@@ -172,7 +172,9 @@ def read_fst(path) -> SimpleFst:
 def write_fst(fst: SimpleFst, path) -> None:
     """Write a binary VectorFst (inverse of :func:`read_fst`) readable by
     OpenFst/pynini — used to export models in the reference's format and to
-    build test fixtures without pynini."""
+    build test fixtures without pynini. When ``fst.isymbols``/``osymbols``
+    are set they are embedded as binary SymbolTables (the self-describing
+    form ``fstprint`` reads without external tables)."""
     out = bytearray()
 
     def s32(v):
@@ -189,15 +191,29 @@ def write_fst(fst: SimpleFst, path) -> None:
         s32(len(b))
         out.extend(b)
 
+    def stable(name, table):
+        s32(SYMBOL_TABLE_MAGIC)
+        sstr(name)
+        s64(max(table.values(), default=-1) + 1)  # available_key
+        s64(len(table))
+        for sym, key in sorted(table.items(), key=lambda kv: kv[1]):
+            sstr(sym)
+            s64(key)
+
+    flags = (0x1 if fst.isymbols else 0) | (0x2 if fst.osymbols else 0)
     s32(FST_MAGIC)
     sstr("vector")
     sstr(fst.arc_type)
     s32(2)  # version
-    s32(0)  # flags: no embedded symbol tables
+    s32(flags)
     out.extend(struct.pack("<Q", 3))  # properties: expanded|mutable
     s64(fst.start)
     s64(fst.num_states)
     s64(0)
+    if fst.isymbols:
+        stable("isymbols", fst.isymbols)
+    if fst.osymbols:
+        stable("osymbols", fst.osymbols)
     for s in range(fst.num_states):
         sf(float(fst.finals[s]))
         s64(len(fst.arcs[s]))

@@ -10,6 +10,7 @@ work unchanged) and our own.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import tempfile
@@ -208,6 +209,24 @@ class AcousticModel:
             )
 
             phone_lm = ArpaModel.read(root / "phone_lm.arpa")
+        elif (root / "phone_lm.fst").exists():
+            # genuine MFA archives bundle the phone LM as a binary OpenGrm
+            # n-gram FST (reference models.py:367-379); labels follow the
+            # archive's phone symbol table
+            from montreal_forced_aligner_tpu.io.openfst import read_fst
+            from montreal_forced_aligner_tpu.language_modeling.fst_convert import (
+                ngram_fst_to_arpa,
+            )
+
+            try:
+                phone_lm = ngram_fst_to_arpa(
+                    read_fst(root / "phone_lm.fst"), phone_table
+                )
+            except ValueError as e:
+                logging.getLogger("mfa_tpu").warning(
+                    "could not parse phone_lm.fst (%s); --use_phone_model "
+                    "will retrain the phone LM from alignments", e,
+                )
         return cls(
             transition_model=tm,
             gmm=gmm,
@@ -252,6 +271,37 @@ class AcousticModel:
                     )
             if self.phone_lm is not None:
                 self.phone_lm.write(root / "phone_lm.arpa")
+                # also the reference's member form (binary OpenFst n-gram
+                # acceptor, reference models.py:367-379) so trained
+                # archives are member-for-member drop-ins. Labels reuse
+                # the archive phone-table ids where the LM vocabulary
+                # matches (this framework's phone LM is over
+                # position-stripped base phones) and the table is embedded
+                # so the file is self-describing for OpenFst tooling.
+                from montreal_forced_aligner_tpu.io.openfst import write_fst
+                from montreal_forced_aligner_tpu.language_modeling.fst_convert import (
+                    arpa_to_ngram_fst,
+                )
+                from montreal_forced_aligner_tpu.language_modeling.ngram import (
+                    BOS,
+                    EOS,
+                    UNK,
+                )
+
+                symbols = {"<eps>": 0}
+                next_id = max(self.phone_table.values(), default=0) + 1
+                for (word,) in self.phone_lm.ngrams[1]:
+                    if word in (BOS, EOS, UNK):
+                        continue
+                    pid = self.phone_table.get(word)
+                    if pid is None or pid in symbols.values():
+                        pid = next_id
+                        next_id += 1
+                    symbols[word] = pid
+                lm_fst = arpa_to_ngram_fst(self.phone_lm, symbols)
+                lm_fst.isymbols = symbols
+                lm_fst.osymbols = symbols
+                write_fst(lm_fst, root / "phone_lm.fst")
             if extra_files:
                 for name, src in extra_files.items():
                     shutil.copy(src, root / name)

@@ -71,6 +71,74 @@ def test_phone_lm_training(tmp_path):
     assert seen > shuffled
 
 
+def test_phone_lm_fst_round_trip(tmp_path):
+    """phone_lm.fst (the reference's archive member form, binary OpenGrm
+    n-gram FST) round-trips: ARPA -> FST -> ARPA preserves sentence log
+    probabilities, and an archive whose ONLY phone-LM member is
+    phone_lm.fst loads it (reference models.py:367-379)."""
+    import zipfile
+
+    from montreal_forced_aligner_tpu.data import CtmInterval, UtteranceAlignment
+    from montreal_forced_aligner_tpu.io.openfst import read_fst, write_fst
+    from montreal_forced_aligner_tpu.language_modeling.fst_convert import (
+        arpa_to_ngram_fst,
+        ngram_fst_to_arpa,
+    )
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        train_phone_lm,
+    )
+
+    results = {}
+    seqs = [
+        ["sil", "aa", "bb", "aa", "sil"],
+        ["sil", "bb", "aa", "sil"],
+        ["aa", "bb", "bb", "sil"],
+    ]
+    for i, seq in enumerate(seqs * 2):
+        phones = [
+            CtmInterval(j * 0.1, (j + 1) * 0.1, p) for j, p in enumerate(seq)
+        ]
+        results[i] = UtteranceAlignment(i, [], phones, -10.0, -1.0)
+    lm = train_phone_lm(results, order=3)
+    table = {"<eps>": 0, "sil": 1, "aa": 2, "bb": 3}
+    fst = arpa_to_ngram_fst(lm, table)
+    write_fst(fst, tmp_path / "phone_lm.fst")
+    lm2 = ngram_fst_to_arpa(read_fst(tmp_path / "phone_lm.fst"), table)
+    for seq in seqs + [["bb", "sil", "aa"]]:
+        assert lm2.sentence_log_prob(seq) == pytest.approx(
+            lm.sentence_log_prob(seq), abs=1e-4
+        )
+
+    # an archive carrying only the .fst member loads the phone LM
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    from montreal_forced_aligner_tpu.models.acoustic_model import (
+        AcousticModel,
+    )
+
+    _, wave = build_synthetic_corpus(tmp_path)
+    model_path, _ = build_synthetic_model(tmp_path, wave=wave)
+    m = AcousticModel.load(model_path)
+    m.phone_lm = lm
+    m.phone_table = dict(table)
+    out = tmp_path / "with_lm.zip"
+    m.save(out)
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+    assert {"phone_lm.arpa", "phone_lm.fst"} <= names
+    # strip the ARPA so only the reference-form member remains
+    stripped = tmp_path / "fst_only"
+    with zipfile.ZipFile(out) as zf:
+        zf.extractall(stripped)
+    (stripped / "phone_lm.arpa").unlink()
+    m2 = AcousticModel.load(stripped)
+    assert m2.phone_lm is not None
+    for seq in seqs:
+        assert m2.phone_lm.sentence_log_prob(seq) == pytest.approx(
+            lm.sentence_log_prob(seq), abs=1e-4
+        )
+
+
 def test_nbest_and_lm_rescoring(transcriber_setup):
     tr, corpus = transcriber_setup
     results = tr.transcribe_corpus(corpus, nbest=8)
