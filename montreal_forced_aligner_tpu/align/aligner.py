@@ -999,6 +999,12 @@ class PretrainedAligner:
             conf = None
             if cfg.compute_confidence:
                 conf = _phone_confidence(ff, state_path, graph, W_d, gc_d)
+            # halve the device->host path bytes when state indices fit
+            # int16 (alignment graphs: S is a few hundred) — the fetch is
+            # the one per-batch d2h transfer and the tunnel's d2h link is
+            # the slow direction
+            if graph.state_pdf.shape[1] <= 32767:
+                state_path = state_path.astype(jnp.int16)
             pending.append((batch, flens, garrs, state_path, scores, conf))
 
         # start every device->host copy before materializing any: each

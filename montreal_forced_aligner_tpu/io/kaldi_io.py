@@ -131,6 +131,27 @@ class KaldiBinaryReader:
             np.float64 if dtype == "<f8" else np.float32
         )
 
+    def read_packed_matrix(self) -> np.ndarray:
+        """Kaldi SpMatrix/TpMatrix ("FP"/"DP"): lower-triangular
+        row-major packing, expanded here to the full symmetric matrix."""
+        token = self.read_token()
+        if token == "FP":
+            dtype, itemsize = "<f4", 4
+        elif token == "DP":
+            dtype, itemsize = "<f8", 8
+        else:
+            raise KaldiReadError(f"expected FP/DP, got {token!r}")
+        size = self.read_int32()
+        n_elems = size * (size + 1) // 2
+        data = np.frombuffer(
+            self.read_bytes(itemsize * n_elems), dtype=dtype
+        ).astype(np.float64 if dtype == "<f8" else np.float32)
+        out = np.zeros((size, size), dtype=data.dtype)
+        idx = np.tril_indices(size)
+        out[idx] = data
+        out.T[idx] = data  # mirror to the upper triangle
+        return out
+
 
 class KaldiTextReader:
     """Sequential reader over a Kaldi text-mode object stream.
@@ -274,6 +295,37 @@ class KaldiBinaryWriter:
         self.write_int32(mat.shape[0])
         self.write_int32(mat.shape[1])
         self.stream.write(mat.tobytes())
+
+    # -- double-precision variants (Kaldi's ivector/PLDA objects store
+    # double; genuine files carry DV/DM/DP tokens) ------------------------
+    def write_double(self, value: float) -> None:
+        self.stream.write(b"\x08" + struct.pack("<d", value))
+
+    def write_vector_double(self, vec: np.ndarray) -> None:
+        vec = np.asarray(vec, dtype="<f8").reshape(-1)
+        self.write_token("DV")
+        self.write_int32(vec.size)
+        self.stream.write(vec.tobytes())
+
+    def write_matrix_double(self, mat: np.ndarray) -> None:
+        mat = np.ascontiguousarray(np.asarray(mat, dtype="<f8"))
+        if mat.ndim != 2:
+            raise ValueError("matrix must be 2-D")
+        self.write_token("DM")
+        self.write_int32(mat.shape[0])
+        self.write_int32(mat.shape[1])
+        self.stream.write(mat.tobytes())
+
+    def write_packed_matrix_double(self, mat: np.ndarray) -> None:
+        """Symmetric matrix in Kaldi packed ("DP") form."""
+        mat = np.asarray(mat, dtype=np.float64)
+        size = mat.shape[0]
+        idx = np.tril_indices(size)
+        self.write_token("DP")
+        self.write_int32(size)
+        self.stream.write(
+            np.ascontiguousarray(mat[idx], dtype="<f8").tobytes()
+        )
 
 
 class KaldiTextWriter:

@@ -40,12 +40,38 @@ class IvectorExtractor:
     # ivector extractor archive (``IvectorExtractorModel``, ``models.py:814``;
     # PldaTrainer stage ``ivector/trainer.py:634``)
     plda: "Optional[object]" = None
+    # reference-archive extras (``ivector/kaldi_model.py``): full-covariance
+    # Sigma^-1 from a genuine Kaldi final.ie (the E-step uses it exactly
+    # when present; None = diagonal from the UBM), the Kaldi prior offset,
+    # an optional ivector_lda.mat and the archive meta
+    sigma_inv: Optional[np.ndarray] = None  # (C, D, D)
+    prior_offset: float = 100.0
+    lda: Optional[np.ndarray] = None
+    meta: Optional[dict] = None
 
     @property
     def ivector_dim(self) -> int:
         return self.T.shape[2]
 
+    def save_reference(self, path, meta: Optional[dict] = None):
+        """Reference ``IvectorExtractorModel`` zip (Kaldi-binary
+        final.ie/final.dubm/plda; reference ``models.py:814-929``)."""
+        from montreal_forced_aligner_tpu.ivector.kaldi_model import (
+            save_reference_archive,
+        )
+
+        return save_reference_archive(self, path, meta=meta)
+
     def save(self, path) -> None:
+        # reference-extension paths get the reference archive form
+        # (``.ivector``/``.zip``, reference models.py:831-833) so trained
+        # extractors are drop-ins for reference tooling; other paths use
+        # the compact npz
+        from pathlib import Path as _P
+
+        if _P(path).suffix.lower() in (".ivector", ".zip"):
+            self.save_reference(path)
+            return
         # np.savez appends ".npz" when the name lacks it; write through a
         # file object so the artifact lands at exactly the requested path
         # (the CLI advertises the path it was given).
@@ -66,6 +92,15 @@ class IvectorExtractor:
 
     @classmethod
     def load(cls, path) -> "IvectorExtractor":
+        from montreal_forced_aligner_tpu.ivector.kaldi_model import (
+            is_reference_archive,
+            load_reference_archive,
+        )
+
+        if is_reference_archive(path):
+            # genuine MFA IvectorExtractorModel zip (Kaldi-binary
+            # final.ie/final.dubm/plda, reference models.py:814-929)
+            return load_reference_archive(path)
         z = np.load(path)
         plda = None
         if "plda_mean" in z:
@@ -135,9 +170,14 @@ def _mstep_accumulate(gamma, Xc, w_hat, Linv):
     return A, Bm
 
 
-def _prep_T(ubm: DiagUbm, T: np.ndarray):
-    inv_var = 1.0 / np.maximum(ubm.variances, 1e-8)  # (C, D)
-    T_sig = T * inv_var[:, :, None]  # Sigma^-1 T
+def _prep_T(ubm: DiagUbm, T: np.ndarray, sigma_inv: np.ndarray = None):
+    """``sigma_inv`` (C, D, D): full-covariance Sigma^-1 from a genuine
+    Kaldi final.ie (``ivector/kaldi_model.py``); None = diagonal UBM."""
+    if sigma_inv is not None:
+        T_sig = np.einsum("cde,cer->cdr", sigma_inv, T)
+    else:
+        inv_var = 1.0 / np.maximum(ubm.variances, 1e-8)  # (C, D)
+        T_sig = T * inv_var[:, :, None]  # Sigma^-1 T
     TT_sig = np.einsum("cdr,cds->crs", T, T_sig)
     return jnp.asarray(T_sig.astype(np.float32)), jnp.asarray(
         TT_sig.astype(np.float32)
@@ -217,7 +257,9 @@ def extract_ivectors(
     """Posterior-mean i-vectors for every utterance: (N, R)."""
     W, gconst = extractor.ubm.device_params()
     means_j = jnp.asarray(extractor.ubm.means.astype(np.float32))
-    T_sig, TT_sig = _prep_T(extractor.ubm, extractor.T)
+    T_sig, TT_sig = _prep_T(
+        extractor.ubm, extractor.T, getattr(extractor, "sigma_inv", None)
+    )
     out = []
     for feats, lens in feature_batches:
         B, Tmax, _ = feats.shape

@@ -147,6 +147,88 @@ def test_extractor_roundtrip(ivector_setup, tmp_path):
     np.testing.assert_allclose(ex2.ubm.means, ex.ubm.means)
 
 
+def test_reference_archive_roundtrip(ivector_setup, tmp_path):
+    """Reference IvectorExtractorModel interop (reference
+    models.py:814-929): write Kaldi-binary final.ie/final.dubm/plda ->
+    read back -> identical i-vector extraction; .ivector save paths pick
+    the reference form automatically."""
+    import zipfile
+
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        IvectorExtractor,
+        extract_ivectors,
+        length_normalize,
+        train_ivector_extractor,
+    )
+    from montreal_forced_aligner_tpu.ivector.kaldi_model import (
+        is_reference_archive,
+    )
+    from montreal_forced_aligner_tpu.ivector.plda import Plda
+    from montreal_forced_aligner_tpu.ivector.ubm import train_ubm
+
+    batches, spk = ivector_setup
+    ubm = train_ubm(batches, num_gauss=4, num_init_iterations=3,
+                    num_iterations=1)
+    ex = train_ivector_extractor(batches, ubm, ivector_dim=4,
+                                 num_iterations=2, gaussian_min_count=1.0)
+    iv = length_normalize(extract_ivectors(ex, batches))
+    ex.plda = Plda.train(iv, spk)
+    p = tmp_path / "model.ivector"
+    ex.save(p)  # reference extension -> reference archive form
+    assert is_reference_archive(p)
+    with zipfile.ZipFile(p) as zf:
+        names = set(zf.namelist())
+    assert {"final.ie", "final.dubm", "plda", "meta.json"} <= names
+    ex2 = IvectorExtractor.load(p)
+    # full-covariance Sigma^-1 comes back from final.ie and is diagonal
+    # (this framework trains diagonal); extraction must be identical
+    assert ex2.sigma_inv is not None
+    iv2 = extract_ivectors(ex2, batches)
+    np.testing.assert_allclose(iv2, extract_ivectors(ex, batches),
+                               atol=2e-4)
+    # PLDA round-trips bit-level (float64 members)
+    np.testing.assert_allclose(ex2.plda.transform, ex.plda.transform)
+    np.testing.assert_allclose(ex2.plda.psi, ex.plda.psi)
+
+
+def test_reference_archive_full_covariance(tmp_path):
+    """A genuine Kaldi final.ie carries FULL-covariance SigmaInv; the
+    E-step must honor the off-diagonals (not silently diagonalize)."""
+    from montreal_forced_aligner_tpu.ivector.extractor import (
+        IvectorExtractor,
+        extract_ivectors,
+    )
+    from montreal_forced_aligner_tpu.ivector.kaldi_model import (
+        load_reference_archive,
+        save_reference_archive,
+    )
+    from montreal_forced_aligner_tpu.ivector.ubm import DiagUbm
+
+    rng = np.random.RandomState(3)
+    C, D, R = 4, 5, 3
+    ubm = DiagUbm(
+        weights=np.ones(C) / C,
+        means=rng.randn(C, D),
+        variances=np.abs(rng.rand(C, D)) + 0.5,
+    )
+    ex = IvectorExtractor(ubm=ubm, T=rng.randn(C, D, R).astype(np.float32))
+    # full Sigma^-1 with real off-diagonal structure
+    A = rng.randn(C, D, D) * 0.3
+    ex.sigma_inv = np.stack(
+        [a @ a.T + np.eye(D) for a in A]
+    )
+    p = tmp_path / "full_cov.ivector"
+    save_reference_archive(ex, p)
+    ex2 = load_reference_archive(p)
+    np.testing.assert_allclose(ex2.sigma_inv, ex.sigma_inv, atol=1e-12)
+    feats = rng.randn(2, 50, D).astype(np.float32)
+    batches = [(jnp.asarray(feats), np.array([50, 50], np.int32))]
+    iv_full = extract_ivectors(ex2, batches)
+    ex_diag = IvectorExtractor(ubm=ubm, T=ex.T)  # diagonal fallback
+    iv_diag = extract_ivectors(ex_diag, batches)
+    assert np.abs(iv_full - iv_diag).max() > 1e-3
+
+
 def test_tmatrix_em_recovers_latents():
     """Model-based correctness: synthesize features exactly from the
     total-variability model and verify EM recovers the latent w (up to a
