@@ -272,3 +272,85 @@ def test_variable_length_topology_parity(tmp_path):
     report = compare_corpus(al, Corpus.load(corpus_dir))
     assert len(report) == 6
     _assert_frame_exact(report)
+
+
+REAL_SAT_ARCHIVE = (
+    "/root/reference/tests/data/am/acoustic_g2p_output_model.zip"
+)
+
+
+@pytest.fixture(scope="module")
+def real_sat_corpus(tmp_path_factory):
+    """Deterministic synthetic speech-like corpus over the real reference
+    SAT archive's IPA phone inventory (two speakers so per-speaker fMLLR
+    estimation is non-trivial)."""
+    from montreal_forced_aligner_tpu.io.wav import write_wave
+
+    tmp = tmp_path_factory.mktemp("real_sat")
+    d = tmp / "ipa.dict"
+    d.write_text("a\tɐ\nm\tm\nam\tɐ m\nma\tm ɐ\n")
+    sr = 16000
+    rng = np.random.RandomState(7)
+    texts = ["am a", "ma am", "a ma", "am ma a"]
+    for i, text in enumerate(texts):
+        corp = tmp / "corpus" / f"spk{i % 2}"
+        corp.mkdir(parents=True, exist_ok=True)
+        dur = 1.0 + 0.4 * len(text.split())
+        t = np.arange(int(dur * sr)) / sr
+        wave = rng.randn(len(t)) * 120
+        for k, f0 in enumerate((210, 330, 520)):
+            wave += (2500 - 600 * k) * np.sin(
+                2 * np.pi * (f0 + 9 * i) * t + rng.rand()
+            )
+        write_wave(corp / f"utt{i}.wav", wave.astype(np.float32), sr)
+        (corp / f"utt{i}.lab").write_text(text)
+    return tmp / "corpus", d
+
+
+def test_real_sat_archive_frame_exact(real_sat_corpus):
+    """The REAL reference SAT archive (acoustic_g2p_output_model.zip: LDA
+    + final.alimdl + uses_speaker_adaptation) through the production
+    two-pass path vs the independent numpy two-pass (reference decoder
+    pass 1 -> float64 fMLLR stats -> row-sweep solve -> reference pass 2):
+    every frame identical (upgrades test_phone_table's "aligns,
+    non-empty" to bit-level parity; metric spec reference
+    helper.py:671)."""
+    from montreal_forced_aligner_tpu.parity.harness import compare_corpus_sat
+
+    corpus_dir, dict_path = real_sat_corpus
+    al = PretrainedAligner(
+        REAL_SAT_ARCHIVE, dict_path, AlignerConfig(batch_size=4)
+    )
+    assert al.model.uses_fmllr and al.model.uses_lda
+    report = compare_corpus_sat(al, Corpus.load(corpus_dir))
+    assert len(report) == 4
+    assert sum(r.num_frames for r in report) > 500
+    _assert_frame_exact(report)
+
+
+def test_real_sat_archive_golden_textgrid(real_sat_corpus, tmp_path):
+    """Alignment of the deterministic corpus with the real reference SAT
+    archive must exactly reproduce the checked-in golden TextGrid
+    (validated frame-exactly against the independent decoder by
+    test_real_sat_archive_frame_exact)."""
+    from montreal_forced_aligner_tpu.io.textgrid import TextGrid
+
+    corpus_dir, dict_path = real_sat_corpus
+    al = PretrainedAligner(
+        REAL_SAT_ARCHIVE, dict_path, AlignerConfig(batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    results = al.align_corpus(corpus)
+    outs = al.export_textgrids(
+        corpus, results, tmp_path / "out", include_silence=True
+    )
+    for out in sorted(outs):
+        got = TextGrid.read(out)
+        want = TextGrid.read(GOLDEN / "real_sat" / Path(out).name)
+        assert set(got.tiers) == set(want.tiers)
+        for tier in want.tiers:
+            g = [(iv.label, round(iv.begin, 3), round(iv.end, 3))
+                 for iv in got.tiers[tier] if iv.label]
+            w = [(iv.label, round(iv.begin, 3), round(iv.end, 3))
+                 for iv in want.tiers[tier] if iv.label]
+            assert g == w, f"{out}: tier {tier} drifted from golden"
