@@ -247,3 +247,67 @@ def test_dictionary_maxmatch_single_char_lexicon():
     assert seg2.segment_chunk("zorpa") == ["zorpa"]
     # "cat" + unknown x: 3 of 4 covered -> segments
     assert seg2.segment_chunk("catx") == ["cat", "x"]
+
+
+def test_japanese_golden_segmentation_reference_fixture():
+    """Golden segmentation on the reference's OWN japanese corpus fixture
+    (tests/data/lab/japanese.lab + dictionaries/test_japanese.txt): the
+    max-match fallback must produce exactly the lexicon's words with CJK
+    punctuation stripped (reference tokenization/japanese.py:15)."""
+    from pathlib import Path
+
+    from montreal_forced_aligner_tpu.dictionary.lexicon import (
+        parse_dictionary_file,
+    )
+
+    ref = Path("/root/reference/tests/data")
+    words = {w for w, _p in parse_dictionary_file(
+        ref / "dictionaries" / "test_japanese.txt"
+    )}
+    assert words == {"はい", "何", "でしょう"}
+    text = (ref / "lab" / "japanese.lab").read_text().strip()
+    simple = SimpleTokenizer(word_set=words)
+    tok = compose_tokenizer(
+        simple, get_language_tokenizer("japanese", word_set=words)
+    )
+    assert tok.tokenize(text) == ["はい", "何", "でしょう"]
+
+
+def test_japanese_golden_unspaced_sentence():
+    """An unspaced Japanese sentence over a small lexicon segments into
+    the exact expected word sequence (not just 'fallback engaged')."""
+    words = {"今日", "は", "いい", "天気", "です", "ね"}
+    simple = SimpleTokenizer(word_set=words)
+    tok = compose_tokenizer(
+        simple, get_language_tokenizer("japanese", word_set=words)
+    )
+    assert tok.tokenize("今日はいい天気ですね。") == [
+        "今日", "は", "いい", "天気", "です", "ね",
+    ]
+
+
+def test_chinese_golden_segmentation():
+    """Hand-built zh goldens through the full pipeline (reference
+    tokenization/chinese.py dependency path)."""
+    words = {"我们", "今天", "去", "公园", "玩", "天气", "很", "好"}
+    simple = SimpleTokenizer(word_set=words)
+    tok = compose_tokenizer(
+        simple, get_language_tokenizer("chinese", word_set=words)
+    )
+    assert tok.tokenize("我们今天去公园玩") == [
+        "我们", "今天", "去", "公园", "玩",
+    ]
+    assert tok.tokenize("今天天气很好！") == ["今天", "天气", "很", "好"]
+
+
+def test_thai_golden_segmentation():
+    """Hand-built th goldens (reference tokenization via pythainlp):
+    maximum matching over the lexicon splits an unspaced Thai phrase."""
+    words = {"วันนี้", "อากาศ", "ดี", "มาก"}
+    simple = SimpleTokenizer(word_set=words)
+    tok = compose_tokenizer(
+        simple, get_language_tokenizer("thai", word_set=words)
+    )
+    assert tok.tokenize("วันนี้อากาศดีมาก") == [
+        "วันนี้", "อากาศ", "ดี", "มาก",
+    ]
