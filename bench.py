@@ -376,6 +376,42 @@ def main():
             except Exception as e:
                 print(f"train workload failed: {e!r}", file=sys.stderr)
 
+        # ---- transcription throughput (dense decode on the mono corpus;
+        # the reference's second hot loop,
+        # transcription/multiprocessing.py:513-580)
+        transcribe_tp = None
+        tr_budget = float(
+            os.environ.get("MFA_TPU_BENCH_TRANSCRIBE_BUDGET", 1100)
+        )
+        if time.time() - t_start < tr_budget:
+            try:
+                from montreal_forced_aligner_tpu.transcription.transcriber import (
+                    Transcriber,
+                )
+
+                tr = Transcriber(
+                    model_path, dict_path, batch_size=32
+                )
+                tr.train_lm_from_corpus(mono_corpus)
+                t0 = time.time()
+                tr.transcribe_corpus(mono_corpus)  # warm-up / compile
+                PARTIAL.setdefault("warmup_s", {})["transcribe"] = round(
+                    time.time() - t0, 2
+                )
+                times = []
+                for _ in range(2 if SMALL else 3):
+                    t0 = time.time()
+                    out = tr.transcribe_corpus(mono_corpus)
+                    times.append(time.time() - t0)
+                assert len(out) == mono_corpus.num_utterances
+                PARTIAL.setdefault("repeat_s", {})["transcribe"] = [
+                    round(t, 3) for t in times
+                ]
+                transcribe_tp = mono_audio / min(times)
+                PARTIAL["transcribe_throughput"] = round(transcribe_tp, 2)
+            except Exception as e:
+                print(f"transcribe workload failed: {e!r}", file=sys.stderr)
+
     PARTIAL["tunnel_end"] = probe_tunnel()
     telemetry = {
         # measured this run: attribute any shortfall to weather vs code
@@ -402,6 +438,10 @@ def main():
                     None if train_tp is None else round(train_tp, 2)
                 ),
                 "train_workload": "mono flat-start + 4 EM iters (2 realigns)",
+                "transcribe_throughput": (
+                    None if transcribe_tp is None else round(transcribe_tp, 2)
+                ),
+                "transcribe_workload": "dense decode, corpus-trained LM",
                 # pure device compute on the SAT batch (transfer-independent,
                 # stable across tunnel weather)
                 "device_throughput": PARTIAL.get("device_throughput"),
@@ -435,6 +475,9 @@ def _watchdog_main():
                     "vs_baseline": None,
                     "sat_throughput": PARTIAL.get("sat_throughput"),
                     "train_throughput": PARTIAL.get("train_throughput"),
+                    "transcribe_throughput": PARTIAL.get(
+                        "transcribe_throughput"
+                    ),
                     "device_throughput": PARTIAL.get("device_throughput"),
                     "telemetry": {
                         "tunnel_start": PARTIAL.get("tunnel_start"),

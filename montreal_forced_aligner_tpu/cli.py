@@ -52,7 +52,10 @@ def _enable_compilation_cache() -> None:
                 "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_mfa"
             ),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # cache even sub-second compiles: a cold process otherwise re-pays
+        # a few dozen 1-5 s compiles (~40 s on the training path) that the
+        # default threshold silently refuses to persist
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 
@@ -177,6 +180,7 @@ def _recipe_from_config(data):
 
     known = {
         "num_iterations", "max_gaussians", "num_leaves", "subset", "quick",
+        "train_g2p",
         # accepted for reference-config compatibility; not tunable here
         "cluster_threshold", "power", "boost_silence", "silence_weight",
         "fmllr_update_type", "features", "optional",
@@ -208,6 +212,7 @@ def _recipe_from_config(data):
                 num_leaves=int(params.get("num_leaves", 0)),
                 subset=int(params.get("subset", 0)),
                 quick=bool(params.get("quick", params.get("optional", False))),
+                train_g2p=bool(params.get("train_g2p", False)),
             )
         )
     return stages
@@ -762,6 +767,11 @@ def version_cli():
                    "multi-process pod runs)")
 @click.option("--profile_dir", type=click.Path(), default=None,
               help="Write a JAX profiler trace of the training run here")
+@click.option("--train_g2p", is_flag=True, default=False,
+              help="Pronunciation-probability stages train a G2P model on "
+                   "the aligned pronunciations and regenerate the lexicon "
+                   "from it (reference train_g2p variant, "
+                   "pronunciation_probabilities.py:160)")
 @click.pass_context
 def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               output_directory, batch_size, graph_workers,
@@ -771,7 +781,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
               speaker_characters, audio_directory, output_format,
               include_original_text, language,
               config_path, rules_path, topology_path, phone_groups_path,
-              variable_length_topology, distributed, profile_dir):
+              variable_length_topology, distributed, profile_dir, train_g2p):
     """Train an acoustic model mono->tri->LDA->SAT (reference:
     ``mfa train``, ``command_line/train_acoustic_model.py``)."""
     import time
@@ -840,6 +850,7 @@ def train_cli(ctx, corpus_directory, dictionary_path, output_model_path,
             num_iterations=max(2, int(st.num_iterations * num_iterations_scale))
             if st.num_iterations
             else 0,
+            train_g2p=st.train_g2p or (train_g2p and st.kind == "pron_prob"),
         )
         for st in recipe
     ]

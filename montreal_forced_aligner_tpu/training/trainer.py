@@ -43,6 +43,10 @@ class StageConfig:
     num_leaves: int = 0
     subset: int = 0
     quick: bool = False  # sat-quick: sparser fMLLR/realign schedules
+    # pron_prob stages: train a G2P model on the aligned pronunciations
+    # and regenerate the lexicon from it (reference train_g2p variant,
+    # acoustic_modeling/pronunciation_probabilities.py:160,420)
+    train_g2p: bool = False
 
 
 # Default recipe (reference ``trainer.py:193-240``; subsets are applied when
@@ -582,7 +586,9 @@ class TrainableAligner:
                     quick=stage.quick,
                 )
             elif stage.kind == "pron_prob":
-                self._estimate_pronunciation_probabilities(pipeline)
+                self._estimate_pronunciation_probabilities(
+                    pipeline, train_g2p=stage.train_g2p
+                )
                 continue
             else:
                 raise ValueError(f"unknown stage kind {stage.kind}")
@@ -678,10 +684,20 @@ class TrainableAligner:
             model.phone_lm, _ = train_lm_from_texts(texts, order=2)
 
     def export_model(self, path) -> None:
-        final = self.models[self.recipe[-1].name]
+        # pron_prob stages produce no model of their own (they update the
+        # lexicon); export the last stage that trained one
+        final = None
+        for stage in reversed(self.recipe):
+            if stage.name in self.models:
+                final = self.models[stage.name]
+                break
+        if final is None:
+            raise RuntimeError("no trained model to export")
         final.save(path)
 
-    def _estimate_pronunciation_probabilities(self, pipeline) -> None:
+    def _estimate_pronunciation_probabilities(
+        self, pipeline, train_g2p: bool = False
+    ) -> None:
         """Pronunciation-probability stage (reference
         ``acoustic_modeling/pronunciation_probabilities.py``): derive word
         alignments from the cached stage alignments, count pronunciations
@@ -753,3 +769,15 @@ class TrainableAligner:
             n,
             result.silence_probability,
         )
+        if train_g2p:
+            # reference train_g2p variant: the G2P model trained on these
+            # aligned pronunciations replaces the lexicon for subsequent
+            # stages (pronunciation_probabilities.py:160,420)
+            from montreal_forced_aligner_tpu.training.pronunciation import (
+                train_g2p_lexicon,
+            )
+
+            g2p_model = train_g2p_lexicon(self.lexicon, counter)
+            if g2p_model is not None:
+                self.g2p_models = getattr(self, "g2p_models", {})
+                self.g2p_models[len(self.g2p_models)] = g2p_model

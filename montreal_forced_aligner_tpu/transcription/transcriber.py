@@ -361,6 +361,21 @@ class Transcriber:
                 )
         return self._graph
 
+    def _shared_graph_on_device(self, graph, B: int):
+        """The decode graph is one shared FST for every utterance; batch
+        and ship it ONCE per row count and reuse across batches and calls
+        (re-shipping B identical replicas per batch was the transcribe
+        path's dominant host->device transfer)."""
+        if graph is None:
+            return None, None  # LVCSR mode
+        cache = getattr(self, "_graph_device_cache", None)
+        if cache is None:
+            cache = self._graph_device_cache = {}
+        if B not in cache:
+            garrs = batch_graphs([graph] * B)
+            cache[B] = (garrs, ship_graph_to_device(garrs))
+        return cache[B]
+
     def transcribe_corpus(
         self,
         corpus: Corpus,
@@ -392,17 +407,63 @@ class Transcriber:
         graph = self._ensure_graph()
         al = self.aligner
         speaker_index = corpus.speaker_index
+        num_speakers = len(corpus.speakers)
 
-        waves = [corpus.load_audio(u).samples for u in corpus.utterances]
+        import time as _time
+
+        _t0 = _time.time()
+        waves = corpus.load_audio_parallel(
+            al.mfcc_config.sample_rate,
+            num_workers=al.config.num_loader_threads,
+        )
         order = np.argsort([len(w) for w in waves], kind="stable")
         batches = [
             list(order[i : i + al.config.batch_size])
             for i in range(0, len(order), al.config.batch_size)
         ]
-        # per-speaker CMVN means
-        from montreal_forced_aligner_tpu.align.fine_tune import _speaker_means
 
-        spk_mean = _speaker_means(al, corpus)
+        # phase A (same structure as align_corpus): ONE MFCC pass computes
+        # features AND per-speaker CMVN sums on device — the previous
+        # _speaker_means pre-pass ran the whole MFCC pipeline a second
+        # time; all batches are dispatched before any result is fetched
+        from montreal_forced_aligner_tpu.align.aligner import (
+            _mfcc_and_spk_stats,
+        )
+
+        D = al.mfcc_config.num_coefficients
+        stashes = []
+        spk_sum_dev = None
+        spk_count = np.zeros(num_speakers, dtype=np.float64)
+        for batch in batches:
+            wave_list = [waves[i] for i in batch]
+            L = _round_up(max(len(w) for w in wave_list), 16000)
+            padded, lens = pad_waves_for_mfcc(wave_list, al.mfcc_config, L)
+            flens = np.array(
+                [al.mfcc_config.num_frames(int(n)) for n in lens], np.int32
+            )
+            spk_idx = np.array(
+                [speaker_index[corpus.utterances[i].speaker] for i in batch],
+                np.int32,
+            )
+            feats, bsum = _mfcc_and_spk_stats(
+                jnp.asarray(padded),
+                jnp.asarray(flens),
+                jnp.asarray(spk_idx),
+                al.mfcc_config,
+                al.mfcc_config.num_frames(L),
+                num_speakers,
+            )
+            spk_sum_dev = bsum if spk_sum_dev is None else spk_sum_dev + bsum
+            np.add.at(spk_count, spk_idx, flens.astype(np.float64))
+            stashes.append((batch, flens, feats, spk_idx))
+        spk_mean = (
+            np.asarray(spk_sum_dev) / np.maximum(spk_count, 1.0)[:, None]
+        ).astype(np.float32)
+        logger.debug(
+            "transcribe phase A (audio+MFCC+CMVN) took %.3fs",
+            _time.time() - _t0,
+        )
+        _t0 = _time.time()
 
         lda = (
             jnp.asarray(al.model.lda_mat)
@@ -412,34 +473,18 @@ class Transcriber:
         results: Dict[int, TranscriptionResult] = {}
         fs = al.frame_shift
         prepared = []
-        for batch in batches:
-            wave_list = [waves[i] for i in batch]
-            L = _round_up(max(len(w) for w in wave_list), 16000)
-            padded, lens = pad_waves_for_mfcc(wave_list, al.mfcc_config, L)
-            flens = np.array(
-                [al.mfcc_config.num_frames(int(n)) for n in lens], np.int32
-            )
-            feats, _sums = _mfcc_and_sums(
-                jnp.asarray(padded),
-                jnp.asarray(flens),
-                al.mfcc_config,
-                al.mfcc_config.num_frames(L),
-            )
-            mean_rows = spk_mean[
-                np.array(
-                    [speaker_index[corpus.utterances[i].speaker] for i in batch]
-                )
-            ]
+        for batch, flens, feats, spk_idx in stashes:
+            mean_rows = spk_mean[spk_idx]
             ff = _final_feats(
                 feats, jnp.asarray(flens), jnp.asarray(mean_rows), lda
             )
             B = len(batch)
-            if graph is not None:
-                garrs = batch_graphs([graph] * B)
-                bgraph = ship_graph_to_device(garrs)
-            else:
-                garrs = bgraph = None  # LVCSR mode
+            garrs, bgraph = self._shared_graph_on_device(graph, B)
             prepared.append((batch, flens, garrs, bgraph, ff))
+        logger.debug(
+            "transcribe phase B prep (graph+final feats) took %.3fs",
+            _time.time() - _t0,
+        )
 
         if al.model.uses_fmllr and al.model.alignment_model is not None:
             prepared = self._fmllr_decode_feats(
@@ -451,8 +496,17 @@ class Transcriber:
                 prepared, corpus, fs, nbest, rescore_lm, rescore_weight
             )
 
-        for batch, flens, garrs, bgraph, ff in prepared:
-            if nbest <= 1:
+        # dispatch every batch's decode before fetching any result so
+        # device compute and the (slow) device->host link overlap across
+        # batches (same scheme as align_corpus)
+        _t0 = _time.time()
+        pending = []
+        if nbest <= 1:
+            from montreal_forced_aligner_tpu.training.base import (
+                start_host_copies,
+            )
+
+            for batch, flens, garrs, bgraph, ff in prepared:
                 state_path, scores = _emit_and_align(
                     ff,
                     jnp.asarray(flens),
@@ -462,6 +516,17 @@ class Transcriber:
                     self.acoustic_scale,
                     w_rows=al._device_gmm[2],
                 )
+                if bgraph.state_pdf.shape[1] <= 32767:
+                    state_path = state_path.astype(jnp.int16)
+                pending.append((state_path, scores))
+            start_host_copies(pending)
+        logger.debug(
+            "transcribe decode dispatch took %.3fs", _time.time() - _t0
+        )
+
+        for bi, (batch, flens, garrs, bgraph, ff) in enumerate(prepared):
+            if nbest <= 1:
+                state_path, scores = pending[bi]
                 sp = np.asarray(state_path)[:, None]  # (B, 1, T)
                 scores_h = np.asarray(scores)[:, None]
                 _ph1, wf1, if1, _ts1 = extract_frame_labels_host(

@@ -337,3 +337,59 @@ def test_pronunciation_counter_merge_roundtrip():
         == r_merged.initial_silence_probability
     )
     assert r_whole.final_silence_correction == r_merged.final_silence_correction
+
+
+def test_train_g2p_lexicon_stage(tmp_path):
+    """pron_prob with train_g2p=True (reference train_g2p_lexicon,
+    pronunciation_probabilities.py:160,420): a G2P model trains on the
+    aligned pronunciations mid-recipe, the lexicon is regenerated from
+    it, and the following stage trains against the G2P lexicon."""
+    from montreal_forced_aligner_tpu.training.base import TrainerConfig
+    from montreal_forced_aligner_tpu.training.trainer import (
+        StageConfig,
+        TrainableAligner,
+    )
+
+    corpus_dir, _ = make_training_corpus(tmp_path, n_utts=8)
+    dict_path = tmp_path / "train.dict"
+    dict_path.write_text(
+        "".join(f"{w}\t{' '.join(p)}\n" for w, p in WORD_PHONES.items())
+    )
+    ta = TrainableAligner(
+        corpus_dir, dict_path,
+        recipe=[
+            StageConfig("monophone", "mono", 4, 40),
+            StageConfig("pron_prob", "pron_prob", 0, 0, train_g2p=True),
+            StageConfig("triphone", "tri", 2, 64, num_leaves=32),
+        ],
+        base_config=TrainerConfig(boost_silence=1.0),
+        batch_size=4, variable_length_topology=False, distributed=False,
+    )
+    final = ta.train()
+    assert final is not None
+    # the G2P model was trained and kept
+    assert getattr(ta, "g2p_models", None), "no G2P model trained"
+    g2p = next(iter(ta.g2p_models.values()))
+    # it pronounces the corpus words the way the alignments did
+    from montreal_forced_aligner_tpu.g2p.generator import G2PGenerator
+
+    gen = G2PGenerator(g2p)
+    (phones, _score), = gen.generate("ab", 1)
+    assert list(phones) == WORD_PHONES["ab"]
+    # the lexicon entries were regenerated with G2P probabilities
+    for word, want in WORD_PHONES.items():
+        prons = ta.lexicon.words[word]
+        assert prons[0].probability is not None
+        assert list(prons[0].phones) == want
+    # and the final model still aligns the corpus end-to-end
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+
+    model_path = tmp_path / "g2p_trained.zip"
+    final.save(model_path)
+    al = PretrainedAligner(model_path, dict_path, AlignerConfig(batch_size=4))
+    results = al.align_corpus(Corpus.load(corpus_dir))
+    assert len(results) == 8
