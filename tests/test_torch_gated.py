@@ -181,3 +181,81 @@ def test_xvector_requires_checkpoint(tmp_path):
     )
     assert r.exit_code != 0
     assert "--xvector_model_path" in r.output
+
+
+def test_speechbrain_surface_contract(sb_mock):
+    """The mock implements EXACTLY the pinned surface
+    (speechbrain_surface.SPEECHBRAIN_SURFACE) the wrappers consume; when
+    a real speechbrain is installed the same assertion runs against it,
+    so a release that breaks the contract fails here, not at a user's
+    machine."""
+    import importlib
+
+    from montreal_forced_aligner_tpu.speechbrain_surface import (
+        SPEECHBRAIN_SURFACE,
+        check_surface,
+    )
+
+    missing = check_surface(importlib.import_module)
+    assert not missing, f"surface not satisfied: {missing}"
+    # the wrappers consume nothing outside the pinned surface: scan their
+    # source for speechbrain attribute chains
+    import re
+    from pathlib import Path
+
+    pinned_methods = {
+        m for classes in SPEECHBRAIN_SURFACE.values()
+        for methods in classes.values() for m in methods
+    }
+    pinned_classes = {
+        c for classes in SPEECHBRAIN_SURFACE.values() for c in classes
+    }
+    root = Path(__file__).parent.parent / "montreal_forced_aligner_tpu"
+    for rel in (
+        "transcription/torch_models.py",
+        "vad/segmenter.py",
+        "diarization/embeddings.py",
+    ):
+        src = (root / rel).read_text()
+        for mod_path in re.findall(r"from (speechbrain[\w.]*) import (\w+)",
+                                   src):
+            mod, name = mod_path
+            assert mod in SPEECHBRAIN_SURFACE, f"{rel}: unpinned module {mod}"
+            assert name in SPEECHBRAIN_SURFACE[mod], (
+                f"{rel}: unpinned class {name}"
+            )
+        for cls in pinned_classes:
+            for m in re.findall(rf"{cls}\.(\w+)\(", src):
+                assert m in pinned_methods, f"{rel}: unpinned method {m}"
+
+
+def test_mock_models_are_real_torch_checkpoints(tmp_path, sb_mock):
+    """The mock's models are genuine torch nn.Modules whose weights
+    round-trip through torch.save/torch.load (the real-tiny-checkpoint
+    treatment whisper already has)."""
+    import torch
+
+    from speechbrain.inference.speaker import EncoderClassifier
+
+    enc = EncoderClassifier.from_hparams(savedir=str(tmp_path / "ck"))
+    assert isinstance(enc, torch.nn.Module)
+    assert (tmp_path / "ck").glob("*.ckpt")
+    sr = 16000
+    t = np.arange(sr) / sr
+    a = torch.from_numpy(
+        (np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    )
+    b = torch.from_numpy(
+        (np.sin(2 * np.pi * 1760 * t)).astype(np.float32)
+    )
+    ea = enc.encode_batch(a).reshape(-1).numpy()
+    eb = enc.encode_batch(b).reshape(-1).numpy()
+    # frequency-selective: same tone -> identical, different tone -> far
+    ea2 = enc.encode_batch(a).reshape(-1).numpy()
+    np.testing.assert_allclose(ea, ea2)
+    assert np.linalg.norm(ea - eb) > 1.0
+    # reloading from the checkpoint reproduces the embedding exactly
+    enc2 = EncoderClassifier.from_hparams(savedir=str(tmp_path / "ck"))
+    np.testing.assert_allclose(
+        enc2.encode_batch(a).reshape(-1).numpy(), ea
+    )
