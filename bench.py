@@ -32,6 +32,16 @@ environment exists.
 import json
 import os
 import sys
+
+# deterministic str hashing BEFORE anything builds jit programs: Python's
+# per-process hash randomization leaks set/dict iteration order into
+# constants embedded in traced programs, giving every process different
+# XLA cache keys — measured: 32 fresh compiles (~35 s of warmup) on a
+# fully-warm disk cache without this, 2 with it
+if os.environ.get("PYTHONHASHSEED") is None:
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import time
 from pathlib import Path
 

@@ -804,7 +804,48 @@ class PretrainedAligner:
         for utt, w in zip(corpus.utterances, waves):
             utt.num_samples = len(w)
 
+        # very long utterances (>~10 min) route through the exact
+        # checkpointed chunked kernel instead of the batch path — batching
+        # one would pad every row in its batch to T~72k frames and the
+        # O(T*S) backpointers/emissions stop fitting HBM (the reference's
+        # answer is VAD segmentation, vad/segmenter.py:56; this keeps
+        # single-pass exactness at any length). Single-utterance CMVN
+        # applies on this path (the online-alignment semantics).
+        from montreal_forced_aligner_tpu.online.alignment import (
+            LONG_UTTERANCE_FRAMES,
+        )
+
+        long_results: Dict[int, UtteranceAlignment] = {}
+        long_set = set()
+        for i, w in enumerate(waves):
+            if self.mfcc_config.num_frames(len(w)) > LONG_UTTERANCE_FRAMES:
+                long_set.add(i)
+        if long_set:
+            from montreal_forced_aligner_tpu.online.alignment import (
+                align_utterance_online,
+            )
+
+            for i in sorted(long_set):
+                utt = corpus.utterances[i]
+                aln = align_utterance_online(
+                    self, waves[i], utt.text, utterance_id=i
+                )
+                if utt.begin:  # segment-relative times -> file times
+                    for iv in list(aln.words) + list(aln.phones):
+                        iv.begin += utt.begin
+                        iv.end += utt.begin
+                long_results[i] = aln
+                if callback:
+                    callback(1)
+            _logger.info(
+                "%d long utterance(s) aligned through the chunked exact "
+                "kernel", len(long_set),
+            )
+            if len(long_set) == len(waves):
+                return long_results
+
         order = np.argsort([len(w) for w in waves], kind="stable")
+        order = [i for i in order if i not in long_set]
         batches = [
             list(order[i : i + cfg.batch_size])
             for i in range(0, len(order), cfg.batch_size)
@@ -1046,6 +1087,7 @@ class PretrainedAligner:
             "align phase B (emission+Viterbi+CTM) took %.3fs",
             _time.time() - _phase_t0,
         )
+        results.update(long_results)
         return results
 
     def _frames_to_ctm(

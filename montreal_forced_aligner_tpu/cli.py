@@ -86,6 +86,27 @@ class _MfaGroup(click.Group):
 def cli(verbose, quiet, debug):
     """TPU-native forced alignment toolkit (MFA-compatible capability
     surface)."""
+    # deterministic str hashing before any jit program is built: hash
+    # randomization leaks set/dict iteration order into traced-program
+    # constants, giving every CLI invocation different XLA cache keys and
+    # re-paying ~35 s of compiles a warm disk cache should absorb.
+    # Re-exec only when running as the real CLI entrypoint (never from
+    # in-process callers like CliRunner tests or bench.py).
+    import sys as _sys
+    from pathlib import Path as _P
+
+    if os.environ.get("PYTHONHASHSEED") is None and _sys.argv:
+        entry = _P(_sys.argv[0]).name
+        if entry in ("mfa-tpu", "mfa_tpu"):
+            os.environ["PYTHONHASHSEED"] = "0"
+            os.execv(_sys.executable, [_sys.executable] + _sys.argv)
+        elif entry == "cli.py":  # python -m montreal_forced_aligner_tpu.cli
+            os.environ["PYTHONHASHSEED"] = "0"
+            os.execv(
+                _sys.executable,
+                [_sys.executable, "-m", "montreal_forced_aligner_tpu.cli"]
+                + _sys.argv[1:],
+            )
     import logging as _logging
 
     # configure the package logger to the console (reference
