@@ -944,10 +944,27 @@ class PretrainedAligner:
             else:
                 graphs = [self.compilers[k].compile(t) for k, t in items]
 
-        spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
-        for bsum in dev_totals.values():
-            spk_sum += np.asarray(bsum)
-        spk_mean = (spk_sum / np.maximum(spk_count, 1.0)[:, None]).astype(np.float32)
+        # single-device runs keep the speaker means ON DEVICE (sum/count +
+        # a device gather per batch): fetching the sums costs a full d2h
+        # round trip — the tunnel's slow direction — and serializes phase
+        # A against phase B. Multi-device round-robin and mesh runs keep
+        # the host reduction (sums live on several devices).
+        spk_mean = spk_mean_dev = None
+        if self.mesh is None and len(dev_totals) == 1:
+            (bsum,) = dev_totals.values()
+            spk_mean_dev = (
+                bsum
+                / jnp.maximum(
+                    jnp.asarray(spk_count.astype(np.float32)), 1.0
+                )[:, None]
+            ).astype(jnp.float32)
+        else:
+            spk_sum = np.zeros((num_speakers, D), dtype=np.float64)
+            for bsum in dev_totals.values():
+                spk_sum += np.asarray(bsum)
+            spk_mean = (
+                spk_sum / np.maximum(spk_count, 1.0)[:, None]
+            ).astype(np.float32)
         _logger.debug(
             "align phase A (audio+MFCC+graphs) took %.3fs", _time.time() - _phase_t0
         )
@@ -981,11 +998,16 @@ class PretrainedAligner:
             spk_rows[: len(batch)] = [
                 speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
-            mean_rows = spk_mean[spk_rows]
+            if spk_mean_dev is not None:
+                mean_rows = spk_mean_dev[jnp.asarray(spk_rows)]
+            else:
+                mean_rows = self._put_b(
+                    spk_mean[spk_rows].astype(np.float32), dev
+                )
             ff = _final_feats(
                 feats_dev,
                 self._put_b(flens, dev),
-                self._put_b(mean_rows.astype(np.float32), dev),
+                mean_rows,
                 None if lda is None else self._put_rep(lda, dev),
                 None if pitch is None else self._put_b(pitch, dev),
             )
@@ -1052,16 +1074,60 @@ class PretrainedAligner:
         # blocking fetch is a full round trip on remote-attached TPUs
         from montreal_forced_aligner_tpu.training.base import start_host_copies
 
-        start_host_copies([(sp, sc, cf) for _b, _fl, _g, sp, sc, cf in pending])
+        # single-device runs go further: pad to a common T and concatenate
+        # ON DEVICE so the whole corpus's paths come back in ONE d2h round
+        # trip — per-fetch latency (tens to hundreds of ms under tunnel
+        # weather) otherwise multiplies by the batch count
+        fetched = None
+        if pending and self.mesh is None and len(self.devices) == 1:
+            Tmax = max(sp.shape[1] for _b, _fl, _g, sp, _sc, _cf in pending)
+
+            def _padT(x):
+                return jnp.pad(x, ((0, 0), (0, Tmax - x.shape[1])))
+
+            all_sp = jnp.concatenate(
+                [_padT(sp) for _b, _fl, _g, sp, _sc, _cf in pending], axis=0
+            )
+            all_sc = jnp.concatenate(
+                [sc for _b, _fl, _g, _sp, sc, _cf in pending]
+            )
+            confs = [cf for _b, _fl, _g, _sp, _sc, cf in pending]
+            all_cf = (
+                jnp.concatenate([_padT(cf) for cf in confs], axis=0)
+                if all(cf is not None for cf in confs)
+                else None
+            )
+            start_host_copies((all_sp, all_sc, all_cf))
+            fetched = (
+                np.asarray(all_sp),
+                np.asarray(all_sc),
+                None if all_cf is None else np.asarray(all_cf),
+            )
+        else:
+            start_host_copies(
+                [(sp, sc, cf) for _b, _fl, _g, sp, sc, cf in pending]
+            )
         _logger.debug(
             "final-pass dispatch took %.3fs", _time.time() - _sub_t0
         )
         _sub_t0 = _time.time()
 
+        fetch_row = 0
         for batch, flens, garrs, state_path, scores, conf in pending:
-            state_path = np.asarray(state_path)
-            scores = np.asarray(scores)
-            conf = None if conf is None else np.asarray(conf)
+            if fetched is not None:
+                nrows = state_path.shape[0]
+                state_path = fetched[0][fetch_row : fetch_row + nrows]
+                scores = fetched[1][fetch_row : fetch_row + nrows]
+                conf = (
+                    None
+                    if fetched[2] is None
+                    else fetched[2][fetch_row : fetch_row + nrows]
+                )
+                fetch_row += nrows
+            else:
+                state_path = np.asarray(state_path)
+                scores = np.asarray(scores)
+                conf = None if conf is None else np.asarray(conf)
             phone_f, word_f, inst_f, _tstate_f = extract_frame_labels_host(
                 garrs, state_path
             )

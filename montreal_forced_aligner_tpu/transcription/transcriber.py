@@ -371,10 +371,11 @@ class Transcriber:
         cache = getattr(self, "_graph_device_cache", None)
         if cache is None:
             cache = self._graph_device_cache = {}
-        if B not in cache:
+        key = (id(graph), B)  # a rebuilt graph must not reuse stale arrays
+        if key not in cache:
             garrs = batch_graphs([graph] * B)
-            cache[B] = (garrs, ship_graph_to_device(garrs))
-        return cache[B]
+            cache[key] = (garrs, ship_graph_to_device(garrs))
+        return cache[key]
 
     def transcribe_corpus(
         self,
@@ -456,9 +457,13 @@ class Transcriber:
             spk_sum_dev = bsum if spk_sum_dev is None else spk_sum_dev + bsum
             np.add.at(spk_count, spk_idx, flens.astype(np.float64))
             stashes.append((batch, flens, feats, spk_idx))
-        spk_mean = (
-            np.asarray(spk_sum_dev) / np.maximum(spk_count, 1.0)[:, None]
-        ).astype(np.float32)
+        # speaker means stay ON DEVICE (sum / count, then a device gather
+        # per batch): fetching the (S, D) sums to the host costs a full
+        # device->host round trip — the tunnel's slow direction — and
+        # serializes phase A against phase B for no reason
+        spk_mean_dev = spk_sum_dev / jnp.maximum(
+            jnp.asarray(spk_count.astype(np.float32)), 1.0
+        )[:, None]
         logger.debug(
             "transcribe phase A (audio+MFCC+CMVN) took %.3fs",
             _time.time() - _t0,
@@ -474,9 +479,9 @@ class Transcriber:
         fs = al.frame_shift
         prepared = []
         for batch, flens, feats, spk_idx in stashes:
-            mean_rows = spk_mean[spk_idx]
+            mean_rows = spk_mean_dev[jnp.asarray(spk_idx)]
             ff = _final_feats(
-                feats, jnp.asarray(flens), jnp.asarray(mean_rows), lda
+                feats, jnp.asarray(flens), mean_rows, lda
             )
             B = len(batch)
             garrs, bgraph = self._shared_graph_on_device(graph, B)
@@ -501,11 +506,9 @@ class Transcriber:
         # batches (same scheme as align_corpus)
         _t0 = _time.time()
         pending = []
+        all_sp_h = all_scores_h = None
+        row_of = []
         if nbest <= 1:
-            from montreal_forced_aligner_tpu.training.base import (
-                start_host_copies,
-            )
-
             for batch, flens, garrs, bgraph, ff in prepared:
                 state_path, scores = _emit_and_align(
                     ff,
@@ -519,16 +522,41 @@ class Transcriber:
                 if bgraph.state_pdf.shape[1] <= 32767:
                     state_path = state_path.astype(jnp.int16)
                 pending.append((state_path, scores))
-            start_host_copies(pending)
+            # ONE device->host round trip for the whole corpus: pad every
+            # batch's paths to a common T and concatenate ON DEVICE — the
+            # tunnel's d2h latency (tens to hundreds of ms per fetch in
+            # bad weather) makes per-batch fetches the dominant cost of
+            # the entire decode
+            Tmax = max(sp.shape[1] for sp, _s in pending)
+            all_sp = jnp.concatenate(
+                [
+                    jnp.pad(sp, ((0, 0), (0, Tmax - sp.shape[1])))
+                    for sp, _s in pending
+                ],
+                axis=0,
+            )
+            all_scores = jnp.concatenate([s for _sp, s in pending])
+            from montreal_forced_aligner_tpu.training.base import (
+                start_host_copies,
+            )
+
+            start_host_copies((all_sp, all_scores))
+            all_sp_h = np.asarray(all_sp)
+            all_scores_h = np.asarray(all_scores)
+            r0 = 0
+            for sp, _s in pending:
+                row_of.append(r0)
+                r0 += sp.shape[0]
         logger.debug(
-            "transcribe decode dispatch took %.3fs", _time.time() - _t0
+            "transcribe decode dispatch+fetch took %.3fs", _time.time() - _t0
         )
 
         for bi, (batch, flens, garrs, bgraph, ff) in enumerate(prepared):
             if nbest <= 1:
-                state_path, scores = pending[bi]
-                sp = np.asarray(state_path)[:, None]  # (B, 1, T)
-                scores_h = np.asarray(scores)[:, None]
+                B_rows = pending[bi][0].shape[0]
+                r0 = row_of[bi]
+                sp = all_sp_h[r0 : r0 + B_rows][:, None]  # (B, 1, T)
+                scores_h = all_scores_h[r0 : r0 + B_rows][:, None]
                 _ph1, wf1, if1, _ts1 = extract_frame_labels_host(
                     garrs, sp[:, 0]
                 )
