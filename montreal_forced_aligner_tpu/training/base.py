@@ -409,6 +409,9 @@ class TrainingPipeline:
                 feats_dev = np.asarray(feats_dev)
                 sums = np.asarray(sums)
             stash.append((batch, feats_dev, flens, sums))
+        # start every per-batch CMVN-sum copy before blocking on any: each
+        # blocking fetch is a full round trip on the tunneled TPU
+        start_host_copies([s for _b, _f, _fl, s in stash])
         for batch, _f, flens, sums in stash:
             sums = _to_host(sums)
             for row, i in enumerate(batch):
