@@ -635,11 +635,33 @@ class Transcriber:
     def _lvcsr_decode(self, ff, flens, W, gconsts):
         """Run the two-level decoder on one feature batch; returns the host
         backtraces [(path, score, events)] per row."""
+        return self._lvcsr_backtrace(
+            self._lvcsr_decode_device(ff, flens, W, gconsts), flens
+        )
+
+    def _lvcsr_backtrace(self, handle, flens):
+        """Host half: backtrace the device outputs of
+        :meth:`_lvcsr_decode_device` (split so callers can dispatch every
+        batch's device half before blocking on any fetch)."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_backtrace_host,
+            lvcsr_xw_backtrace_host,
+        )
+
+        kind, (alpha_T, recs) = handle
+        g = self._lvcsr
+        if kind == "xw":
+            return lvcsr_xw_backtrace_host(
+                g, np.asarray(alpha_T), recs, flens
+            )
+        return lvcsr_backtrace_host(g, np.asarray(alpha_T), recs, flens)
+
+    def _lvcsr_decode_device(self, ff, flens, W, gconsts):
+        """Device half: dispatch the junction DP; returns an async handle
+        for :meth:`_lvcsr_backtrace`."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
-            lvcsr_backtrace_host,
             lvcsr_decode_device,
-            lvcsr_xw_backtrace_host,
             lvcsr_xw_decode_device,
         )
 
@@ -667,9 +689,7 @@ class Transcriber:
                 g.ub,
                 g.num_p,
             )
-            return lvcsr_xw_backtrace_host(
-                g, np.asarray(alpha_T), recs, flens
-            )
+            return ("xw", (alpha_T, recs))
         alpha_T, recs = lvcsr_decode_device(
             _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
                              self.acoustic_scale),
@@ -688,7 +708,7 @@ class Transcriber:
             g.lb,
             g.ub,
         )
-        return lvcsr_backtrace_host(g, np.asarray(alpha_T), recs, flens)
+        return ("flat", (alpha_T, recs))
 
     def _lvcsr_nbest_decode(self, ff, flens, W, gconsts, nbest):
         """K-best junction decode on one feature batch; returns per-row
@@ -785,14 +805,28 @@ class Transcriber:
     ):
         al = self.aligner
         results: Dict[int, TranscriptionResult] = {}
-        for batch, flens, _garrs, _bg, ff in prepared:
+        handles = None
+        if nbest <= 1:
+            # dispatch every batch's junction DP before blocking on any
+            # fetch (the d2h link's per-fetch latency otherwise serializes
+            # batches)
+            from montreal_forced_aligner_tpu.training.base import (
+                start_host_copies,
+            )
+
+            handles = [
+                self._lvcsr_decode_device(
+                    ff, flens, al._device_gmm[0], al._device_gmm[1]
+                )
+                for _batch, flens, _garrs, _bg, ff in prepared
+            ]
+            start_host_copies(handles)
+        for bi, (batch, flens, _garrs, _bg, ff) in enumerate(prepared):
             if nbest <= 1:
                 g_used = self._lvcsr
                 rows = [
                     [trace]
-                    for trace in self._lvcsr_decode(
-                        ff, flens, al._device_gmm[0], al._device_gmm[1]
-                    )
+                    for trace in self._lvcsr_backtrace(handles[bi], flens)
                 ]
             else:
                 rows, g_used = self._lvcsr_nbest_decode(
