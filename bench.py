@@ -288,7 +288,9 @@ def main():
 
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
     num_utts = 16 if SMALL else 64
-    repeats = 2 if SMALL else 3
+    # mono repeats are ~1 s each warm; a couple extra are cheap insurance
+    # against a latency spike eating the best-of window
+    repeats = 2 if SMALL else 5
     # wall budget before starting the SAT workload: the axon tunnel's
     # compile times are erratic (20-75 s each); rather than losing the
     # whole JSON line to a driver timeout, skip SAT when the mono phase

@@ -582,6 +582,13 @@ class Transcriber:
                     jnp.asarray(word_event),
                     jnp.asarray(state0_hash),
                 )
+                # backptr values encode arc_slot * K + rank; cast to int16
+                # on device when they fit — bps is (T-1, B, S, K), by far
+                # the largest fetch of the nbest path, and d2h is the
+                # tunnel's slow direction
+                Kin = garrs["in_src"].shape[2]
+                if Kin * nbest <= 32767:
+                    bps = bps.astype(jnp.int16)
                 sp, scores_h, events_h = nbest_backtrace_host(
                     garrs, np.asarray(fscores), np.asarray(bps), flens, nbest
                 )
