@@ -827,6 +827,7 @@ class PretrainedAligner:
 
             for i in sorted(long_set):
                 utt = corpus.utterances[i]
+                utt.num_frames = self.mfcc_config.num_frames(len(waves[i]))
                 aln = align_utterance_online(
                     self, waves[i], utt.text, utterance_id=i
                 )
@@ -921,7 +922,13 @@ class PretrainedAligner:
         # host stage that scales with corpus size; one host feeding several
         # chips bottlenecks on it)
         items = []
-        for utt in corpus.utterances:
+        item_utts = []
+        for i, utt in enumerate(corpus.utterances):
+            if i in long_set:
+                # already aligned through the chunked path (which compiled
+                # its own graph); the most expensive graphs in the corpus
+                # must not compile a second unused copy
+                continue
             tokens = self.tokenizer.tokenize(utt.text)
             utt.normalized_tokens = tokens
             if self.g2p is not None:
@@ -930,19 +937,25 @@ class PretrainedAligner:
                 utt.speaker, self.default_dictionary_key
             )
             items.append((key, tokens))
+            item_utts.append(i)
         from montreal_forced_aligner_tpu.graph.native_compile import (
             compile_items_native,
         )
 
-        graphs: Optional[List[CompiledGraph]] = compile_items_native(
+        compiled: Optional[List[CompiledGraph]] = compile_items_native(
             self.compilers, items
         )
-        if graphs is None:
+        if compiled is None:
             pool = self._graph_pool(len(items))
             if pool is not None:
-                graphs = pool.compile_all(items)
+                compiled = pool.compile_all(items)
             else:
-                graphs = [self.compilers[k].compile(t) for k, t in items]
+                compiled = [self.compilers[k].compile(t) for k, t in items]
+        graphs: List[Optional[CompiledGraph]] = [None] * len(
+            corpus.utterances
+        )
+        for i, g in zip(item_utts, compiled):
+            graphs[i] = g
 
         # single-device runs keep the speaker means ON DEVICE (sum/count +
         # a device gather per batch): fetching the sums costs a full d2h

@@ -135,6 +135,7 @@ class Corpus:
 
         uid = 0
         for wav in wavs:
+            uid_before = uid
             stem = wav.stem
             # identical file names under different speaker directories are
             # distinct recordings (reference duplicated-name corpus,
@@ -204,24 +205,24 @@ class Corpus:
                 )
                 with open(lab_path, "r", encoding="utf-8") as f:
                     text = f.read().strip()
-                if not text:
-                    continue
-                speakers.add(speaker)
-                corpus.utterances.append(
-                    Utterance(
-                        id=uid,
-                        speaker=speaker,
-                        file_path=wav,
-                        file_name=file_key,
-                        begin=0.0,
-                        end=None,
-                        channel=0,
-                        text=text,
+                if text:
+                    speakers.add(speaker)
+                    corpus.utterances.append(
+                        Utterance(
+                            id=uid,
+                            speaker=speaker,
+                            file_path=wav,
+                            file_name=file_key,
+                            begin=0.0,
+                            end=None,
+                            channel=0,
+                            text=text,
+                        )
                     )
-                )
-                uid += 1
-            elif not require_transcripts:
-                # untranscribed sound file: whole-file empty-text
+                    uid += 1
+            if not require_transcripts and uid == uid_before:
+                # untranscribed sound file (no transcript, empty .lab, or
+                # all-empty TextGrid tiers): whole-file empty-text
                 # utterance so transcribe/diarize/VAD can process it
                 # (reference sound-file-only corpus loading)
                 speaker = speaker_from_stem(

@@ -48,6 +48,15 @@ class IvectorExtractor:
     prior_offset: float = 100.0
     lda: Optional[np.ndarray] = None
     meta: Optional[dict] = None
+    # Kaldi-form models (imported final.ie) keep ALL ivector_dim columns
+    # of M in T — the UBM mean is folded into column 0 as
+    # prior_offset * M[:, :, 0] and the extraction must center by THAT
+    # (generally != the dubm's posterior-assignment means). None = native
+    # model, center by ubm.means. With this mapping the centered-stat
+    # posterior mean equals Kaldi's extracted i-vector after its own
+    # prior-offset subtraction, at the archive's full ivector dimension
+    # (so the bundled PLDA/ivector_lda dims line up).
+    center_means: Optional[np.ndarray] = None  # (C, D)
 
     @property
     def ivector_dim(self) -> int:
@@ -256,7 +265,10 @@ def extract_ivectors(
 ) -> np.ndarray:
     """Posterior-mean i-vectors for every utterance: (N, R)."""
     W, gconst = extractor.ubm.device_params()
-    means_j = jnp.asarray(extractor.ubm.means.astype(np.float32))
+    centering = getattr(extractor, "center_means", None)
+    if centering is None:
+        centering = extractor.ubm.means
+    means_j = jnp.asarray(np.asarray(centering, np.float32))
     T_sig, TT_sig = _prep_T(
         extractor.ubm, extractor.T, getattr(extractor, "sigma_inv", None)
     )

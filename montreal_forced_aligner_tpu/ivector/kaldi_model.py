@@ -14,12 +14,18 @@ reference ``ivector/trainer.py:390-633``,
 Model-form mapping. Kaldi's extractor stores per component ``M_i`` (D x K
 double) with the UBM mean folded into column 0 (``M_i[:, 0] =
 m_i / prior_offset``; the i-vector prior is ``N(prior_offset * e_0, I)``)
-and a full-covariance ``Sigma_inv_i`` (SpMatrix). This framework's
-:class:`IvectorExtractor` stores the equivalent centered form ``m_c + T_c
-w`` with ``w ~ N(0, I_R)``: on import ``m_i = prior_offset * M_i[:, 0]``,
-``T_i = M_i[:, 1:]`` and ``Sigma_inv`` is kept full for the E-step; on
-export ``M_i = [m_i / prior_offset | T_i]`` with diagonal ``Sigma_inv``.
-A repo-written archive therefore round-trips exactly.
+and a full-covariance ``Sigma_inv_i`` (SpMatrix); ``ivector_dim`` is M's
+FULL column count K and the bundled PLDA/ivector_lda are K-dimensional.
+Import therefore keeps ALL K columns as ``T`` and centers the E-step by
+``prior_offset * M[:, :, 0]`` (``IvectorExtractor.center_means``), while
+posteriors keep the dubm exactly as read — with ``w' = w -
+prior_offset*e_0 ~ N(0, I)`` the centered posterior mean equals Kaldi's
+extracted i-vector after its own prior-offset subtraction, at the
+archive's dimension. Export of a native centered model writes
+``M_i = [m_i / prior_offset | T_i]`` (ivector_dim R+1) with the PLDA
+embedded into that space (:func:`_pad_plda`, score-preserving); export of
+an imported Kaldi-form model writes ``M`` back verbatim, so genuine
+archives round-trip exactly.
 """
 
 from __future__ import annotations
@@ -145,10 +151,20 @@ def write_ivector_extractor(extractor: IvectorExtractor, stream) -> None:
     w.write_vector_double(ubm.weights)
     w.write_token("<M>")
     w.write_int32(C)
+    kaldi_form = getattr(extractor, "center_means", None) is not None
     for c in range(C):
-        M_c = np.concatenate(
-            [ubm.means[c][:, None] / p, extractor.T[c]], axis=1
-        )
+        if kaldi_form:
+            # imported models already carry the full Kaldi M (mean folded
+            # into column 0); write it back verbatim
+            M_c = np.asarray(extractor.T[c], np.float64)
+        else:
+            # native centered form m + T w': Kaldi's convention folds the
+            # mean into column 0 at 1/prior_offset scale, so the written
+            # model's ivector_dim is R+1 (see _pad_plda for the matching
+            # PLDA embedding)
+            M_c = np.concatenate(
+                [ubm.means[c][:, None] / p, extractor.T[c]], axis=1
+            )
         w.write_matrix_double(M_c)
     w.write_token("<SigmaInv>")
     sigma_inv_full = getattr(extractor, "sigma_inv", None)
@@ -186,6 +202,24 @@ def write_plda(plda: Plda, stream) -> None:
     w.write_matrix_double(plda.transform)
     w.write_vector_double(plda.psi)
     w.write_token("</Plda>")
+
+
+def _pad_plda(plda: Plda) -> Plda:
+    """Embed an R-dim PLDA into the (R+1)-dim Kaldi i-vector space a
+    native model exports to (the extra leading coordinate is the folded
+    prior-offset dimension, ~constant across utterances): identity on
+    dim 0 with psi=0, so its contribution to same/different-speaker
+    log-likelihood ratios cancels exactly and scores match the R-dim
+    model's."""
+    R = plda.mean.shape[0]
+    transform = np.zeros((R + 1, R + 1))
+    transform[0, 0] = 1.0
+    transform[1:, 1:] = plda.transform
+    return Plda(
+        mean=np.concatenate([[0.0], plda.mean]),
+        transform=transform,
+        psi=np.concatenate([[0.0], plda.psi]),
+    )
 
 
 # -- archive-level load/save ------------------------------------------------
@@ -227,17 +261,19 @@ def load_reference_archive(path) -> IvectorExtractor:
     M, sigma_inv, w_vec, prior_offset = read_ivector_extractor(
         members["final.ie"]
     )
-    # fold the extractor's own weights/means back into the UBM form used
-    # for posteriors (the dubm is what computes them in the reference too)
-    means = M[:, :, 0] * prior_offset
-    T = np.ascontiguousarray(M[:, :, 1:])
-    ubm = DiagUbm(
-        weights=ubm.weights, means=means, variances=ubm.variances
-    )
+    # Kaldi's ivector_dim is M's FULL column count: keep every column in
+    # T (the bundled PLDA/ivector_lda are that dimension) and center the
+    # E-step by the mean Kaldi folds into column 0. Posteriors keep the
+    # dubm exactly as read (the reference's gselect/posterior model).
+    # With w' = w - prior_offset*e0 ~ N(0, I): mean_c(w) = M_c w =
+    # prior_offset*M_c[:,0] + M_c w', so the centered posterior mean
+    # equals Kaldi's extracted i-vector after its prior-offset
+    # subtraction.
     plda = read_plda(members["plda"]) if "plda" in members else None
     extractor = IvectorExtractor(
-        ubm=ubm, T=np.asarray(T, np.float32), plda=plda
+        ubm=ubm, T=np.asarray(M, np.float32), plda=plda
     )
+    extractor.center_means = M[:, :, 0] * prior_offset
     extractor.sigma_inv = sigma_inv
     extractor.prior_offset = prior_offset
     if "meta.json" in members:
@@ -261,10 +297,14 @@ def save_reference_archive(
     write_ivector_extractor(extractor, buf_ie)
     buf_dubm = io.BytesIO()
     write_diag_gmm(extractor.ubm, buf_dubm)
+    kaldi_form = getattr(extractor, "center_means", None) is not None
+    # Kaldi's ivector_dim counts ALL columns of M, including the folded
+    # prior-offset column a native export adds
+    written_dim = int(extractor.ivector_dim) + (0 if kaldi_form else 1)
     base_meta = {
         "version": "3.0.0",
         "architecture": "ivector",
-        "ivector_dimension": int(extractor.ivector_dim),
+        "ivector_dimension": written_dim,
         "num_gselect": 20,
         "min_post": 0.025,
         "posterior_scale": 1.0,
@@ -288,8 +328,11 @@ def save_reference_archive(
         zf.writestr("final.ie", buf_ie.getvalue())
         zf.writestr("final.dubm", buf_dubm.getvalue())
         if extractor.plda is not None:
+            plda = extractor.plda
+            if not kaldi_form and plda.mean.shape[0] == extractor.ivector_dim:
+                plda = _pad_plda(plda)  # match the written ivector_dim
             buf_plda = io.BytesIO()
-            write_plda(extractor.plda, buf_plda)
+            write_plda(plda, buf_plda)
             zf.writestr("plda", buf_plda.getvalue())
         lda = getattr(extractor, "lda", None)
         if lda is not None:

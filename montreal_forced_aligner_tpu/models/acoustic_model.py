@@ -218,11 +218,16 @@ class AcousticModel:
                 ngram_fst_to_arpa,
             )
 
+            import struct as _struct
+
             try:
                 phone_lm = ngram_fst_to_arpa(
                     read_fst(root / "phone_lm.fst"), phone_table
                 )
-            except ValueError as e:
+            # a truncated/corrupt optional member must degrade with the
+            # warning, not make the whole archive unloadable
+            # (struct.error/IndexError come from the binary reader)
+            except (ValueError, _struct.error, IndexError, KeyError) as e:
                 logging.getLogger("mfa_tpu").warning(
                     "could not parse phone_lm.fst (%s); --use_phone_model "
                     "will retrain the phone LM from alignments", e,

@@ -74,34 +74,102 @@ def align_utterance_online(
     )
     garrs = batch_graphs([graph])
     Lf0 = int(flens[0])
-    # beyond ~10 min a single utterance's O(T*S) backpointers + emissions
-    # stop fitting HBM: switch to the exact checkpointed chunked kernel
-    if Lf0 > LONG_UTTERANCE_FRAMES:
-        from montreal_forced_aligner_tpu.ops.long_viterbi import (
-            viterbi_align_long,
-        )
+    model = aligner.model
+    is_long = Lf0 > LONG_UTTERANCE_FRAMES
+    bgraph = None if is_long else ship_graph_to_device(garrs)
+    band_limits = None if is_long else band_limits_from_arcs(garrs)
 
-        path, score = viterbi_align_long(
-            np.asarray(ff[0, :Lf0]),
-            garrs,
-            aligner._device_gmm[0],
-            aligner._device_gmm[1],
-            acoustic_scale=aligner.config.acoustic_scale,
-        )
-        sp = path[None]
-        scores = np.array([score], np.float32)
-    else:
-        bgraph = ship_graph_to_device(garrs)
-        state_path, scores = _emit_and_align(
-            ff,
+    def decode(ff_in, W_d, gc_d, w_rows_d):
+        """One decode pass on either kernel (chunked beyond ~10 min:
+        O(T*S) backpointers + emissions stop fitting HBM)."""
+        if is_long:
+            from montreal_forced_aligner_tpu.ops.long_viterbi import (
+                viterbi_align_long,
+            )
+
+            path, score = viterbi_align_long(
+                np.asarray(ff_in[0, :Lf0]),
+                garrs,
+                W_d,
+                gc_d,
+                acoustic_scale=aligner.config.acoustic_scale,
+            )
+            return path[None], np.array([score], np.float32)
+        state_path, sc = _emit_and_align(
+            ff_in,
             jnp.asarray(flens),
             bgraph,
-            aligner._device_gmm[0],
-            aligner._device_gmm[1],
+            W_d,
+            gc_d,
             aligner.config.acoustic_scale,
-            band_limits=band_limits_from_arcs(garrs),
+            band_limits=band_limits,
+            w_rows=w_rows_d,
         )
-        sp = np.asarray(state_path)
+        return np.asarray(state_path), sc
+
+    # SAT models run the reference's two-pass online semantics
+    # (online/alignment.py:29-123: SI first pass -> single-utterance
+    # fMLLR -> adapted second pass); --single_speaker SI mode aligns with
+    # final.alimdl only, matching the corpus path
+    two_pass = (
+        model.uses_fmllr
+        and model.alignment_model is not None
+        and aligner.config.uses_speaker_adaptation
+    )
+    si_mode = (
+        not aligner.config.uses_speaker_adaptation
+        and model.uses_fmllr
+        and model.alignment_model is not None
+    )
+    if two_pass:
+        from montreal_forced_aligner_tpu.ops.feats import (
+            apply_per_speaker_transform,
+            silence_pdf_mask,
+        )
+        from montreal_forced_aligner_tpu.ops.transforms import (
+            accumulate_fmllr_stats,
+            estimate_speaker_fmllr,
+        )
+
+        W1, gc1, w_rows1, means, iv, gc, miv = aligner._fmllr_params_on()
+        sp1, _sc1 = decode(ff, W1, gc1, w_rows1)
+        frame_pdf = np.asarray(garrs["state_pdf"])[0][
+            np.asarray(sp1[0], np.int64)
+        ][None, :]
+        sil = silence_pdf_mask(
+            aligner._silence_pdfs(), model.gmm.num_pdfs
+        )
+        weight = (1.0 - np.asarray(sil)[frame_pdf]).astype(np.float32)
+        K, G, beta = accumulate_fmllr_stats(
+            jnp.asarray(np.asarray(ff[:, : frame_pdf.shape[1]])),
+            jnp.asarray(np.array([Lf0], np.int32)),
+            jnp.asarray(frame_pdf),
+            jnp.asarray(np.zeros(1, np.int32)),
+            jnp.asarray(weight),
+            means,
+            iv,
+            gc,
+            miv,
+            1,
+        )
+        transforms = estimate_speaker_fmllr(
+            np.asarray(K, np.float64),
+            np.asarray(G, np.float64),
+            np.asarray(beta, np.float64),
+            min_count=aligner.config.fmllr_min_count,
+        )
+        ff = apply_per_speaker_transform(
+            jnp.asarray(np.asarray(ff)),
+            jnp.asarray(np.zeros(ff.shape[0], np.int32)),
+            jnp.asarray(transforms),
+        )
+
+    if si_mode:
+        W_d, gc_d, w_rows_d = aligner._ali_params_on()
+    else:
+        W_d, gc_d, w_rows_d = aligner._device_gmm
+
+    sp, scores = decode(ff, W_d, gc_d, w_rows_d)
     phone_f, word_f, inst_f, _ts = extract_frame_labels_host(garrs, sp)
     utt = Utterance(
         id=utterance_id,

@@ -314,6 +314,20 @@ class Transcriber:
         for utt in corpus.utterances:
             tokens = self.aligner.tokenizer.tokenize(utt.text)
             texts.append(" ".join(tokens))
+        if not any(texts):
+            from montreal_forced_aligner_tpu.exceptions import (
+                LanguageModelError,
+            )
+
+            raise LanguageModelError(
+                "The corpus carries no transcripts to train a decoding "
+                "language model from (untranscribed corpora load with "
+                "empty-text utterances for transcription workflows). "
+                "Pass --language_model_path with a trained LM (ARPA or "
+                "MFA LanguageModel zip), or transcribe with "
+                "transcribe_whisper/transcribe_speechbrain which need no "
+                "LM."
+            )
         self.lm, _counter = train_lm_from_texts(texts, order=self.lm_order)
         return self.lm
 
@@ -371,11 +385,15 @@ class Transcriber:
         cache = getattr(self, "_graph_device_cache", None)
         if cache is None:
             cache = self._graph_device_cache = {}
-        key = (id(graph), B)  # a rebuilt graph must not reuse stale arrays
-        if key not in cache:
+        # the cache entry holds the graph object itself and is validated
+        # by identity: a rebuilt graph can neither hit a stale entry nor
+        # have its id() recycled while the entry lives
+        hit = cache.get(B)
+        if hit is None or hit[0] is not graph:
             garrs = batch_graphs([graph] * B)
-            cache[key] = (garrs, ship_graph_to_device(garrs))
-        return cache[key]
+            cache[B] = (graph, garrs, ship_graph_to_device(garrs))
+            hit = cache[B]
+        return hit[1], hit[2]
 
     def transcribe_corpus(
         self,
@@ -403,6 +421,8 @@ class Transcriber:
             extract_frame_labels_host,
         )
 
+        if not corpus.utterances:
+            return {}
         if self.lm is None:
             self.train_lm_from_corpus(corpus)
         graph = self._ensure_graph()

@@ -226,3 +226,40 @@ def test_num_jobs_compat_flag(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert list((tmp_path / "o").rglob("*.TextGrid"))
+
+
+def test_untranscribed_corpus_transcribe_requires_lm(tmp_path):
+    """Transcribing an untranscribed corpus without --language_model_path
+    raises an actionable LanguageModelError instead of silently decoding
+    against an empty LM."""
+    from helpers import build_synthetic_corpus, build_synthetic_model
+
+    from montreal_forced_aligner_tpu.exceptions import LanguageModelError
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        Transcriber,
+    )
+
+    _, wave = build_synthetic_corpus(tmp_path)
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    d = tmp_path / "untr" / "spk"
+    d.mkdir(parents=True)
+    write_wave(d / "a.wav", np.zeros(SR, np.float32), SR)
+    corpus = Corpus.load(tmp_path / "untr", require_transcripts=False)
+    tr = Transcriber(model_path, dict_path, batch_size=4)
+    with pytest.raises(LanguageModelError) as e:
+        tr.transcribe_corpus(corpus)
+    assert "--language_model_path" in str(e.value)
+
+
+def test_empty_lab_files_become_empty_utterances(tmp_path):
+    """With require_transcripts=False, a wav with an EMPTY .lab is
+    processed like a wav with no transcript at all (reference
+    sound-file-only semantics), not silently dropped."""
+    d = tmp_path / "corpus" / "spk"
+    d.mkdir(parents=True)
+    write_wave(d / "a.wav", np.zeros(SR, np.float32), SR)
+    (d / "a.lab").write_text("")  # placeholder export artifact
+    write_wave(d / "b.wav", np.zeros(SR, np.float32), SR)
+    corpus = Corpus.load(tmp_path / "corpus", require_transcripts=False)
+    assert sorted(u.file_name for u in corpus.utterances) == ["a", "b"]
+    assert all(u.text == "" for u in corpus.utterances)

@@ -181,14 +181,48 @@ def test_reference_archive_roundtrip(ivector_setup, tmp_path):
     assert {"final.ie", "final.dubm", "plda", "meta.json"} <= names
     ex2 = IvectorExtractor.load(p)
     # full-covariance Sigma^-1 comes back from final.ie and is diagonal
-    # (this framework trains diagonal); extraction must be identical
+    # (this framework trains diagonal)
     assert ex2.sigma_inv is not None
+    # Kaldi's ivector_dim counts the folded prior-offset column: the
+    # written model is (R+1)-dimensional and self-consistent with its
+    # PLDA (reference ivector-extract semantics)
+    assert ex2.ivector_dim == ex.ivector_dim + 1
+    assert ex2.center_means is not None
+    np.testing.assert_allclose(ex2.center_means, ex.ubm.means, atol=1e-5)
+    iv_native = extract_ivectors(ex, batches)
     iv2 = extract_ivectors(ex2, batches)
-    np.testing.assert_allclose(iv2, extract_ivectors(ex, batches),
-                               atol=2e-4)
-    # PLDA round-trips bit-level (float64 members)
-    np.testing.assert_allclose(ex2.plda.transform, ex.plda.transform)
-    np.testing.assert_allclose(ex2.plda.psi, ex.plda.psi)
+    assert iv2.shape[1] == ex.ivector_dim + 1
+    # the written model is the JOINT K-dim Kaldi model (the folded-offset
+    # coordinate couples in the posterior), so the free coordinates track
+    # the native conditional extraction rather than equal it bit-for-bit
+    for d in range(ex.ivector_dim):
+        c = np.corrcoef(iv2[:, d + 1], iv_native[:, d])[0, 1]
+        assert c > 0.9, f"dim {d}: corr {c}"
+    # the padded PLDA scores the K-dim vectors consistently with the
+    # native R-dim scoring: same-speaker pairs outscore different ones
+    # and the score surfaces correlate strongly
+    s_native = ex.plda.log_likelihood_ratio(iv_native, iv_native)
+    s2 = ex2.plda.log_likelihood_ratio(iv2, iv2)
+    off = ~np.eye(len(iv2), dtype=bool)
+    c = np.corrcoef(s2[off], s_native[off])[0, 1]
+    assert c > 0.95, f"PLDA score correlation {c}"
+    same = np.asarray(spk)[:, None] == np.asarray(spk)[None, :]
+    assert s2[same & off].mean() > s2[~same].mean()
+    # PLDA free-space members round-trip bit-level (float64 members)
+    np.testing.assert_allclose(
+        ex2.plda.transform[1:, 1:], ex.plda.transform
+    )
+    np.testing.assert_allclose(ex2.plda.psi[1:], ex.plda.psi)
+    # an imported Kaldi-form model re-exports VERBATIM (genuine archives
+    # round-trip exactly)
+    p2 = tmp_path / "reexport.ivector"
+    ex2.save(p2)
+    ex3 = IvectorExtractor.load(p2)
+    np.testing.assert_allclose(ex3.T, ex2.T)
+    np.testing.assert_allclose(ex3.center_means, ex2.center_means)
+    np.testing.assert_allclose(
+        extract_ivectors(ex3, batches), iv2, atol=1e-5
+    )
 
 
 def test_reference_archive_full_covariance(tmp_path):
@@ -221,12 +255,13 @@ def test_reference_archive_full_covariance(tmp_path):
     save_reference_archive(ex, p)
     ex2 = load_reference_archive(p)
     np.testing.assert_allclose(ex2.sigma_inv, ex.sigma_inv, atol=1e-12)
+    assert ex2.ivector_dim == R + 1  # Kaldi counts the offset column
     feats = rng.randn(2, 50, D).astype(np.float32)
     batches = [(jnp.asarray(feats), np.array([50, 50], np.int32))]
     iv_full = extract_ivectors(ex2, batches)
     ex_diag = IvectorExtractor(ubm=ubm, T=ex.T)  # diagonal fallback
     iv_diag = extract_ivectors(ex_diag, batches)
-    assert np.abs(iv_full - iv_diag).max() > 1e-3
+    assert np.abs(iv_full[:, 1:] - iv_diag).max() > 1e-3
 
 
 def test_tmatrix_em_recovers_latents():

@@ -354,3 +354,34 @@ def test_real_sat_archive_golden_textgrid(real_sat_corpus, tmp_path):
             w = [(iv.label, round(iv.begin, 3), round(iv.end, 3))
                  for iv in want.tiers[tier] if iv.label]
             assert g == w, f"{out}: tier {tier} drifted from golden"
+
+
+def test_online_two_pass_matches_corpus_path(real_sat_corpus):
+    """align_utterance_online on a SAT model runs the reference's online
+    two-pass (SI pass -> single-utterance fMLLR -> adapted pass,
+    reference online/alignment.py:29-123). For a one-utterance corpus,
+    per-speaker CMVN/fMLLR degenerate to per-utterance, so the online
+    result must match align_corpus exactly."""
+    from montreal_forced_aligner_tpu.online.alignment import (
+        align_utterance_online,
+    )
+
+    corpus_dir, dict_path = real_sat_corpus
+    al = PretrainedAligner(
+        REAL_SAT_ARCHIVE, dict_path, AlignerConfig(batch_size=4)
+    )
+    corpus = Corpus.load(corpus_dir)
+    # restrict to one utterance so speaker statistics coincide
+    sub = corpus.subset([0])
+    results = al.align_corpus(sub)
+    wave = sub.load_audio_parallel(16000)[0]
+    online = align_utterance_online(al, wave, sub.utterances[0].text)
+    batch_phones = [
+        (p.label, round(p.begin, 3), round(p.end, 3))
+        for p in results[0].phones
+    ]
+    online_phones = [
+        (p.label, round(p.begin, 3), round(p.end, 3))
+        for p in online.phones
+    ]
+    assert online_phones == batch_phones
