@@ -168,16 +168,12 @@ def _emit_and_align(
 
         emit = pallas_state_loglikes(ff, graph.state_pdf, w_rows)
     else:
-        ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
-        P = gconsts.shape[0]
-        onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)  # (B, S, P)
-        emit = jnp.einsum(
-            "btp,bsp->bts",
-            ll,
-            onehot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
+            select_state_emissions,
         )
+
+        ll = gmm_loglikes(ff, W, gconsts)  # (B, T, P)
+        emit = select_state_emissions(ll, graph.state_pdf)
     if band_limits is not None:
         lb, ub = band_limits
         band = densify_band(graph, lb, ub)

@@ -35,17 +35,12 @@ from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
 @partial(jax.jit, static_argnames=("acoustic_scale",))
 def _chunk_emit(feats, state_pdf, W, gconsts, acoustic_scale: float):
     """(T_c, S) scaled emission log-likes for one chunk (B=1 internally)."""
-    ll = gmm_loglikes(feats[None], W, gconsts)[0]  # (T_c, P)
-    P = gconsts.shape[0]
-    onehot = jax.nn.one_hot(state_pdf, P, dtype=ll.dtype)  # (S, P)
-    emit = jnp.einsum(
-        "tp,sp->ts",
-        ll,
-        onehot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
+        select_state_emissions,
     )
-    return acoustic_scale * emit
+
+    ll = gmm_loglikes(feats[None], W, gconsts)[0]  # (T_c, P)
+    return acoustic_scale * select_state_emissions(ll, state_pdf)
 
 
 @jax.jit

@@ -52,17 +52,12 @@ def _lvcsr_emissions(ff, state_pdf, W, gconsts, acoustic_scale):
     """(B, T, S) pre-scaled emissions for the LVCSR state substrate."""
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
 
-    ll = gmm_loglikes(ff, W, gconsts)
-    P = gconsts.shape[0]
-    onehot = jax.nn.one_hot(state_pdf, P, dtype=ll.dtype)  # (S, P)
-    emit = jnp.einsum(
-        "btp,sp->bts",
-        ll,
-        onehot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
+        select_state_emissions,
     )
-    return acoustic_scale * emit
+
+    ll = gmm_loglikes(ff, W, gconsts)
+    return acoustic_scale * select_state_emissions(ll, state_pdf)
 
 
 @partial(jax.jit, static_argnames=("acoustic_scale", "K"))
@@ -75,16 +70,12 @@ def _emit_and_nbest(
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
     from montreal_forced_aligner_tpu.ops.viterbi import viterbi_nbest_device
 
-    ll = gmm_loglikes(ff, W, gconsts)
-    P = gconsts.shape[0]
-    onehot = jax.nn.one_hot(graph.state_pdf, P, dtype=ll.dtype)
-    emit = jnp.einsum(
-        "btp,bsp->bts",
-        ll,
-        onehot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
+        select_state_emissions,
     )
+
+    ll = gmm_loglikes(ff, W, gconsts)
+    emit = select_state_emissions(ll, graph.state_pdf)
     return viterbi_nbest_device(
         emit, frame_lengths, graph, acoustic_scale=acoustic_scale, K=K,
         word_event=word_event, state0_hash=state0_hash,
