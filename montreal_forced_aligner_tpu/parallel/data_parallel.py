@@ -80,11 +80,14 @@ def _align_and_accumulate(
     total_frames = jnp.sum(frame_lengths).astype(jnp.float32)
 
     # cross-mesh reduction: the reference's parent-process accumulator sums
-    occ = jax.lax.psum(occ, axis_name)
-    mean_acc = jax.lax.psum(mean_acc, axis_name)
-    var_acc = jax.lax.psum(var_acc, axis_name)
-    total_ll = jax.lax.psum(total_ll, axis_name)
-    total_frames = jax.lax.psum(total_frames, axis_name)
+    # (axis_name=None runs the same program unsharded, outside any mesh —
+    # used by parallel/scaling.py to price the SPMD machinery itself)
+    if axis_name is not None:
+        occ = jax.lax.psum(occ, axis_name)
+        mean_acc = jax.lax.psum(mean_acc, axis_name)
+        var_acc = jax.lax.psum(var_acc, axis_name)
+        total_ll = jax.lax.psum(total_ll, axis_name)
+        total_frames = jax.lax.psum(total_frames, axis_name)
     return state_path, scores, occ, mean_acc, var_acc, total_ll, total_frames
 
 
