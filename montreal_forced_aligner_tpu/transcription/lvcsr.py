@@ -33,6 +33,7 @@ expansion exceeds the band buckets.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -86,6 +87,17 @@ class LvcsrGraph:
         return np.where(self.state_word >= 0, self.state_word + 1, 0).astype(
             np.uint32
         )
+
+    @property
+    def entry_slot_of_state(self) -> np.ndarray:
+        """(S,) dense inverse of ``entry_idx``: the entry-slot index of each
+        state, -1 for non-entry states (the device backtrace's replacement
+        for the host's ``{state: slot}`` dict)."""
+        arr = np.full(self.num_states, -1, np.int32)
+        arr[np.asarray(self.entry_idx, np.int64)] = np.arange(
+            len(self.entry_idx), dtype=np.int32
+        )
+        return arr
 
 
 
@@ -272,10 +284,71 @@ class LvcsrGraphCompiler:
 # Device DP
 # ---------------------------------------------------------------------------
 
+# Frames per emission chunk: the pdf->state expansion materializes one
+# (TC, B, S) block at a time, so the (S, P) selection table (or the gather's
+# per-row overhead) is amortized TC-fold instead of paid per frame. A
+# per-frame (B, P)->(B, S) gather measures ~1.4 G elem/s on v5e — 100x
+# below HBM bandwidth — and dominated the whole decode at S=489k.
+_EMIT_TC = 32
+# one-hot selection table budget: above this the chunker falls back to the
+# wide-row gather (exact either way; the matmul needs the (S, P) f32 table
+# resident in HBM)
+_OH_TABLE_MAX = float(os.environ.get("MFA_TPU_LVCSR_OH_BYTES", 2e9))
+
+
+def _emit_chunker(state_pdf: jnp.ndarray, P: int, S: int):
+    """Build the per-chunk pdf->state emission expander
+    ``(TC, B, P) -> (TC, B, S)``.
+
+    Two exact strategies: a one-hot f32 matmul (XLA/MXU moves the
+    selection at table-read bandwidth; HIGHEST precision keeps e*1+0 sums
+    bit-exact) when the (S, P) table fits the budget, else a wide-row
+    gather from (P, TC*B) — gathering TC*B-wide rows amortizes the
+    per-row gather overhead that makes the naive per-frame form slow."""
+    if S * P * 4 <= _OH_TABLE_MAX:
+        oh = jax.nn.one_hot(state_pdf, P, dtype=jnp.float32)  # (S, P)
+
+        def mat(echunk):
+            TC, B, _ = echunk.shape
+            e = jax.lax.dot_general(
+                echunk.reshape(TC * B, P),
+                oh,
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return e.reshape(TC, B, S)
+
+    else:
+
+        def mat(echunk):
+            TC, B, _ = echunk.shape
+            wide = jnp.take(
+                echunk.reshape(TC * B, P).T, state_pdf, axis=0
+            )  # (S, TC*B)
+            return wide.T.reshape(TC, B, S)
+
+    return mat
+
+
+def _chunk_pdf_frames(emit_pdf: jnp.ndarray, TC: int):
+    """Reshape frames 1..T-1 of (B, T, P) into (NC, TC, B, P) chunks plus
+    their global start frames; padded tail frames are inert (every kernel
+    freezes past ``frame_lengths``)."""
+    B, T, P = emit_pdf.shape
+    n_scan = T - 1
+    NC = (n_scan + TC - 1) // TC
+    pad = NC * TC - n_scan
+    ep = jnp.pad(emit_pdf[:, 1:], ((0, 0), (0, pad), (0, 0)))
+    ep = jnp.moveaxis(ep.reshape(B, NC, TC, P), 0, 2)  # (NC, TC, B, P)
+    t0s = 1 + jnp.arange(NC) * TC
+    return ep, t0s, NC
+
 
 @partial(jax.jit, static_argnames=("lb", "ub"))
 def lvcsr_decode_device(
-    emit: jnp.ndarray,  # (B, T, S) pre-scaled emission log-likes
+    emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
+    state_pdf: jnp.ndarray,  # (S,) pdf index per HMM state
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (S, D)
     start: jnp.ndarray,  # (S,)
@@ -293,16 +366,26 @@ def lvcsr_decode_device(
 ):
     """Forward pass; returns per-frame junction/band records for backtrace.
 
-    Outputs (stacked over T-1): band_bp (B,S) uint8, junc_won (B,S) bool,
-    ent_src (B,V) int8 (-1 = backoff), exit_arg (B,U) uint8, bo_arg (B,) i32
-    plus final alpha (B,S).
+    Emissions arrive indexed by PDF, not by state: at real LVCSR scale the
+    state substrate runs to hundreds of thousands of states over a few
+    thousand pdfs, so materializing (B, T, S) emissions is ~100x more HBM
+    than the information content (and OOMs a real chip at V=20k, T=1500).
+    Each scan step gathers its (B, S) frame from (B, P) instead.
+
+    Outputs (stacked over T-1): bp_packed (B,S) uint8 — low 7 bits the
+    band backpointer, bit 7 set where the LM junction won the state —
+    ent_src (B,V) int8 (-1 = backoff), exit_arg (B,U) uint8, bo_arg (B,)
+    i32, plus final alpha (B,S). Records are sized for DEVICE residence:
+    consume them with :func:`lvcsr_backtrace_device` (fetching them to the
+    host is O(T*S) bytes over the slow link).
     """
-    B, T, S = emit.shape
+    B, T, _P = emit_pdf.shape
+    S = state_pdf.shape[0]
     D = lb + ub + 1
+    assert D <= 127, "band width must fit 7 bits of the packed backpointer"
     U, E = exit_idx.shape
     V = p1.shape[0]
     band_cols = [band[:, j] for j in range(D)]
-    t_iota = jnp.arange(T)
     exit_flat = exit_idx.reshape(-1)  # (U*E,)
 
     def junction(alpha_prev):
@@ -324,7 +407,7 @@ def lvcsr_decode_device(
         return ent_v, ent_src, exit_arg, bo_arg
 
     def step(alpha_prev, inputs):
-        emit_t, t = inputs
+        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
         # intra-word band max
         ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
         m = jnp.full_like(alpha_prev, NEG_INF)
@@ -341,17 +424,110 @@ def lvcsr_decode_device(
             jnp.take(ent_v, entry_word, axis=1) + entry_w
         )  # (B, Ne)
         m2 = m.at[:, entry_idx].max(entry_cand)
-        junc_won = m2 > m
+        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
         alpha_new = m2 + emit_t
         active = (t < frame_lengths)[:, None]
         alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, (bp, junc_won, ent_src, exit_arg, bo_arg)
+        return alpha_out, (bp_packed, ent_src, exit_arg, bo_arg)
 
-    alpha0 = start[None] + emit[:, 0]
-    alpha_T, recs = jax.lax.scan(
-        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    P = emit_pdf.shape[2]
+    mat = _emit_chunker(state_pdf, P, S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def chunk_step(alpha, inputs):
+        echunk, t0 = inputs
+        e_states = mat(echunk)  # (TC, B, S)
+        return jax.lax.scan(
+            step, alpha, (e_states, t0 + jnp.arange(_EMIT_TC))
+        )
+
+    alpha0 = start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
+    alpha_T, recs = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
+    # (NC, TC, ...) -> (NC*TC, ...): >= T-1 entries; tail frames are inert
+    # (the backtrace masks on frame_lengths and slices its outputs to T)
+    recs = jax.tree_util.tree_map(
+        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
     )
     return alpha_T, recs
+
+
+@partial(jax.jit, static_argnames=("lb", "T"))
+def lvcsr_backtrace_device(
+    alpha_T: jnp.ndarray,  # (B, S)
+    recs,  # packed records from lvcsr_decode_device
+    frame_lengths: jnp.ndarray,  # (B,)
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    eos: jnp.ndarray,  # (U,)
+    entry_word: jnp.ndarray,  # (Ne,)
+    entry_slot_of_state: jnp.ndarray,  # (S,) slot index or -1
+    big_pred: jnp.ndarray,  # (V, Kb)
+    state_word: jnp.ndarray,  # (S,)
+    lb: int,
+    T: int = 0,  # true frame count; records may carry inert chunk padding
+):
+    """Backtrace as a reverse scan over the device-resident records.
+
+    The O(T*S) per-frame records never leave the device: the traced path
+    only ever *gathers* one state's record per frame, so the whole
+    backtrace is a (B,)-carried reverse scan whose outputs — state path
+    (B, T) i32, per-frame entered word (B, T) i32 (-1 = none), final score
+    (B,) — are the only device->host traffic. Mirrors
+    :func:`lvcsr_backtrace_host` decision for decision.
+    """
+    bp_packed, ent_src, exit_arg, bo_arg = recs
+    B, S = alpha_T.shape
+    Tp = bp_packed.shape[0] + 1
+    T = T or Tp
+
+    # final state: best word exit + end-of-sentence LM weight
+    ex = jnp.take(alpha_T, exit_idx.reshape(-1), axis=1).reshape(
+        B, *exit_idx.shape
+    ) + exit_w  # (B, U, E)
+    ex_best = jnp.max(ex, axis=2) + eos  # (B, U)
+    u0 = jnp.argmax(ex_best, axis=1)  # (B,)
+    score = jnp.take_along_axis(ex_best, u0[:, None], axis=1)[:, 0]
+    e0 = jnp.argmax(
+        jnp.take_along_axis(ex, u0[:, None, None], axis=1)[:, 0], axis=1
+    )
+    s_final = exit_idx[u0, e0].astype(jnp.int32)  # (B,)
+    rows = jnp.arange(B)
+
+    def step(s, inputs):
+        (bp_r, ent_r, exarg_r, boarg_r, r) = inputs
+        t = r + 1
+        packed = bp_r[rows, s]  # (B,) uint8
+        slot = entry_slot_of_state[s]  # (B,)
+        is_junc = ((packed & jnp.uint8(0x80)) != 0) & (slot >= 0)
+        v = entry_word[jnp.clip(slot, 0)]  # (B,)
+        k = ent_r[rows, v].astype(jnp.int32)  # (B,)
+        src_u = jnp.where(k < 0, boarg_r, big_pred[v, jnp.clip(k, 0)])
+        s_j = exit_idx[src_u, exarg_r[rows, src_u].astype(jnp.int32)]
+        s_band = s - ((packed & jnp.uint8(0x7F)).astype(jnp.int32) - lb)
+        s_new = jnp.where(is_junc, s_j.astype(jnp.int32), s_band)
+        active = t < frame_lengths  # transition (t-1)->t inside utterance
+        s_out = jnp.where(active, s_new, s)
+        word_at_t = jnp.where(active & is_junc, v.astype(jnp.int32), -1)
+        return s_out, (s_out, word_at_t)
+
+    r_iota = jnp.arange(Tp - 1)
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        step,
+        s_final,
+        (bp_packed, ent_src, exit_arg, bo_arg, r_iota),
+        reverse=True,
+    )
+    # path_prev[r] = path[r] for r in [0, Tp-2]; append the final state
+    path = jnp.concatenate(
+        [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
+    )  # (B, Tp)
+    # word entered at frame 0 is the start state's word (if any)
+    w0 = state_word[path[:, 0]].astype(jnp.int32)
+    word0 = jnp.where(w0 >= 0, w0, -1)
+    word_at_full = jnp.concatenate(
+        [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
+    )  # (B, Tp): word entered AT each frame (-1 = none)
+    return path[:, :T], word_at_full[:, :T], score
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +592,16 @@ class LvcsrXwGraph:
         return np.where(self.state_word >= 0, self.state_word + 1, 0).astype(
             np.uint32
         )
+
+    @property
+    def entry_slot_of_state(self) -> np.ndarray:
+        """(S,) dense inverse of ``entry_state`` (see
+        :meth:`LvcsrGraph.entry_slot_of_state`)."""
+        arr = np.full(self.num_states, -1, np.int32)
+        arr[np.asarray(self.entry_state, np.int64)] = np.arange(
+            len(self.entry_state), dtype=np.int32
+        )
+        return arr
 
     def kbest_arrays(self) -> dict:
         """Static index tables for the K-best junction (computed once):
@@ -708,7 +894,8 @@ LvcsrGraphCompiler._build_cross_word = _build_cross_word
 
 @partial(jax.jit, static_argnames=("lb", "ub", "P"))
 def lvcsr_xw_decode_device(
-    emit: jnp.ndarray,  # (B, T, S) pre-scaled emissions
+    emit_pdf: jnp.ndarray,  # (B, T, Np) pre-scaled per-PDF log-likes
+    state_pdf: jnp.ndarray,  # (S,) pdf index per HMM state
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (S, D)
     start: jnp.ndarray,  # (S,)
@@ -729,14 +916,19 @@ def lvcsr_xw_decode_device(
     P: int,
 ):
     """Forward pass of the cross-word junction decoder. Returns final alpha
-    plus per-frame records for :func:`lvcsr_xw_backtrace_host`."""
-    B, T, S = emit.shape
+    plus per-frame records (bit 7 of the packed uint8 backpointer marks a
+    junction win) for :func:`lvcsr_xw_backtrace_device` (production) /
+    :func:`lvcsr_xw_backtrace_host` (reference). Emissions arrive per-PDF
+    and are gathered to states per frame (see :func:`lvcsr_decode_device`).
+    """
+    B, T, _Np = emit_pdf.shape
+    S = state_pdf.shape[0]
     D = lb + ub + 1
+    assert D <= 127, "band width must fit 7 bits of the packed backpointer"
     Nc, Em = cell_exit_idx.shape
     RG, F = rg_mask.shape
     Ne = entry_state.shape[0]
     band_cols = [band[:, j] for j in range(D)]
-    t_iota = jnp.arange(T)
     exit_flat = cell_exit_idx.reshape(-1)
     iota_c = jnp.arange(Nc, dtype=jnp.int32)
 
@@ -772,7 +964,7 @@ def lvcsr_xw_decode_device(
         return ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg
 
     def step(alpha_prev, inputs):
-        emit_t, t = inputs
+        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
         ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
         m = jnp.full_like(alpha_prev, NEG_INF)
         bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
@@ -784,18 +976,104 @@ def lvcsr_xw_decode_device(
             bp = jnp.where(take, jnp.uint8(j), bp)
         ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg = junction(alpha_prev)
         m2 = m.at[:, entry_state].max(ent)
-        junc_won = m2 > m
+        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
         alpha_new = m2 + emit_t
         active = (t < frame_lengths)[:, None]
         alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, (bp, junc_won, ent_src, ent_l, cell_arg, BOFarg,
+        return alpha_out, (bp_packed, ent_src, ent_l, cell_arg, BOFarg,
                            BO2arg)
 
-    alpha0 = start[None] + emit[:, 0]
-    alpha_T, recs = jax.lax.scan(
-        step, alpha0, (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+    Np = emit_pdf.shape[2]
+    mat = _emit_chunker(state_pdf, Np, S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def chunk_step(alpha, inputs):
+        echunk, t0 = inputs
+        e_states = mat(echunk)  # (TC, B, S)
+        return jax.lax.scan(
+            step, alpha, (e_states, t0 + jnp.arange(_EMIT_TC))
+        )
+
+    alpha0 = start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
+    alpha_T, recs = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
+    recs = jax.tree_util.tree_map(
+        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
     )
     return alpha_T, recs
+
+
+@partial(jax.jit, static_argnames=("lb", "F", "RG", "T"))
+def lvcsr_xw_backtrace_device(
+    alpha_T: jnp.ndarray,  # (B, S)
+    recs,  # packed records from lvcsr_xw_decode_device
+    frame_lengths: jnp.ndarray,  # (B,)
+    fin_state: jnp.ndarray,  # (Kf,)
+    fin_w: jnp.ndarray,  # (Kf,)
+    entry_word_arr: jnp.ndarray,  # (Ne,)
+    entry_slot_of_state: jnp.ndarray,  # (S,) slot index or -1
+    se_cell: jnp.ndarray,  # (Ne, Q)
+    ebo_idx: jnp.ndarray,  # (Ne, Lm)
+    cell_exit_idx: jnp.ndarray,  # (Nc, Em)
+    state_word: jnp.ndarray,  # (S,)
+    lb: int,
+    F: int,
+    RG: int,
+    T: int = 0,  # true frame count; records may carry inert chunk padding
+):
+    """Cross-word backtrace as a device reverse scan (see
+    :func:`lvcsr_backtrace_device` — same scheme: the O(T * S/Nc/Ne)
+    records stay on device; only (path, entered-word, score) transfer).
+    Mirrors :func:`lvcsr_xw_backtrace_host` decision for decision."""
+    bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg = recs
+    B, S = alpha_T.shape
+    Tp = bp_packed.shape[0] + 1
+    T = T or Tp
+    fin = jnp.take(alpha_T, fin_state, axis=1) + fin_w  # (B, Kf)
+    k0 = jnp.argmax(fin, axis=1)
+    score = jnp.take_along_axis(fin, k0[:, None], axis=1)[:, 0]
+    s_final = fin_state[k0].astype(jnp.int32)
+    rows = jnp.arange(B)
+
+    def step(s, inputs):
+        (bp_r, entsrc_r, entl_r, cellarg_r, bofarg_r, bo2arg_r, r) = inputs
+        t = r + 1
+        packed = bp_r[rows, s]
+        slot = entry_slot_of_state[s]
+        is_junc = ((packed & jnp.uint8(0x80)) != 0) & (slot >= 0)
+        e = jnp.clip(slot, 0)
+        q = entsrc_r[rows, e].astype(jnp.int32)
+        cell_seen = se_cell[e, jnp.clip(q, 0)]
+        pf = ebo_idx[e, entl_r[rows, e].astype(jnp.int32)]
+        p, f = pf // F, pf % F
+        rg = bofarg_r[rows, p, f].astype(jnp.int32)
+        cell_bo = bo2arg_r[rows, p * RG + rg]
+        cell = jnp.where(q >= 0, cell_seen, cell_bo).astype(jnp.int32)
+        s_j = cell_exit_idx[cell, cellarg_r[rows, cell].astype(jnp.int32)]
+        s_band = s - ((packed & jnp.uint8(0x7F)).astype(jnp.int32) - lb)
+        s_new = jnp.where(is_junc, s_j.astype(jnp.int32), s_band)
+        active = t < frame_lengths
+        s_out = jnp.where(active, s_new, s)
+        word_at_t = jnp.where(
+            active & is_junc, entry_word_arr[e].astype(jnp.int32), -1
+        )
+        return s_out, (s_out, word_at_t)
+
+    r_iota = jnp.arange(Tp - 1)
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        step,
+        s_final,
+        (bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg, r_iota),
+        reverse=True,
+    )
+    path = jnp.concatenate(
+        [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
+    )
+    w0 = state_word[path[:, 0]].astype(jnp.int32)
+    word0 = jnp.where(w0 >= 0, w0, -1)
+    word_at_full = jnp.concatenate(
+        [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
+    )
+    return path[:, :T], word_at_full[:, :T], score
 
 
 def lvcsr_xw_backtrace_host(
@@ -803,14 +1081,17 @@ def lvcsr_xw_backtrace_host(
     alpha_T: np.ndarray,  # (B, S)
     recs,
     frame_lengths: np.ndarray,
+    T: int = 0,  # true frame count (records may carry chunk padding)
 ) -> List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]:
     """Per-utterance (state_path (T,), score, word events) — cross-word
-    analogue of :func:`lvcsr_backtrace_host`."""
-    band_bp, junc_won, ent_src, ent_l, cell_arg, BOFarg, BO2arg = [
+    analogue of :func:`lvcsr_backtrace_host`; reference implementation of
+    :func:`lvcsr_xw_backtrace_device` (packed record format: bit 7 of the
+    uint8 backpointer = junction won)."""
+    bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg = [
         np.asarray(r) for r in recs
     ]
     B, S = alpha_T.shape
-    T = band_bp.shape[0] + 1
+    T = T or bp_packed.shape[0] + 1
     RG, F = graph.rg_mask.shape
     entry_slot = {int(s): i for i, s in enumerate(graph.entry_state)}
     out = []
@@ -825,7 +1106,8 @@ def lvcsr_xw_backtrace_host(
         events: List[Tuple[int, int]] = []
         for t in range(L - 1, 0, -1):
             r = t - 1
-            if junc_won[r, b, s] and s in entry_slot:
+            packed = int(bp_packed[r, b, s])
+            if (packed & 0x80) and s in entry_slot:
                 e = entry_slot[s]
                 events.append((t, int(graph.entry_word[e])))
                 q = int(ent_src[r, b, e])
@@ -840,7 +1122,7 @@ def lvcsr_xw_backtrace_host(
                     graph.cell_exit_idx[cell, int(cell_arg[r, b, cell])]
                 )
             else:
-                s = s - (int(band_bp[r, b, s]) - graph.lb)
+                s = s - ((packed & 0x7F) - graph.lb)
             path[t - 1] = s
         w0 = int(graph.state_word[path[0]])
         if w0 >= 0:
@@ -862,7 +1144,8 @@ def lvcsr_xw_backtrace_host(
 
 @partial(jax.jit, static_argnames=("lb", "ub", "K"))
 def lvcsr_xw_nbest_device(
-    emit: jnp.ndarray,  # (B, T, S) pre-scaled emissions
+    emit_pdf: jnp.ndarray,  # (B, T, Np) pre-scaled per-PDF log-likes
+    state_pdf: jnp.ndarray,  # (S,) pdf index per HMM state
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (S, D)
     start: jnp.ndarray,  # (S,)
@@ -886,15 +1169,17 @@ def lvcsr_xw_nbest_device(
 ):
     """K-best forward pass of the cross-word junction decoder. Returns
     ``(alpha_T (B,S,K), hist_T (B,S,K) uint32, recs)`` with per-frame
-    records ``(cand_sel i16, ent_sel i32, bo2_sel i32, exit_sel i32)``."""
-    B, T, S = emit.shape
+    records ``(cand_sel i16, ent_sel i32, bo2_sel i32, exit_sel i32)``.
+    Emissions arrive per-PDF and are gathered to states per frame (see
+    :func:`lvcsr_decode_device`)."""
+    B, T, _Np = emit_pdf.shape
+    S = state_pdf.shape[0]
     D = lb + ub + 1
     Nc, Em = cell_exit_idx.shape
     Nseg, Cs = seg_cells.shape
     Ne, Q = se_cell.shape
     Lsg = ebo_seg.shape[1]
     band_cols = [band[:, j] for j in range(D)]
-    t_iota = jnp.arange(T)
     exit_flat = cell_exit_idx.reshape(-1)
     v_hash = (entry_word.astype(jnp.uint32) + 1)[None, :, None]
 
@@ -944,7 +1229,7 @@ def lvcsr_xw_nbest_device(
 
     def step(carry, inputs):
         alpha_prev, hist_prev = carry
-        emit_t, t = inputs
+        emit_t, t = inputs  # (B, S), pre-expanded per chunk
         ap = jnp.pad(
             alpha_prev, ((0, 0), (ub, lb), (0, 0)), constant_values=NEG_INF
         )
@@ -978,9 +1263,22 @@ def lvcsr_xw_nbest_device(
         )
         return (alpha_out, hist_out), recs
 
+    Np = emit_pdf.shape[2]
+    mat = _emit_chunker(state_pdf, Np, S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def chunk_step(carry, inputs):
+        echunk, t0 = inputs
+        e_states = mat(echunk)
+        return jax.lax.scan(
+            step, carry, (e_states, t0 + jnp.arange(_EMIT_TC))
+        )
+
     alpha0 = jnp.concatenate(
         [
-            (start[None] + emit[:, 0])[:, :, None],
+            (start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0])[
+                :, :, None
+            ],
             jnp.full((B, S, K - 1), NEG_INF),
         ],
         axis=2,
@@ -993,7 +1291,10 @@ def lvcsr_xw_nbest_device(
         axis=2,
     )
     (alpha_T, hist_T), recs = jax.lax.scan(
-        step, (alpha0, hash0), (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+        chunk_step, (alpha0, hash0), (ep, t0s)
+    )
+    recs = jax.tree_util.tree_map(
+        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
     )
     return alpha_T, hist_T, recs
 
@@ -1099,7 +1400,8 @@ from montreal_forced_aligner_tpu.ops.viterbi import (  # noqa: E402
 
 @partial(jax.jit, static_argnames=("lb", "ub", "K"))
 def lvcsr_nbest_device(
-    emit: jnp.ndarray,  # (B, T, S) pre-scaled emission log-likes
+    emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
+    state_pdf: jnp.ndarray,  # (S,) pdf index per HMM state
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (S, D)
     start: jnp.ndarray,  # (S,)
@@ -1120,13 +1422,15 @@ def lvcsr_nbest_device(
     """K-best forward pass. Returns ``(alpha_T (B,S,K), hist_T (B,S,K)
     uint32, recs)`` where recs stacks per-frame selection records
     ``(cand_sel (B,S,K) i16, ent_sel (B,V,K) i16, bo_sel (B,K) i32,
-    exit_sel (B,U,K) i16)`` for :func:`lvcsr_nbest_backtrace_host`."""
-    B, T, S = emit.shape
+    exit_sel (B,U,K) i16)`` for :func:`lvcsr_nbest_backtrace_host`.
+    Emissions arrive per-PDF and are gathered to states per frame (see
+    :func:`lvcsr_decode_device`)."""
+    B, T, _P = emit_pdf.shape
+    S = state_pdf.shape[0]
     D = lb + ub + 1
     U, E = exit_idx.shape
     V, Kb = big_pred.shape
     band_cols = [band[:, j] for j in range(D)]
-    t_iota = jnp.arange(T)
     exit_flat = exit_idx.reshape(-1)  # (U*E,)
     exit_w_flat = exit_w.reshape(-1)[None, :, None]  # (1, U*E, 1)
     v_hash = (jnp.arange(V, dtype=jnp.uint32) + 1)[None, :, None]
@@ -1162,7 +1466,7 @@ def lvcsr_nbest_device(
 
     def step(carry, inputs):
         alpha_prev, hist_prev = carry
-        emit_t, t = inputs
+        emit_t, t = inputs  # (B, S), pre-expanded per chunk
         # band candidates: (B, S, D*K)
         ap = jnp.pad(
             alpha_prev, ((0, 0), (ub, lb), (0, 0)), constant_values=NEG_INF
@@ -1201,9 +1505,22 @@ def lvcsr_nbest_device(
         )
         return (alpha_out, hist_out), recs
 
+    P = emit_pdf.shape[2]
+    mat = _emit_chunker(state_pdf, P, S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def chunk_step(carry, inputs):
+        echunk, t0 = inputs
+        e_states = mat(echunk)
+        return jax.lax.scan(
+            step, carry, (e_states, t0 + jnp.arange(_EMIT_TC))
+        )
+
     alpha0 = jnp.concatenate(
         [
-            (start[None] + emit[:, 0])[:, :, None],
+            (start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0])[
+                :, :, None
+            ],
             jnp.full((B, S, K - 1), NEG_INF),
         ],
         axis=2,
@@ -1216,7 +1533,10 @@ def lvcsr_nbest_device(
         axis=2,
     )
     (alpha_T, hist_T), recs = jax.lax.scan(
-        step, (alpha0, hash0), (jnp.moveaxis(emit[:, 1:], 1, 0), t_iota[1:])
+        chunk_step, (alpha0, hash0), (ep, t0s)
+    )
+    recs = jax.tree_util.tree_map(
+        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
     )
     return alpha_T, hist_T, recs
 
@@ -1297,15 +1617,21 @@ def lvcsr_backtrace_host(
     alpha_T: np.ndarray,  # (B, S)
     recs,  # stacked step records
     frame_lengths: np.ndarray,
+    T: int = 0,  # true frame count (records may carry chunk padding)
 ) -> List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]:
     """Per-utterance (state_path (T,), score, word events).
 
     Word events are (frame, word) pairs marking each LM-junction crossing —
     the decoder's equivalent of lattice word output arcs, which makes
-    consecutive repeats of the same word unambiguous."""
-    band_bp, junc_won, ent_src, exit_arg, bo_arg = [np.asarray(r) for r in recs]
+    consecutive repeats of the same word unambiguous.
+
+    Reference implementation of :func:`lvcsr_backtrace_device` (which is
+    the production path: it keeps the O(T*S) records on device). Records
+    use the packed format: bit 7 of the uint8 backpointer = junction won.
+    """
+    bp_packed, ent_src, exit_arg, bo_arg = [np.asarray(r) for r in recs]
     B, S = alpha_T.shape
-    T = band_bp.shape[0] + 1
+    T = T or bp_packed.shape[0] + 1
     entry_slot = {int(s): i for i, s in enumerate(graph.entry_idx)}
     out = []
     for b in range(B):
@@ -1321,7 +1647,8 @@ def lvcsr_backtrace_host(
         events: List[Tuple[int, int]] = []
         for t in range(L - 1, 0, -1):
             r = t - 1  # records index for transition (t-1) -> t
-            if junc_won[r, b, s] and s in entry_slot:
+            packed = int(bp_packed[r, b, s])
+            if (packed & 0x80) and s in entry_slot:
                 slot = entry_slot[s]
                 v = int(graph.entry_word[slot])
                 events.append((t, v))
@@ -1329,7 +1656,7 @@ def lvcsr_backtrace_host(
                 src_u = int(bo_arg[r, b]) if k < 0 else int(graph.big_pred[v, k])
                 s = int(graph.exit_idx[src_u, int(exit_arg[r, b, src_u])])
             else:
-                s = s - (int(band_bp[r, b, s]) - graph.lb)
+                s = s - ((packed & 0x7F) - graph.lb)
             path[t - 1] = s
         w0 = int(graph.state_word[path[0]])
         if w0 >= 0:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -48,16 +49,17 @@ LN10 = math.log(10.0)
 
 
 @partial(jax.jit, static_argnames=("acoustic_scale",))
-def _lvcsr_emissions(ff, state_pdf, W, gconsts, acoustic_scale):
-    """(B, T, S) pre-scaled emissions for the LVCSR state substrate."""
+def _lvcsr_emissions(ff, W, gconsts, acoustic_scale):
+    """(B, T, P) pre-scaled per-PDF emissions for the LVCSR decoders.
+
+    Deliberately NOT expanded to the (B, T, S) state substrate: at LVCSR
+    scale S runs to hundreds of thousands of states over a few thousand
+    pdfs, so the expansion is ~100x the information content and OOMs a
+    real chip at V=20k (23 GB at B=8, T=1500, S=490k). The decode kernels
+    gather their (B, S) frame from (B, P) inside the scan instead."""
     from montreal_forced_aligner_tpu.ops.gmm_loglikes import gmm_loglikes
 
-    from montreal_forced_aligner_tpu.ops.gmm_loglikes import (
-        select_state_emissions,
-    )
-
-    ll = gmm_loglikes(ff, W, gconsts)
-    return acoustic_scale * select_state_emissions(ll, state_pdf)
+    return acoustic_scale * gmm_loglikes(ff, W, gconsts)
 
 
 @partial(jax.jit, static_argnames=("acoustic_scale", "K"))
@@ -650,29 +652,163 @@ class Transcriber:
 
     # -- LVCSR path ----------------------------------------------------------
 
-    def _lvcsr_decode(self, ff, flens, W, gconsts):
-        """Run the two-level decoder on one feature batch; returns the host
-        backtraces [(path, score, events)] per row."""
-        return self._lvcsr_backtrace(
-            self._lvcsr_decode_device(ff, flens, W, gconsts), flens
+    # device-resident record budget for one LVCSR decode dispatch; rows
+    # beyond it split into sub-batches. Peak HBM runs ~2.5x this figure
+    # (the backtrace's lax.scan stages a copy of its record xs), so the
+    # default keeps peak near 10 GB of the ~16 GB a v5e chip has.
+    LVCSR_REC_BYTES = float(os.environ.get("MFA_TPU_LVCSR_REC_BYTES", 4e9))
+
+    def _lvcsr_rec_bytes_per_frame_row(self, nbest: int = 1) -> int:
+        """Per-(frame, batch-row) bytes of the decode records (used to cap
+        rows per dispatch so the device-resident records fit HBM)."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            LvcsrXwGraph,
         )
 
-    def _lvcsr_backtrace(self, handle, flens):
-        """Host half: backtrace the device outputs of
-        :meth:`_lvcsr_decode_device` (split so callers can dispatch every
-        batch's device half before blocking on any fetch)."""
+        g = self._lvcsr
+        S = int(g.num_states)
+        if isinstance(g, LvcsrXwGraph):
+            Ne = len(g.entry_state)
+            Nc = g.cell_exit_idx.shape[0]
+            RG, F = g.rg_mask.shape
+            P = g.num_p
+            per = S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+        else:
+            U = g.exit_idx.shape[0]
+            V = g.p1.shape[0]
+            per = S + V + U + 4
+        if nbest > 1:  # K-best records carry a K axis in wider dtypes
+            per = (per + S * 2) * nbest * 4
+        return per
+
+    def _lvcsr_split_rows(self, prepared, nbest: int = 1):
+        """Split prepared batches into row chunks whose device-resident
+        decode records fit :attr:`LVCSR_REC_BYTES`."""
+        out = []
+        for batch, flens, garrs, bgraph, ff in prepared:
+            T = int(ff.shape[1])
+            per_row = T * self._lvcsr_rec_bytes_per_frame_row(nbest)
+            max_rows = max(1, int(self.LVCSR_REC_BYTES // max(per_row, 1)))
+            if len(batch) <= max_rows:
+                out.append((batch, flens, garrs, bgraph, ff))
+                continue
+            logger.info(
+                "LVCSR records would need %.1f GB at B=%d; splitting into "
+                "chunks of %d rows",
+                per_row * len(batch) / 1e9, len(batch), max_rows,
+            )
+            for i in range(0, len(batch), max_rows):
+                out.append(
+                    (
+                        batch[i : i + max_rows],
+                        flens[i : i + max_rows],
+                        garrs,
+                        bgraph,
+                        ff[i : i + max_rows],
+                    )
+                )
+        return out
+
+    def _lvcsr_dev(self):
+        """Device-resident LVCSR graph tensors, shipped ONCE per graph.
+
+        Re-shipping the junction tables per batch (the old
+        ``jnp.asarray(g.band)``-per-call pattern) cost tens of MB of h2d
+        transfer per batch at V=20k — the same class of bug the dense
+        path's :meth:`_shared_graph_on_device` fixed."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
-            lvcsr_backtrace_host,
-            lvcsr_xw_backtrace_host,
+            LvcsrXwGraph,
+        )
+
+        g = self._lvcsr
+        cache = getattr(self, "_lvcsr_dev_cache", None)
+        if cache is not None and cache[0] is g:
+            return cache[1]
+        if isinstance(g, LvcsrXwGraph):
+            names = (
+                "state_pdf", "band", "start", "cell_exit_idx", "cell_exit_w",
+                "bo_cell", "cell_seg", "rg_mask", "entry_state", "entry_word",
+                "entry_w", "ebo_idx", "ebo_pad", "p1e", "se_cell", "se_w",
+                "fin_state", "fin_w", "entry_slot_of_state", "state_word",
+                "state0_hash",
+            )
+        else:
+            names = (
+                "state_pdf", "band", "start", "exit_idx", "exit_w",
+                "entry_idx", "entry_word", "entry_w", "p1", "bo", "big_pred",
+                "big_w", "eos", "entry_slot_of_state", "state_word",
+                "state0_hash",
+            )
+        dev = {n: jnp.asarray(getattr(g, n)) for n in names}
+        self._lvcsr_dev_cache = (g, dev)
+        return dev
+
+    def _lvcsr_decode(self, ff, flens, W, gconsts):
+        """Run the two-level decoder on one feature batch; returns the
+        backtraces [(path, score, events)] per row."""
+        handle = self._lvcsr_decode_device(ff, flens, W, gconsts)
+        return self._lvcsr_rows(
+            self._lvcsr_backtrace_device_dispatch(
+                handle, flens, T=int(ff.shape[1])
+            ),
+            flens,
+        )
+
+    def _lvcsr_backtrace(self, handle, flens, T: int = 0):
+        """Backtrace the device outputs of :meth:`_lvcsr_decode_device`.
+
+        The backtrace itself runs ON DEVICE (the O(T*S) records never
+        cross the link; see ``lvcsr.lvcsr_backtrace_device``) — this
+        method only fetches the (B, T) path/word outputs and assembles the
+        host rows."""
+        return self._lvcsr_rows(
+            self._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
+        )
+
+    def _lvcsr_backtrace_device_dispatch(self, handle, flens, T: int = 0):
+        """Dispatch the device reverse-scan backtrace; returns device
+        (path (B,T), word_at (B,T), score (B,)) arrays (async). ``T``
+        slices off the decode's inert emission-chunk padding."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_backtrace_device,
+            lvcsr_xw_backtrace_device,
         )
 
         kind, (alpha_T, recs) = handle
         g = self._lvcsr
+        d = self._lvcsr_dev()
         if kind == "xw":
-            return lvcsr_xw_backtrace_host(
-                g, np.asarray(alpha_T), recs, flens
+            RG, F = g.rg_mask.shape
+            return lvcsr_xw_backtrace_device(
+                alpha_T, recs, jnp.asarray(flens),
+                d["fin_state"], d["fin_w"], d["entry_word"],
+                d["entry_slot_of_state"], d["se_cell"], d["ebo_idx"],
+                d["cell_exit_idx"], d["state_word"],
+                g.lb, F, RG, T,
             )
-        return lvcsr_backtrace_host(g, np.asarray(alpha_T), recs, flens)
+        return lvcsr_backtrace_device(
+            alpha_T, recs, jnp.asarray(flens),
+            d["exit_idx"], d["exit_w"], d["eos"], d["entry_word"],
+            d["entry_slot_of_state"], d["big_pred"], d["state_word"],
+            g.lb, T,
+        )
+
+    @staticmethod
+    def _lvcsr_rows(bt, flens):
+        """Assemble host rows [(path (T,), score, events)] from the device
+        backtrace outputs (events = ascending (frame, word) junction
+        crossings, same contract as ``lvcsr_backtrace_host``)."""
+        path_d, word_d, score_d = bt
+        path_h = np.asarray(path_d)
+        word_h = np.asarray(word_d)
+        score_h = np.asarray(score_d)
+        rows = []
+        for b in range(path_h.shape[0]):
+            L = int(flens[b])
+            wrow = word_h[b, :L]
+            events = [(int(t), int(w)) for t, w in enumerate(wrow) if w >= 0]
+            rows.append((path_h[b], float(score_h[b]), events))
+        return rows
 
     def _lvcsr_decode_device(self, ff, flens, W, gconsts):
         """Device half: dispatch the junction DP; returns an async handle
@@ -684,45 +820,47 @@ class Transcriber:
         )
 
         g = self._lvcsr
+        d = self._lvcsr_dev()
+        emit_pdf = _lvcsr_emissions(ff, W, gconsts, self.acoustic_scale)
         if isinstance(g, LvcsrXwGraph):
             alpha_T, recs = lvcsr_xw_decode_device(
-                _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
-                                 self.acoustic_scale),
+                emit_pdf,
+                d["state_pdf"],
                 jnp.asarray(flens),
-                jnp.asarray(g.band),
-                jnp.asarray(g.start),
-                jnp.asarray(g.cell_exit_idx),
-                jnp.asarray(g.cell_exit_w),
-                jnp.asarray(g.bo_cell),
-                jnp.asarray(g.cell_seg),
-                jnp.asarray(g.rg_mask),
-                jnp.asarray(g.entry_state),
-                jnp.asarray(g.entry_w),
-                jnp.asarray(g.ebo_idx),
-                jnp.asarray(g.ebo_pad),
-                jnp.asarray(g.p1e),
-                jnp.asarray(g.se_cell),
-                jnp.asarray(g.se_w),
+                d["band"],
+                d["start"],
+                d["cell_exit_idx"],
+                d["cell_exit_w"],
+                d["bo_cell"],
+                d["cell_seg"],
+                d["rg_mask"],
+                d["entry_state"],
+                d["entry_w"],
+                d["ebo_idx"],
+                d["ebo_pad"],
+                d["p1e"],
+                d["se_cell"],
+                d["se_w"],
                 g.lb,
                 g.ub,
                 g.num_p,
             )
             return ("xw", (alpha_T, recs))
         alpha_T, recs = lvcsr_decode_device(
-            _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
-                             self.acoustic_scale),
+            emit_pdf,
+            d["state_pdf"],
             jnp.asarray(flens),
-            jnp.asarray(g.band),
-            jnp.asarray(g.start),
-            jnp.asarray(g.exit_idx),
-            jnp.asarray(g.exit_w),
-            jnp.asarray(g.entry_idx),
-            jnp.asarray(g.entry_word),
-            jnp.asarray(g.entry_w),
-            jnp.asarray(g.p1),
-            jnp.asarray(g.bo),
-            jnp.asarray(g.big_pred),
-            jnp.asarray(g.big_w),
+            d["band"],
+            d["start"],
+            d["exit_idx"],
+            d["exit_w"],
+            d["entry_idx"],
+            d["entry_word"],
+            d["entry_w"],
+            d["p1"],
+            d["bo"],
+            d["big_pred"],
+            d["big_w"],
             g.lb,
             g.ub,
         )
@@ -742,26 +880,28 @@ class Transcriber:
         )
 
         g = self._lvcsr
+        d = self._lvcsr_dev()
+        emit_pdf = _lvcsr_emissions(ff, W, gconsts, self.acoustic_scale)
         if isinstance(g, LvcsrXwGraph):
             ka = g.kbest_arrays()
             alpha_T, hist_T, recs = lvcsr_xw_nbest_device(
-                _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
-                                 self.acoustic_scale),
+                emit_pdf,
+                d["state_pdf"],
                 jnp.asarray(flens),
-                jnp.asarray(g.band),
-                jnp.asarray(g.start),
-                jnp.asarray(g.state0_hash),
-                jnp.asarray(g.cell_exit_idx),
-                jnp.asarray(g.cell_exit_w),
-                jnp.asarray(g.bo_cell),
+                d["band"],
+                d["start"],
+                d["state0_hash"],
+                d["cell_exit_idx"],
+                d["cell_exit_w"],
+                d["bo_cell"],
                 jnp.asarray(ka["seg_cells"]),
                 jnp.asarray(ka["seg_pad"]),
-                jnp.asarray(g.entry_state),
-                jnp.asarray(g.entry_word),
-                jnp.asarray(g.entry_w),
-                jnp.asarray(g.p1e),
-                jnp.asarray(g.se_cell),
-                jnp.asarray(g.se_w),
+                d["entry_state"],
+                d["entry_word"],
+                d["entry_w"],
+                d["p1e"],
+                d["se_cell"],
+                d["se_w"],
                 jnp.asarray(ka["ebo_seg"]),
                 jnp.asarray(ka["ebo_seg_pad"]),
                 g.lb,
@@ -774,21 +914,21 @@ class Transcriber:
             )
             return rows, g
         alpha_T, hist_T, recs = lvcsr_nbest_device(
-            _lvcsr_emissions(ff, jnp.asarray(g.state_pdf), W, gconsts,
-                             self.acoustic_scale),
+            emit_pdf,
+            d["state_pdf"],
             jnp.asarray(flens),
-            jnp.asarray(g.band),
-            jnp.asarray(g.start),
-            jnp.asarray(g.state0_hash),
-            jnp.asarray(g.exit_idx),
-            jnp.asarray(g.exit_w),
-            jnp.asarray(g.entry_idx),
-            jnp.asarray(g.entry_word),
-            jnp.asarray(g.entry_w),
-            jnp.asarray(g.p1),
-            jnp.asarray(g.bo),
-            jnp.asarray(g.big_pred),
-            jnp.asarray(g.big_w),
+            d["band"],
+            d["start"],
+            d["state0_hash"],
+            d["exit_idx"],
+            d["exit_w"],
+            d["entry_idx"],
+            d["entry_word"],
+            d["entry_w"],
+            d["p1"],
+            d["bo"],
+            d["big_pred"],
+            d["big_w"],
             g.lb,
             g.ub,
             nbest,
@@ -823,28 +963,38 @@ class Transcriber:
     ):
         al = self.aligner
         results: Dict[int, TranscriptionResult] = {}
-        handles = None
+        prepared = self._lvcsr_split_rows(prepared, nbest)
+        bts = None
         if nbest <= 1:
-            # dispatch every batch's junction DP before blocking on any
-            # fetch (the d2h link's per-fetch latency otherwise serializes
-            # batches)
+            # dispatch every batch's junction DP, then every batch's
+            # DEVICE backtrace (the O(T*S) records never cross the link;
+            # only the (B, T) paths do), before blocking on any fetch
             from montreal_forced_aligner_tpu.training.base import (
                 start_host_copies,
             )
 
-            handles = [
-                self._lvcsr_decode_device(
+            # interleave decode/backtrace dispatch per batch: execution
+            # follows dispatch order, so batch i's records are freed by
+            # its backtrace before batch i+1's decode materializes them —
+            # peak HBM stays ~one LVCSR_REC_BYTES chunk
+            bts = []
+            for _batch, flens, _garrs, _bg, ff in prepared:
+                handle = self._lvcsr_decode_device(
                     ff, flens, al._device_gmm[0], al._device_gmm[1]
                 )
-                for _batch, flens, _garrs, _bg, ff in prepared
-            ]
-            start_host_copies(handles)
+                bts.append(
+                    self._lvcsr_backtrace_device_dispatch(
+                        handle, flens, T=int(ff.shape[1])
+                    )
+                )
+                del handle
+            start_host_copies(bts)
         for bi, (batch, flens, _garrs, _bg, ff) in enumerate(prepared):
             if nbest <= 1:
                 g_used = self._lvcsr
                 rows = [
                     [trace]
-                    for trace in self._lvcsr_backtrace(handles[bi], flens)
+                    for trace in self._lvcsr_rows(bts[bi], flens)
                 ]
             else:
                 rows, g_used = self._lvcsr_nbest_decode(

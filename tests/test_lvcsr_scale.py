@@ -171,3 +171,38 @@ def test_router_threshold_boundary_equivalence(tmp_path, monkeypatch):
         assert [w.label for w in r_dense[i].words] == [
             w.label for w in r_lv[i].words
         ]
+
+
+def test_lvcsr_record_budget_splitting(tmp_path, monkeypatch):
+    """When the device-resident decode records exceed the HBM budget, the
+    batch splits into row chunks and the results are unchanged (the 20k
+    substrate at real utterance lengths needs this on a 16 GB chip)."""
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        Transcriber,
+    )
+
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    # 3 more utterances so a batch has rows to split
+    import shutil
+
+    spk = corpus_dir / "spk1"
+    for j in range(3):
+        shutil.copy(spk / "utt1.wav", spk / f"cp{j}.wav")
+        (spk / f"cp{j}.lab").write_text("ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    extra = _grow_dictionary(dict_path, 300)
+    texts = ["ab a"] * 20 + [" ".join(extra[i : i + 5]) for i in range(0, 300, 5)]
+    lm, _ = train_lm_from_texts(texts, order=2)
+
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    baseline = tr.transcribe_corpus(corpus)
+    assert tr._lvcsr is not None
+
+    tr2 = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    monkeypatch.setattr(Transcriber, "LVCSR_REC_BYTES", 1.0)  # force 1-row chunks
+    split = tr2.transcribe_corpus(corpus)
+    assert len(split) == len(baseline)
+    for i in baseline:
+        assert split[i].text == baseline[i].text
+        assert abs(split[i].log_likelihood - baseline[i].log_likelihood) < 1e-4

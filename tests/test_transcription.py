@@ -529,3 +529,51 @@ def test_reference_lm_archive_loads():
     assert math.isfinite(lp) and lp < 0
     # pruned variants are genuinely smaller models
     assert len(a.small.ngrams[3]) <= len(a.large.ngrams[3])
+
+
+def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
+    """The device reverse-scan backtrace (production path: O(T*S) records
+    never leave the device) must reproduce the host reference backtrace
+    decision for decision — paths, scores, and word events."""
+    from montreal_forced_aligner_tpu.transcription import transcriber as tmod
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        lvcsr_backtrace_host,
+    )
+
+    tr, corpus = transcriber_setup
+    tr.transcribe_corpus(corpus)  # ensure the LM is trained
+
+    tr2 = tmod.Transcriber(
+        tr.aligner.model_path, tr.aligner.dictionary_path, lm=tr.lm,
+        batch_size=4,
+    )
+    monkeypatch.setattr(
+        tmod.DecodingGraphCompiler,
+        "build",
+        lambda self: (_ for _ in ()).throw(ValueError("forced")),
+    )
+    captured = []
+    orig = tmod.Transcriber._lvcsr_decode_device
+
+    def spy(self, ff, flens, W, gconsts):
+        handle = orig(self, ff, flens, W, gconsts)
+        captured.append((handle, np.array(flens)))
+        return handle
+
+    monkeypatch.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
+    tr2.transcribe_corpus(corpus)
+    assert tr2._lvcsr is not None and captured
+    for handle, flens in captured:
+        kind, (alpha_T, recs) = handle
+        assert kind == "flat"
+        host_rows = lvcsr_backtrace_host(
+            tr2._lvcsr, np.asarray(alpha_T), recs, flens
+        )
+        dev_rows = tr2._lvcsr_rows(
+            tr2._lvcsr_backtrace_device_dispatch(handle, flens), flens
+        )
+        assert len(host_rows) == len(dev_rows)
+        for (hp, hs, he), (dp, ds, de) in zip(host_rows, dev_rows):
+            np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
+            assert abs(ds - hs) < 1e-4
+            assert de == he

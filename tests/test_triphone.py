@@ -341,3 +341,47 @@ def test_custom_phone_groups(tmp_path):
             tmp_path / "corpus", dict_path,
             phone_groups_path=groups_yaml, topology_path=topo_yaml,
         )
+
+
+def test_xw_device_backtrace_matches_host(tri_setup, monkeypatch):
+    """Cross-word junction: the device reverse-scan backtrace must match
+    the host reference backtrace (paths, scores, word events) on a real
+    triphone LVCSR decode."""
+    from montreal_forced_aligner_tpu.transcription import (
+        transcriber as tmod,
+    )
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        LvcsrXwGraph,
+        lvcsr_xw_backtrace_host,
+    )
+
+    tmp, corpus_dir, dict_path, model, _tri, _truths = tri_setup
+    model_path = tmp / "tri_btdev.zip"
+    model.save(model_path)
+    corpus = Corpus.load(corpus_dir)
+    tr = tmod.Transcriber(model_path, dict_path, batch_size=4)
+    monkeypatch.setattr(tmod.Transcriber, "LVCSR_WORD_THRESHOLD", 0)
+    captured = []
+    orig = tmod.Transcriber._lvcsr_decode_device
+
+    def spy(self, ff, flens, W, gconsts):
+        handle = orig(self, ff, flens, W, gconsts)
+        captured.append((handle, np.array(flens)))
+        return handle
+
+    monkeypatch.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
+    tr.transcribe_corpus(corpus)
+    assert isinstance(tr._lvcsr, LvcsrXwGraph) and captured
+    for handle, flens in captured:
+        kind, (alpha_T, recs) = handle
+        assert kind == "xw"
+        host_rows = lvcsr_xw_backtrace_host(
+            tr._lvcsr, np.asarray(alpha_T), recs, flens
+        )
+        dev_rows = tr._lvcsr_rows(
+            tr._lvcsr_backtrace_device_dispatch(handle, flens), flens
+        )
+        for (hp, hs, he), (dp, ds, de) in zip(host_rows, dev_rows):
+            np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
+            assert abs(ds - hs) < 1e-4
+            assert de == he
