@@ -133,24 +133,28 @@ def measure_scaling(
     """Weak-scaling sweep of the SPMD accumulate step.
 
     For each N in ``device_counts`` (defaults to powers of two up to the
-    attached device count): mesh over the first N devices, global batch
-    N * per_device_batch, median-of-``repeats`` step wall time after
-    ``warmup`` compiled runs. Returns a dict with per-N rows and
-    ``weak_efficiency`` (t_1 / t_N; 1.0 = perfect).
+    attached device count; always swept ascending): mesh over the first N
+    devices, global batch N * per_device_batch, min/median step wall time
+    over ``repeats`` after ``warmup`` compiled runs. Returns a dict with
+    per-N rows and ``weak_efficiency`` = t(smallest measured mesh) /
+    t(N); with the default counts the baseline is the 1-device row and
+    1.0 = perfect weak scaling.
     """
     devices = jax.devices()
     if device_counts is None:
         device_counts = [
             n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)
         ]
+    # ascending so the efficiency baseline is the smallest mesh measured
+    # (the 1-device row when present)
+    device_counts = sorted(n for n in device_counts if n <= len(devices))
     kw = dict(num_frames=num_frames)
     kw.update(workload_kwargs or {})
     rows = []
     t1 = None
     check = None
+    stat_check_ok = True
     for n in device_counts:
-        if n > len(devices):
-            continue
         mesh = Mesh(np.array(devices[:n]), ("data",))
         step = make_sharded_accumulate_step(mesh)
         args = build_workload(n * per_device_batch, **kw)
@@ -171,6 +175,8 @@ def measure_scaling(
         occ_sum = float(np.asarray(outs[2]).sum())
         if check is None:
             check = occ_sum / n
+        elif abs(occ_sum / n - check) > 1e-3 * max(abs(check), 1.0):
+            stat_check_ok = False
         if t1 is None:
             t1 = best
         rows.append(
@@ -220,6 +226,9 @@ def measure_scaling(
     platform = devices[0].platform if devices else "none"
     return {
         "mesh_overhead_1dev_pct": mesh_overhead_pct,
+        # False would mean the psum program dropped or double-counted a
+        # shard somewhere in the sweep — never publish such a run
+        "stat_check_ok": stat_check_ok,
         "metric": "weak_scaling_efficiency",
         "platform": platform,
         "host_cpus": os.cpu_count(),

@@ -345,6 +345,34 @@ def _chunk_pdf_frames(emit_pdf: jnp.ndarray, TC: int):
     return ep, t0s, NC
 
 
+def _scan_chunked(step, init_carry, emit_pdf: jnp.ndarray,
+                  state_pdf: jnp.ndarray):
+    """Shared chunked-emission driver for every decode kernel.
+
+    Runs ``step(carry, (emit_t (B,S), t))`` over frames 1..T-1, expanding
+    pdf emissions to state emissions one _EMIT_TC-frame chunk at a time
+    (see :func:`_emit_chunker`). ``init_carry`` maps the frame-0 state
+    emissions (B, S) to the scan's initial carry. Returns (final carry,
+    records reshaped to a flat >= T-1 frame axis; the tail chunk padding
+    is inert)."""
+    S = state_pdf.shape[0]
+    mat = _emit_chunker(state_pdf, emit_pdf.shape[2], S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def chunk_step(carry, inputs):
+        echunk, t0 = inputs
+        return jax.lax.scan(
+            step, carry, (mat(echunk), t0 + jnp.arange(_EMIT_TC))
+        )
+
+    carry0 = init_carry(mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0])
+    carry_T, recs = jax.lax.scan(chunk_step, carry0, (ep, t0s))
+    recs = jax.tree_util.tree_map(
+        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
+    )
+    return carry_T, recs
+
+
 @partial(jax.jit, static_argnames=("lb", "ub"))
 def lvcsr_decode_device(
     emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
@@ -430,25 +458,8 @@ def lvcsr_decode_device(
         alpha_out = jnp.where(active, alpha_new, alpha_prev)
         return alpha_out, (bp_packed, ent_src, exit_arg, bo_arg)
 
-    P = emit_pdf.shape[2]
-    mat = _emit_chunker(state_pdf, P, S)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-
-    def chunk_step(alpha, inputs):
-        echunk, t0 = inputs
-        e_states = mat(echunk)  # (TC, B, S)
-        return jax.lax.scan(
-            step, alpha, (e_states, t0 + jnp.arange(_EMIT_TC))
-        )
-
-    alpha0 = start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
-    alpha_T, recs = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
-    # (NC, TC, ...) -> (NC*TC, ...): >= T-1 entries; tail frames are inert
-    # (the backtrace masks on frame_lengths and slices its outputs to T)
-    recs = jax.tree_util.tree_map(
-        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
-    )
-    return alpha_T, recs
+    return _scan_chunked(step, lambda e0: start[None] + e0, emit_pdf,
+                         state_pdf)
 
 
 @partial(jax.jit, static_argnames=("lb", "T"))
@@ -983,23 +994,8 @@ def lvcsr_xw_decode_device(
         return alpha_out, (bp_packed, ent_src, ent_l, cell_arg, BOFarg,
                            BO2arg)
 
-    Np = emit_pdf.shape[2]
-    mat = _emit_chunker(state_pdf, Np, S)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-
-    def chunk_step(alpha, inputs):
-        echunk, t0 = inputs
-        e_states = mat(echunk)  # (TC, B, S)
-        return jax.lax.scan(
-            step, alpha, (e_states, t0 + jnp.arange(_EMIT_TC))
-        )
-
-    alpha0 = start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
-    alpha_T, recs = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
-    recs = jax.tree_util.tree_map(
-        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
-    )
-    return alpha_T, recs
+    return _scan_chunked(step, lambda e0: start[None] + e0, emit_pdf,
+                         state_pdf)
 
 
 @partial(jax.jit, static_argnames=("lb", "F", "RG", "T"))
@@ -1263,38 +1259,25 @@ def lvcsr_xw_nbest_device(
         )
         return (alpha_out, hist_out), recs
 
-    Np = emit_pdf.shape[2]
-    mat = _emit_chunker(state_pdf, Np, S)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-
-    def chunk_step(carry, inputs):
-        echunk, t0 = inputs
-        e_states = mat(echunk)
-        return jax.lax.scan(
-            step, carry, (e_states, t0 + jnp.arange(_EMIT_TC))
-        )
-
-    alpha0 = jnp.concatenate(
-        [
-            (start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0])[
-                :, :, None
+    def init_carry(e0):
+        alpha0 = jnp.concatenate(
+            [
+                (start[None] + e0)[:, :, None],
+                jnp.full((B, S, K - 1), NEG_INF),
             ],
-            jnp.full((B, S, K - 1), NEG_INF),
-        ],
-        axis=2,
-    )
-    hash0 = jnp.concatenate(
-        [
-            jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
-            jnp.zeros((B, S, K - 1), jnp.uint32),
-        ],
-        axis=2,
-    )
-    (alpha_T, hist_T), recs = jax.lax.scan(
-        chunk_step, (alpha0, hash0), (ep, t0s)
-    )
-    recs = jax.tree_util.tree_map(
-        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
+            axis=2,
+        )
+        hash0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
+                jnp.zeros((B, S, K - 1), jnp.uint32),
+            ],
+            axis=2,
+        )
+        return alpha0, hash0
+
+    (alpha_T, hist_T), recs = _scan_chunked(
+        step, init_carry, emit_pdf, state_pdf
     )
     return alpha_T, hist_T, recs
 
@@ -1306,12 +1289,13 @@ def lvcsr_xw_nbest_backtrace_host(
     recs,
     frame_lengths: np.ndarray,
     nbest: int,
+    T: int = 0,  # true frame count (records may carry chunk padding)
 ) -> List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]]:
     """Per-utterance hypotheses [(state_path, score, word events)], best
     first — K-best cross-word analogue of :func:`lvcsr_nbest_backtrace_host`."""
     cand_sel, ent_sel, bo2_sel, exit_sel = [np.asarray(r) for r in recs]
     B, S, K = alpha_T.shape
-    T = cand_sel.shape[0] + 1
+    T = T or cand_sel.shape[0] + 1
     D = graph.lb + graph.ub + 1
     ka = graph.kbest_arrays()
     seg_cells, ebo_seg = ka["seg_cells"], ka["ebo_seg"]
@@ -1505,38 +1489,25 @@ def lvcsr_nbest_device(
         )
         return (alpha_out, hist_out), recs
 
-    P = emit_pdf.shape[2]
-    mat = _emit_chunker(state_pdf, P, S)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-
-    def chunk_step(carry, inputs):
-        echunk, t0 = inputs
-        e_states = mat(echunk)
-        return jax.lax.scan(
-            step, carry, (e_states, t0 + jnp.arange(_EMIT_TC))
-        )
-
-    alpha0 = jnp.concatenate(
-        [
-            (start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0])[
-                :, :, None
+    def init_carry(e0):
+        alpha0 = jnp.concatenate(
+            [
+                (start[None] + e0)[:, :, None],
+                jnp.full((B, S, K - 1), NEG_INF),
             ],
-            jnp.full((B, S, K - 1), NEG_INF),
-        ],
-        axis=2,
-    )
-    hash0 = jnp.concatenate(
-        [
-            jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
-            jnp.zeros((B, S, K - 1), jnp.uint32),
-        ],
-        axis=2,
-    )
-    (alpha_T, hist_T), recs = jax.lax.scan(
-        chunk_step, (alpha0, hash0), (ep, t0s)
-    )
-    recs = jax.tree_util.tree_map(
-        lambda x: x.reshape((NC * _EMIT_TC,) + x.shape[2:]), recs
+            axis=2,
+        )
+        hash0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(state0_hash[None, :, None], (B, S, 1)),
+                jnp.zeros((B, S, K - 1), jnp.uint32),
+            ],
+            axis=2,
+        )
+        return alpha0, hash0
+
+    (alpha_T, hist_T), recs = _scan_chunked(
+        step, init_carry, emit_pdf, state_pdf
     )
     return alpha_T, hist_T, recs
 
@@ -1548,12 +1519,13 @@ def lvcsr_nbest_backtrace_host(
     recs,  # stacked step records
     frame_lengths: np.ndarray,
     nbest: int,
+    T: int = 0,  # true frame count (records may carry chunk padding)
 ) -> List[List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]]:
     """Per-utterance list of up to ``nbest`` distinct-word-sequence
     hypotheses, best first: [(state_path (T,), score, word events)]."""
     cand_sel, ent_sel, bo_sel, exit_sel = [np.asarray(r) for r in recs]
     B, S, K = alpha_T.shape
-    T = cand_sel.shape[0] + 1
+    T = T or cand_sel.shape[0] + 1
     D = graph.lb + graph.ub + 1
     Kb = graph.big_pred.shape[1]
     entry_slot = {int(s): i for i, s in enumerate(graph.entry_idx)}

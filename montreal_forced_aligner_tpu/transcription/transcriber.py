@@ -504,6 +504,11 @@ class Transcriber:
             _time.time() - _t0,
         )
 
+        if self._lvcsr is not None:
+            # split BEFORE the fMLLR first pass too: its LVCSR decode
+            # materializes the same O(T*S) records as the final decode
+            prepared = self._lvcsr_split_rows(prepared, nbest)
+
         if al.model.uses_fmllr and al.model.alignment_model is not None:
             prepared = self._fmllr_decode_feats(
                 prepared, corpus, speaker_index
@@ -667,18 +672,26 @@ class Transcriber:
 
         g = self._lvcsr
         S = int(g.num_states)
+        K = max(1, nbest)
         if isinstance(g, LvcsrXwGraph):
             Ne = len(g.entry_state)
             Nc = g.cell_exit_idx.shape[0]
             RG, F = g.rg_mask.shape
             P = g.num_p
-            per = S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+            if K > 1:
+                # cand_sel i16 (S,K) + ent_sel i32 (Ne,K) + bo2/exit i32
+                per = K * (2 * S + 4 * Ne + 4 * Nc + 4 * P * RG)
+            else:
+                per = S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
         else:
             U = g.exit_idx.shape[0]
             V = g.p1.shape[0]
-            per = S + V + U + 4
-        if nbest > 1:  # K-best records carry a K axis in wider dtypes
-            per = (per + S * 2) * nbest * 4
+            if K > 1:
+                # cand_sel i16 (S,K) + ent_sel i32 (V,K) + exit_sel i16
+                # (U,K) + bo_sel i32 (K,)
+                per = K * (2 * S + 4 * V + 2 * U + 4)
+            else:
+                per = S + V + U + 4
         return per
 
     def _lvcsr_split_rows(self, prepared, nbest: int = 1):
@@ -752,17 +765,6 @@ class Transcriber:
                 handle, flens, T=int(ff.shape[1])
             ),
             flens,
-        )
-
-    def _lvcsr_backtrace(self, handle, flens, T: int = 0):
-        """Backtrace the device outputs of :meth:`_lvcsr_decode_device`.
-
-        The backtrace itself runs ON DEVICE (the O(T*S) records never
-        cross the link; see ``lvcsr.lvcsr_backtrace_device``) — this
-        method only fetches the (B, T) path/word outputs and assembles the
-        host rows."""
-        return self._lvcsr_rows(
-            self._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
         )
 
     def _lvcsr_backtrace_device_dispatch(self, handle, flens, T: int = 0):
@@ -910,7 +912,7 @@ class Transcriber:
             )
             rows = lvcsr_xw_nbest_backtrace_host(
                 g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens,
-                nbest,
+                nbest, T=int(ff.shape[1]),
             )
             return rows, g
         alpha_T, hist_T, recs = lvcsr_nbest_device(
@@ -934,7 +936,8 @@ class Transcriber:
             nbest,
         )
         rows = lvcsr_nbest_backtrace_host(
-            g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, nbest
+            g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, nbest,
+            T=int(ff.shape[1]),
         )
         return rows, g
 
