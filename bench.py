@@ -438,6 +438,82 @@ def main():
             except Exception as e:
                 print(f"transcribe workload failed: {e!r}", file=sys.stderr)
 
+        # ---- LVCSR transcription at scale (V=20k, S~450k; the exact
+        # backoff-junction decoder — this workload OOM'd the chip before
+        # the round-4 pdf-chunked-emission/device-backtrace rework)
+        lvcsr_tp = None
+        lv_budget = float(os.environ.get("MFA_TPU_BENCH_LVCSR_BUDGET", 1000))
+        if not SMALL and time.time() - t_start < lv_budget:
+            try:
+                from montreal_forced_aligner_tpu.language_modeling.ngram import (
+                    train_lm_from_texts,
+                )
+                from montreal_forced_aligner_tpu.transcription.transcriber import (
+                    Transcriber,
+                )
+
+                rng = np.random.RandomState(11)
+                # deterministic junk lexicon over the model's own phones
+                # (sorted: shape determinism keeps the XLA cache warm)
+                phones = sorted(
+                    {
+                        p
+                        for line in open(dict_path, encoding="utf-8")
+                        for p in line.split()[1:]
+                    }
+                )
+                lv_dict = tmp / "lvcsr_dict.txt"
+                lv_words = []
+                with open(lv_dict, "w", encoding="utf-8") as f:
+                    f.write(open(dict_path, encoding="utf-8").read())
+                    for j in range(20000):
+                        w = f"junk{j}"
+                        pron = " ".join(
+                            rng.choice(phones, rng.randint(4, 10))
+                        )
+                        f.write(f"{w}\t{pron}\n")
+                        lv_words.append(w)
+                lm, _ = train_lm_from_texts(
+                    [
+                        " ".join(lv_words[i : i + 6])
+                        for i in range(0, 20000, 6)
+                    ],
+                    order=2,
+                )
+                t0 = time.time()
+                lv = Transcriber(model_path, lv_dict, lm=lm, batch_size=8)
+                lv._ensure_graph()
+                PARTIAL.setdefault("warmup_s", {})["lvcsr_graph"] = round(
+                    time.time() - t0, 2
+                )
+                PARTIAL["lvcsr_states"] = int(lv._lvcsr.num_states)
+                order = np.argsort(
+                    [u.num_samples or 0 for u in mono_corpus.utterances]
+                )
+                lv_corpus = mono_corpus.subset(list(order[:16]))
+                lv_audio = sum(
+                    (u.num_samples or 0) / 16000.0
+                    for u in lv_corpus.utterances
+                )
+                t0 = time.time()
+                lv.transcribe_corpus(lv_corpus)  # warm-up / compile
+                PARTIAL.setdefault("warmup_s", {})["lvcsr"] = round(
+                    time.time() - t0, 2
+                )
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    out = lv.transcribe_corpus(lv_corpus)
+                    times.append(time.time() - t0)
+                assert len(out) == lv_corpus.num_utterances
+                PARTIAL.setdefault("repeat_s", {})["lvcsr"] = [
+                    round(t, 3) for t in times
+                ]
+                lvcsr_tp = lv_audio / min(times)
+                PARTIAL["lvcsr_throughput"] = round(lvcsr_tp, 2)
+            except Exception as e:
+                print(f"LVCSR workload failed: {e!r}", file=sys.stderr)
+
     PARTIAL["tunnel_end"] = probe_tunnel()
     telemetry = {
         # measured this run: attribute any shortfall to weather vs code
@@ -468,6 +544,13 @@ def main():
                     None if transcribe_tp is None else round(transcribe_tp, 2)
                 ),
                 "transcribe_workload": "dense decode, corpus-trained LM",
+                "lvcsr_throughput": (
+                    None if lvcsr_tp is None else round(lvcsr_tp, 2)
+                ),
+                "lvcsr_workload": (
+                    f"exact backoff-junction decode, V=20k words, "
+                    f"S={PARTIAL.get('lvcsr_states')} states"
+                ),
                 # pure device compute on the SAT batch (transfer-independent,
                 # stable across tunnel weather)
                 "device_throughput": PARTIAL.get("device_throughput"),
@@ -504,6 +587,7 @@ def _watchdog_main():
                     "transcribe_throughput": PARTIAL.get(
                         "transcribe_throughput"
                     ),
+                    "lvcsr_throughput": PARTIAL.get("lvcsr_throughput"),
                     "device_throughput": PARTIAL.get("device_throughput"),
                     "telemetry": {
                         "tunnel_start": PARTIAL.get("tunnel_start"),

@@ -294,6 +294,10 @@ _EMIT_TC = 32
 # wide-row gather (exact either way; the matmul needs the (S, P) f32 table
 # resident in HBM)
 _OH_TABLE_MAX = float(os.environ.get("MFA_TPU_LVCSR_OH_BYTES", 2e9))
+# device-resident record budget (shared with Transcriber.LVCSR_REC_BYTES):
+# batches split to fit it, and a cross-word expansion that cannot fit even
+# one row falls back to the word-internal graph at build time
+_REC_BUDGET = float(os.environ.get("MFA_TPU_LVCSR_REC_BYTES", 4e9))
 
 
 def _emit_chunker(state_pdf: jnp.ndarray, P: int, S: int):
@@ -871,6 +875,21 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     fin_w = np.asarray(
         [w + eos_row[u] for _s, w, u in finals], np.float32
     )
+
+    # the decoder's per-frame records must fit the HBM budget at B=1 for
+    # a realistic utterance; a context expansion past that point cannot
+    # decode at all, so fall back (via build()'s ValueError handler) to
+    # the word-internal graph rather than OOM at decode time
+    S_xw = len(garrs["state_pdf"][0])
+    per_row = S_xw + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+    nominal_T = 3000  # 30 s at a 10 ms shift
+    if per_row * nominal_T > _REC_BUDGET:
+        raise ValueError(
+            f"cross-word expansion too large to decode: "
+            f"{per_row * nominal_T / 1e9:.1f} GB of records per 30 s "
+            f"utterance (S={S_xw}, entry slots={Ne}) exceeds the "
+            f"{_REC_BUDGET / 1e9:.1f} GB budget (MFA_TPU_LVCSR_REC_BYTES)"
+        )
 
     return LvcsrXwGraph(
         words=vocab,

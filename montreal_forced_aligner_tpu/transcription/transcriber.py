@@ -661,7 +661,11 @@ class Transcriber:
     # beyond it split into sub-batches. Peak HBM runs ~2.5x this figure
     # (the backtrace's lax.scan stages a copy of its record xs), so the
     # default keeps peak near 10 GB of the ~16 GB a v5e chip has.
-    LVCSR_REC_BYTES = float(os.environ.get("MFA_TPU_LVCSR_REC_BYTES", 4e9))
+    # (Shared with lvcsr._REC_BUDGET, which additionally gates the
+    # cross-word build fallback.)
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        _REC_BUDGET as LVCSR_REC_BYTES,  # noqa: N815
+    )
 
     def _lvcsr_rec_bytes_per_frame_row(self, nbest: int = 1) -> int:
         """Per-(frame, batch-row) bytes of the decode records (used to cap

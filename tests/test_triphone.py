@@ -385,3 +385,29 @@ def test_xw_device_backtrace_matches_host(tri_setup, monkeypatch):
             np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
             assert abs(ds - hs) < 1e-4
             assert de == he
+
+
+def test_xw_build_falls_back_when_records_exceed_budget(tri_setup, monkeypatch):
+    """A cross-word expansion whose decode records cannot fit the HBM
+    budget even at one batch row must fall back to the word-internal
+    graph at build time instead of OOMing at decode time."""
+    from montreal_forced_aligner_tpu.transcription import lvcsr as lv
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        Transcriber,
+    )
+
+    tmp, corpus_dir, dict_path, model, _tri, _truths = tri_setup
+    model_path = tmp / "tri_fallback.zip"
+    model.save(model_path)
+    corpus = Corpus.load(corpus_dir)
+    base = Transcriber(model_path, dict_path, batch_size=4)
+    base.transcribe_corpus(corpus)  # trains the LM
+
+    monkeypatch.setattr(lv, "_REC_BUDGET", 1.0)
+    tr = Transcriber(model_path, dict_path, lm=base.lm, batch_size=4)
+    monkeypatch.setattr(Transcriber, "LVCSR_WORD_THRESHOLD", 0)
+    tr._ensure_graph()
+    assert tr._lvcsr is not None
+    assert not isinstance(tr._lvcsr, lv.LvcsrXwGraph), (
+        "expected word-internal fallback under a 1-byte record budget"
+    )
