@@ -481,7 +481,10 @@ def main():
                     order=2,
                 )
                 t0 = time.time()
-                lv = Transcriber(model_path, lv_dict, lm=lm, batch_size=8)
+                # one 16-row batch: the checkpointed decode's per-row
+                # memory (no O(T*S) backpointer records) allows it, and
+                # the per-frame junction is shared across rows
+                lv = Transcriber(model_path, lv_dict, lm=lm, batch_size=16)
                 lv._ensure_graph()
                 PARTIAL.setdefault("warmup_s", {})["lvcsr_graph"] = round(
                     time.time() - t0, 2

@@ -377,6 +377,49 @@ def _scan_chunked(step, init_carry, emit_pdf: jnp.ndarray,
     return carry_T, recs
 
 
+def _flat_band_max(alpha_prev, band_cols, lb, ub):
+    """Intra-word band max-plus pass: (m (B,S), bp (B,S) uint8)."""
+    S = alpha_prev.shape[1]
+    ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
+    m = jnp.full_like(alpha_prev, NEG_INF)
+    bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+    for j in range(len(band_cols)):
+        d = j - lb
+        c = ap[:, ub - d : ub - d + S] + band_cols[j]
+        take = c > m
+        m = jnp.where(take, c, m)
+        bp = jnp.where(take, jnp.uint8(j), bp)
+    return m, bp
+
+
+def _flat_junction(
+    alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, with_args: bool
+):
+    """Backoff-LM junction. ``with_args=False`` (the checkpoint-backtrace
+    recompute) skips the argmax records — the values alone reproduce the
+    alpha recursion exactly."""
+    B = alpha_prev.shape[0]
+    U, E = exit_w.shape
+    V, Kb = big_pred.shape
+    ex = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, U, E) + exit_w
+    exit_u = jnp.max(ex, axis=2)  # (B, U)
+    bo_sc = exit_u + bo
+    BO = jnp.max(bo_sc, axis=1)
+    big = jnp.take(exit_u, big_pred.reshape(-1), axis=1).reshape(
+        B, V, Kb
+    ) + big_w
+    big_best = jnp.max(big, axis=2)
+    bo_path = BO[:, None] + p1
+    ent_v = jnp.maximum(bo_path, big_best)  # (B, V)
+    if not with_args:
+        return ent_v, None, None, None
+    exit_arg = jnp.argmax(ex, axis=2).astype(jnp.uint8)
+    bo_arg = jnp.argmax(bo_sc, axis=1).astype(jnp.int32)
+    big_arg = jnp.argmax(big, axis=2).astype(jnp.int8)
+    ent_src = jnp.where(bo_path >= big_best, jnp.int8(-1), big_arg)
+    return ent_v, ent_src, exit_arg, bo_arg
+
+
 @partial(jax.jit, static_argnames=("lb", "ub"))
 def lvcsr_decode_device(
     emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
@@ -409,49 +452,23 @@ def lvcsr_decode_device(
     ent_src (B,V) int8 (-1 = backoff), exit_arg (B,U) uint8, bo_arg (B,)
     i32, plus final alpha (B,S). Records are sized for DEVICE residence:
     consume them with :func:`lvcsr_backtrace_device` (fetching them to the
-    host is O(T*S) bytes over the slow link).
+    host is O(T*S) bytes over the slow link). For large batches prefer
+    the checkpointed pair :func:`lvcsr_decode_ckpt_device` /
+    :func:`lvcsr_backtrace_ckpt_device`, whose memory does not carry the
+    O(T*S) term.
     """
-    B, T, _P = emit_pdf.shape
-    S = state_pdf.shape[0]
     D = lb + ub + 1
     assert D <= 127, "band width must fit 7 bits of the packed backpointer"
-    U, E = exit_idx.shape
-    V = p1.shape[0]
     band_cols = [band[:, j] for j in range(D)]
     exit_flat = exit_idx.reshape(-1)  # (U*E,)
 
-    def junction(alpha_prev):
-        ex = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, U, E) + exit_w
-        exit_arg = jnp.argmax(ex, axis=2).astype(jnp.uint8)
-        exit_u = jnp.max(ex, axis=2)  # (B, U)
-        bo_sc = exit_u + bo
-        bo_arg = jnp.argmax(bo_sc, axis=1).astype(jnp.int32)
-        BO = jnp.take_along_axis(bo_sc, bo_arg[:, None], axis=1)[:, 0]
-        big = jnp.take(exit_u, big_pred.reshape(-1), axis=1).reshape(
-            B, V, big_pred.shape[1]
-        ) + big_w
-        big_best = jnp.max(big, axis=2)
-        big_arg = jnp.argmax(big, axis=2).astype(jnp.int8)
-        bo_path = BO[:, None] + p1
-        use_bo = bo_path >= big_best
-        ent_v = jnp.maximum(bo_path, big_best)  # (B, V)
-        ent_src = jnp.where(use_bo, jnp.int8(-1), big_arg)
-        return ent_v, ent_src, exit_arg, bo_arg
-
     def step(alpha_prev, inputs):
         emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
-        # intra-word band max
-        ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
-        m = jnp.full_like(alpha_prev, NEG_INF)
-        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
-        for j in range(D):
-            d = j - lb
-            c = ap[:, ub - d : ub - d + S] + band_cols[j]
-            take = c > m
-            m = jnp.where(take, c, m)
-            bp = jnp.where(take, jnp.uint8(j), bp)
+        m, bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
         # LM junction (word exit -> entry between frames)
-        ent_v, ent_src, exit_arg, bo_arg = junction(alpha_prev)
+        ent_v, ent_src, exit_arg, bo_arg = _flat_junction(
+            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, True
+        )
         entry_cand = (
             jnp.take(ent_v, entry_word, axis=1) + entry_w
         )  # (B, Ne)
@@ -542,6 +559,181 @@ def lvcsr_backtrace_device(
     word_at_full = jnp.concatenate(
         [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
     )  # (B, Tp): word entered AT each frame (-1 = none)
+    return path[:, :T], word_at_full[:, :T], score
+
+
+@partial(jax.jit, static_argnames=("lb", "ub"))
+def lvcsr_decode_ckpt_device(
+    emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
+    state_pdf: jnp.ndarray,  # (S,)
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    entry_idx: jnp.ndarray,  # (Ne,)
+    entry_word: jnp.ndarray,
+    entry_w: jnp.ndarray,
+    p1: jnp.ndarray,
+    bo: jnp.ndarray,
+    big_pred: jnp.ndarray,  # (V, Kb)
+    big_w: jnp.ndarray,
+    lb: int,
+    ub: int,
+):
+    """Checkpointed forward pass (the at-scale production path).
+
+    Stores alpha once per _EMIT_TC-frame chunk plus the small per-frame
+    junction records — NOT the (B, S) band backpointers — so per-row
+    device memory drops from O(T*S) to O(T*S/TC + T*(V+U)). That ~TC-fold
+    cut is what lets the batch dimension grow enough to amortize the
+    per-frame junction, whose gathers are batch-size-independent (they
+    run once per scan step, shared by every row).
+    :func:`lvcsr_backtrace_ckpt_device` re-runs each chunk's forward from
+    its checkpoint to regenerate the backpointers chunk-locally —
+    deterministic ops on identical inputs reproduce every decision
+    bit-exactly.
+
+    Returns ``(alpha_T (B,S), ckpts (NC,B,S) — alpha entering each chunk,
+    recs)`` with recs leaves shaped (NC, TC, B, ...) for the chunked
+    backtrace.
+    """
+    D = lb + ub + 1
+    band_cols = [band[:, j] for j in range(D)]
+    exit_flat = exit_idx.reshape(-1)
+    S = state_pdf.shape[0]
+    mat = _emit_chunker(state_pdf, emit_pdf.shape[2], S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs
+        m, _bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
+        ent_v, ent_src, exit_arg, bo_arg = _flat_junction(
+            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, True
+        )
+        entry_cand = jnp.take(ent_v, entry_word, axis=1) + entry_w
+        m2 = m.at[:, entry_idx].max(entry_cand)
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        return alpha_out, (ent_src, exit_arg, bo_arg)
+
+    def chunk_step(alpha, inputs):
+        echunk, t0 = inputs
+        alpha_new, recs = jax.lax.scan(
+            step, alpha, (mat(echunk), t0 + jnp.arange(_EMIT_TC))
+        )
+        return alpha_new, (alpha, recs)  # checkpoint = alpha ENTERING chunk
+
+    alpha0 = start[None] + mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
+    alpha_T, (ckpts, recs) = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
+    return alpha_T, ckpts, recs
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "T"))
+def lvcsr_backtrace_ckpt_device(
+    alpha_T: jnp.ndarray,  # (B, S)
+    ckpts: jnp.ndarray,  # (NC, B, S)
+    recs,  # junction records, leaves (NC, TC, B, ...)
+    emit_pdf: jnp.ndarray,  # (B, T, P) — re-expanded per chunk
+    state_pdf: jnp.ndarray,  # (S,)
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    eos: jnp.ndarray,  # (U,)
+    entry_idx: jnp.ndarray,  # (Ne,)
+    entry_word: jnp.ndarray,  # (Ne,)
+    entry_w: jnp.ndarray,
+    p1: jnp.ndarray,
+    bo: jnp.ndarray,
+    big_pred: jnp.ndarray,  # (V, Kb)
+    big_w: jnp.ndarray,
+    entry_slot_of_state: jnp.ndarray,  # (S,)
+    state_word: jnp.ndarray,  # (S,)
+    lb: int,
+    ub: int,
+    T: int,
+):
+    """Backtrace for :func:`lvcsr_decode_ckpt_device`: chunks are visited
+    last-to-first; each re-runs its forward from the stored checkpoint
+    (regenerating the packed band backpointers for its TC frames only —
+    O(TC*B*S) transient), then reverse-scans them exactly like
+    :func:`lvcsr_backtrace_device`. Outputs are identical to the
+    record-based pair (pinned by tests)."""
+    B, S = alpha_T.shape
+    D = lb + ub + 1
+    band_cols = [band[:, j] for j in range(D)]
+    exit_flat = exit_idx.reshape(-1)
+    U, E = exit_idx.shape
+    mat = _emit_chunker(state_pdf, emit_pdf.shape[2], S)
+    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+    rows = jnp.arange(B)
+
+    ex = jnp.take(alpha_T, exit_flat, axis=1).reshape(B, U, E) + exit_w
+    ex_best = jnp.max(ex, axis=2) + eos
+    u0 = jnp.argmax(ex_best, axis=1)
+    score = jnp.take_along_axis(ex_best, u0[:, None], axis=1)[:, 0]
+    e0 = jnp.argmax(
+        jnp.take_along_axis(ex, u0[:, None, None], axis=1)[:, 0], axis=1
+    )
+    s_final = exit_idx[u0, e0].astype(jnp.int32)
+
+    def fstep(alpha_prev, inputs):
+        emit_t, t = inputs
+        m, bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
+        ent_v, _s, _e, _b = _flat_junction(
+            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, False
+        )
+        entry_cand = jnp.take(ent_v, entry_word, axis=1) + entry_w
+        m2 = m.at[:, entry_idx].max(entry_cand)
+        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        return jnp.where(active, alpha_new, alpha_prev), bp_packed
+
+    def bstep(s, inputs):
+        bp_r, ent_r, exar_r, boar_r, r = inputs
+        t = r + 1
+        packed = bp_r[rows, s]
+        slot = entry_slot_of_state[s]
+        is_junc = ((packed & jnp.uint8(0x80)) != 0) & (slot >= 0)
+        v = entry_word[jnp.clip(slot, 0)]
+        k = ent_r[rows, v].astype(jnp.int32)
+        src_u = jnp.where(k < 0, boar_r, big_pred[v, jnp.clip(k, 0)])
+        s_j = exit_idx[src_u, exar_r[rows, src_u].astype(jnp.int32)]
+        s_band = s - ((packed & jnp.uint8(0x7F)).astype(jnp.int32) - lb)
+        s_new = jnp.where(is_junc, s_j.astype(jnp.int32), s_band)
+        active = t < frame_lengths
+        s_out = jnp.where(active, s_new, s)
+        word_at_t = jnp.where(active & is_junc, v.astype(jnp.int32), -1)
+        return s_out, (s_out, word_at_t)
+
+    def chunk_bt(s, inputs):
+        ck, echunk, (entr, exar, boar), t0 = inputs
+        _a, bp_chunk = jax.lax.scan(
+            fstep, ck, (mat(echunk), t0 + jnp.arange(_EMIT_TC))
+        )
+        return jax.lax.scan(
+            bstep,
+            s,
+            (bp_chunk, entr, exar, boar, t0 - 1 + jnp.arange(_EMIT_TC)),
+            reverse=True,
+        )
+
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        chunk_bt, s_final, (ckpts, ep, recs, t0s), reverse=True
+    )
+    path_prev = path_prev.reshape(NC * _EMIT_TC, B)
+    word_at = word_at.reshape(NC * _EMIT_TC, B)
+    path = jnp.concatenate(
+        [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
+    )
+    w0 = state_word[path[:, 0]].astype(jnp.int32)
+    word0 = jnp.where(w0 >= 0, w0, -1)
+    word_at_full = jnp.concatenate(
+        [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
+    )
     return path[:, :T], word_at_full[:, :T], score
 
 

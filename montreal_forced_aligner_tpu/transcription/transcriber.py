@@ -695,7 +695,13 @@ class Transcriber:
                 # (U,K) + bo_sel i32 (K,)
                 per = K * (2 * S + 4 * V + 2 * U + 4)
             else:
-                per = S + V + U + 4
+                # checkpointed decode: one f32 alpha checkpoint per
+                # _EMIT_TC frames + the small per-frame junction records
+                from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                    _EMIT_TC,
+                )
+
+                per = (4 * S) // _EMIT_TC + V + U + 4
         return per
 
     def _lvcsr_split_rows(self, prepared, nbest: int = 1):
@@ -780,10 +786,11 @@ class Transcriber:
             lvcsr_xw_backtrace_device,
         )
 
-        kind, (alpha_T, recs) = handle
+        kind, payload = handle
         g = self._lvcsr
         d = self._lvcsr_dev()
         if kind == "xw":
+            alpha_T, recs = payload
             RG, F = g.rg_mask.shape
             return lvcsr_xw_backtrace_device(
                 alpha_T, recs, jnp.asarray(flens),
@@ -792,6 +799,21 @@ class Transcriber:
                 d["cell_exit_idx"], d["state_word"],
                 g.lb, F, RG, T,
             )
+        if kind == "flat_ckpt":
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                lvcsr_backtrace_ckpt_device,
+            )
+
+            alpha_T, ckpts, recs, emit_pdf = payload
+            return lvcsr_backtrace_ckpt_device(
+                alpha_T, ckpts, recs, emit_pdf,
+                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["exit_idx"], d["exit_w"], d["eos"], d["entry_idx"],
+                d["entry_word"], d["entry_w"], d["p1"], d["bo"],
+                d["big_pred"], d["big_w"], d["entry_slot_of_state"],
+                d["state_word"], g.lb, g.ub, T or int(emit_pdf.shape[1]),
+            )
+        alpha_T, recs = payload
         return lvcsr_backtrace_device(
             alpha_T, recs, jnp.asarray(flens),
             d["exit_idx"], d["exit_w"], d["eos"], d["entry_word"],
@@ -852,7 +874,11 @@ class Transcriber:
                 g.num_p,
             )
             return ("xw", (alpha_T, recs))
-        alpha_T, recs = lvcsr_decode_device(
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_decode_ckpt_device,
+        )
+
+        alpha_T, ckpts, recs = lvcsr_decode_ckpt_device(
             emit_pdf,
             d["state_pdf"],
             jnp.asarray(flens),
@@ -870,7 +896,7 @@ class Transcriber:
             g.lb,
             g.ub,
         )
-        return ("flat", (alpha_T, recs))
+        return ("flat_ckpt", (alpha_T, ckpts, recs, emit_pdf))
 
     def _lvcsr_nbest_decode(self, ff, flens, W, gconsts, nbest):
         """K-best junction decode on one feature batch; returns per-row

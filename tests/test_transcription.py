@@ -557,23 +557,57 @@ def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
 
     def spy(self, ff, flens, W, gconsts):
         handle = orig(self, ff, flens, W, gconsts)
-        captured.append((handle, np.array(flens)))
+        captured.append((handle, np.array(flens), ff))
         return handle
 
     monkeypatch.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
     tr2.transcribe_corpus(corpus)
     assert tr2._lvcsr is not None and captured
-    for handle, flens in captured:
-        kind, (alpha_T, recs) = handle
-        assert kind == "flat"
+    import jax.numpy as jnp
+
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        lvcsr_decode_device,
+    )
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        _lvcsr_emissions,
+    )
+
+    g = tr2._lvcsr
+    d = tr2._lvcsr_dev()
+    al = tr2.aligner
+    for handle, flens, ff in captured:
+        kind, _payload = handle
+        # production path is the checkpointed pair
+        assert kind == "flat_ckpt"
+        T = int(ff.shape[1])
+        ckpt_rows = tr2._lvcsr_rows(
+            tr2._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
+        )
+        # reference #1: the record-based device pair on the same inputs
+        emit_pdf = _lvcsr_emissions(
+            ff, al._device_gmm[0], al._device_gmm[1], tr2.acoustic_scale
+        )
+        alpha_T, recs = lvcsr_decode_device(
+            emit_pdf, d["state_pdf"], jnp.asarray(flens), d["band"],
+            d["start"], d["exit_idx"], d["exit_w"], d["entry_idx"],
+            d["entry_word"], d["entry_w"], d["p1"], d["bo"],
+            d["big_pred"], d["big_w"], g.lb, g.ub,
+        )
+        rec_rows = tr2._lvcsr_rows(
+            tr2._lvcsr_backtrace_device_dispatch(
+                ("flat", (alpha_T, recs)), flens, T=T
+            ),
+            flens,
+        )
+        # reference #2: the python host backtrace over the records
         host_rows = lvcsr_backtrace_host(
-            tr2._lvcsr, np.asarray(alpha_T), recs, flens
+            g, np.asarray(alpha_T), recs, flens, T=T
         )
-        dev_rows = tr2._lvcsr_rows(
-            tr2._lvcsr_backtrace_device_dispatch(handle, flens), flens
-        )
-        assert len(host_rows) == len(dev_rows)
-        for (hp, hs, he), (dp, ds, de) in zip(host_rows, dev_rows):
+        assert len(host_rows) == len(ckpt_rows) == len(rec_rows)
+        for (hp, hs, he), (dp, ds, de), (cp, cs, ce) in zip(
+            host_rows, rec_rows, ckpt_rows
+        ):
             np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
-            assert abs(ds - hs) < 1e-4
-            assert de == he
+            np.testing.assert_array_equal(np.asarray(cp), np.asarray(hp))
+            assert abs(ds - hs) < 1e-4 and abs(cs - hs) < 1e-4
+            assert de == he and ce == he
