@@ -294,10 +294,20 @@ _EMIT_TC = 32
 # wide-row gather (exact either way; the matmul needs the (S, P) f32 table
 # resident in HBM)
 _OH_TABLE_MAX = float(os.environ.get("MFA_TPU_LVCSR_OH_BYTES", 2e9))
-# device-resident record budget (shared with Transcriber.LVCSR_REC_BYTES):
+# device-resident record budget (read through Transcriber._rec_budget():
 # batches split to fit it, and a cross-word expansion that cannot fit even
-# one row falls back to the word-internal graph at build time
+# one row falls back to the word-internal graph at build time)
 _REC_BUDGET = float(os.environ.get("MFA_TPU_LVCSR_REC_BYTES", 4e9))
+
+
+def xw_rec_bytes_per_frame_row(
+    S: int, Ne: int, Nc: int, P: int, F: int, RG: int
+) -> int:
+    """Per-(frame, batch-row) bytes of the cross-word decode records —
+    the single source for both the build-time fallback gate and the
+    transcriber's batch split (bp u8 (S) + ent_src i32/ent_l u8 (Ne) +
+    cell_arg u8 (Nc) + BOFarg i16 (P*F) + BO2arg i32 (P*RG))."""
+    return S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
 
 
 def _emit_chunker(state_pdf: jnp.ndarray, P: int, S: int):
@@ -392,6 +402,39 @@ def _flat_band_max(alpha_prev, band_cols, lb, ub):
     return m, bp
 
 
+def _make_flat_fstep(
+    band_cols, exit_flat, exit_w, bo, big_pred, big_w, p1, entry_word,
+    entry_w, entry_idx, frame_lengths, lb, ub, mode: str,
+):
+    """One flat forward step, single implementation for all three uses:
+    ``mode="records"`` emits the full per-frame records (record-based
+    decode), ``"ckpt"`` the junction records only (checkpointed decode),
+    ``"bp_only"`` the packed band backpointers only (the checkpointed
+    backtrace's chunk recompute). The bit-exactness contract between the
+    pairs rests on this being the only copy of the recursion."""
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
+        m, bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
+        ent_v, ent_src, exit_arg, bo_arg = _flat_junction(
+            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1,
+            mode != "bp_only",
+        )
+        entry_cand = jnp.take(ent_v, entry_word, axis=1) + entry_w
+        m2 = m.at[:, entry_idx].max(entry_cand)
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        if mode == "ckpt":
+            return alpha_out, (ent_src, exit_arg, bo_arg)
+        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
+        if mode == "bp_only":
+            return alpha_out, bp_packed
+        return alpha_out, (bp_packed, ent_src, exit_arg, bo_arg)
+
+    return step
+
+
 def _flat_junction(
     alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, with_args: bool
 ):
@@ -460,25 +503,10 @@ def lvcsr_decode_device(
     D = lb + ub + 1
     assert D <= 127, "band width must fit 7 bits of the packed backpointer"
     band_cols = [band[:, j] for j in range(D)]
-    exit_flat = exit_idx.reshape(-1)  # (U*E,)
-
-    def step(alpha_prev, inputs):
-        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
-        m, bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
-        # LM junction (word exit -> entry between frames)
-        ent_v, ent_src, exit_arg, bo_arg = _flat_junction(
-            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, True
-        )
-        entry_cand = (
-            jnp.take(ent_v, entry_word, axis=1) + entry_w
-        )  # (B, Ne)
-        m2 = m.at[:, entry_idx].max(entry_cand)
-        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
-        alpha_new = m2 + emit_t
-        active = (t < frame_lengths)[:, None]
-        alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, (bp_packed, ent_src, exit_arg, bo_arg)
-
+    step = _make_flat_fstep(
+        band_cols, exit_idx.reshape(-1), exit_w, bo, big_pred, big_w, p1,
+        entry_word, entry_w, entry_idx, frame_lengths, lb, ub, "records",
+    )
     return _scan_chunked(step, lambda e0: start[None] + e0, emit_pdf,
                          state_pdf)
 
@@ -512,7 +540,30 @@ def lvcsr_backtrace_device(
     Tp = bp_packed.shape[0] + 1
     T = T or Tp
 
-    # final state: best word exit + end-of-sentence LM weight
+    s_final, score = _flat_bt_init(alpha_T, exit_idx, exit_w, eos)
+    bstep = _make_flat_bstep(
+        frame_lengths, entry_slot_of_state, entry_word, big_pred, exit_idx,
+        lb, B,
+    )
+    r_iota = jnp.arange(Tp - 1)
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        bstep,
+        s_final,
+        (bp_packed, ent_src, exit_arg, bo_arg, r_iota),
+        reverse=True,
+    )
+    # path_prev[r] = path[r] for r in [0, Tp-2]; append the final state
+    path, word_at_full = _flat_bt_outputs(
+        path_prev, word_at, s_final, state_word, T
+    )
+    return path, word_at_full, score
+
+
+def _flat_bt_init(alpha_T, exit_idx, exit_w, eos):
+    """Final state + score: best word exit + end-of-sentence LM weight.
+    Shared by the record-based and checkpointed backtraces (their
+    bit-exactness contract depends on a single implementation)."""
+    B = alpha_T.shape[0]
     ex = jnp.take(alpha_T, exit_idx.reshape(-1), axis=1).reshape(
         B, *exit_idx.shape
     ) + exit_w  # (B, U, E)
@@ -522,10 +573,19 @@ def lvcsr_backtrace_device(
     e0 = jnp.argmax(
         jnp.take_along_axis(ex, u0[:, None, None], axis=1)[:, 0], axis=1
     )
-    s_final = exit_idx[u0, e0].astype(jnp.int32)  # (B,)
+    return exit_idx[u0, e0].astype(jnp.int32), score
+
+
+def _make_flat_bstep(
+    frame_lengths, entry_slot_of_state, entry_word, big_pred, exit_idx,
+    lb, B,
+):
+    """One reverse-scan backtrace step over per-frame records (shared by
+    both flat backtraces): carry = current state (B,), inputs =
+    (bp_r, ent_r, exarg_r, boarg_r, r)."""
     rows = jnp.arange(B)
 
-    def step(s, inputs):
+    def bstep(s, inputs):
         (bp_r, ent_r, exarg_r, boarg_r, r) = inputs
         t = r + 1
         packed = bp_r[rows, s]  # (B,) uint8
@@ -542,14 +602,12 @@ def lvcsr_backtrace_device(
         word_at_t = jnp.where(active & is_junc, v.astype(jnp.int32), -1)
         return s_out, (s_out, word_at_t)
 
-    r_iota = jnp.arange(Tp - 1)
-    _s0, (path_prev, word_at) = jax.lax.scan(
-        step,
-        s_final,
-        (bp_packed, ent_src, exit_arg, bo_arg, r_iota),
-        reverse=True,
-    )
-    # path_prev[r] = path[r] for r in [0, Tp-2]; append the final state
+    return bstep
+
+
+def _flat_bt_outputs(path_prev, word_at, s_final, state_word, T):
+    """Assemble (path, word_at, ) outputs from the reverse scan's stacked
+    ys; slices off any inert chunk padding past ``T``."""
     path = jnp.concatenate(
         [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
     )  # (B, Tp)
@@ -559,7 +617,7 @@ def lvcsr_backtrace_device(
     word_at_full = jnp.concatenate(
         [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
     )  # (B, Tp): word entered AT each frame (-1 = none)
-    return path[:, :T], word_at_full[:, :T], score
+    return path[:, :T], word_at_full[:, :T]
 
 
 @partial(jax.jit, static_argnames=("lb", "ub"))
@@ -599,24 +657,15 @@ def lvcsr_decode_ckpt_device(
     backtrace.
     """
     D = lb + ub + 1
+    assert D <= 127, "band width must fit 7 bits of the packed backpointer"
     band_cols = [band[:, j] for j in range(D)]
-    exit_flat = exit_idx.reshape(-1)
     S = state_pdf.shape[0]
     mat = _emit_chunker(state_pdf, emit_pdf.shape[2], S)
     ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-
-    def step(alpha_prev, inputs):
-        emit_t, t = inputs
-        m, _bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
-        ent_v, ent_src, exit_arg, bo_arg = _flat_junction(
-            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, True
-        )
-        entry_cand = jnp.take(ent_v, entry_word, axis=1) + entry_w
-        m2 = m.at[:, entry_idx].max(entry_cand)
-        alpha_new = m2 + emit_t
-        active = (t < frame_lengths)[:, None]
-        alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, (ent_src, exit_arg, bo_arg)
+    step = _make_flat_fstep(
+        band_cols, exit_idx.reshape(-1), exit_w, bo, big_pred, big_w, p1,
+        entry_word, entry_w, entry_idx, frame_lengths, lb, ub, "ckpt",
+    )
 
     def chunk_step(alpha, inputs):
         echunk, t0 = inputs
@@ -663,51 +712,21 @@ def lvcsr_backtrace_ckpt_device(
     record-based pair (pinned by tests)."""
     B, S = alpha_T.shape
     D = lb + ub + 1
+    assert D <= 127, "band width must fit 7 bits of the packed backpointer"
     band_cols = [band[:, j] for j in range(D)]
     exit_flat = exit_idx.reshape(-1)
-    U, E = exit_idx.shape
     mat = _emit_chunker(state_pdf, emit_pdf.shape[2], S)
     ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
-    rows = jnp.arange(B)
 
-    ex = jnp.take(alpha_T, exit_flat, axis=1).reshape(B, U, E) + exit_w
-    ex_best = jnp.max(ex, axis=2) + eos
-    u0 = jnp.argmax(ex_best, axis=1)
-    score = jnp.take_along_axis(ex_best, u0[:, None], axis=1)[:, 0]
-    e0 = jnp.argmax(
-        jnp.take_along_axis(ex, u0[:, None, None], axis=1)[:, 0], axis=1
+    s_final, score = _flat_bt_init(alpha_T, exit_idx, exit_w, eos)
+    bstep = _make_flat_bstep(
+        frame_lengths, entry_slot_of_state, entry_word, big_pred, exit_idx,
+        lb, B,
     )
-    s_final = exit_idx[u0, e0].astype(jnp.int32)
-
-    def fstep(alpha_prev, inputs):
-        emit_t, t = inputs
-        m, bp = _flat_band_max(alpha_prev, band_cols, lb, ub)
-        ent_v, _s, _e, _b = _flat_junction(
-            alpha_prev, exit_flat, exit_w, bo, big_pred, big_w, p1, False
-        )
-        entry_cand = jnp.take(ent_v, entry_word, axis=1) + entry_w
-        m2 = m.at[:, entry_idx].max(entry_cand)
-        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
-        alpha_new = m2 + emit_t
-        active = (t < frame_lengths)[:, None]
-        return jnp.where(active, alpha_new, alpha_prev), bp_packed
-
-    def bstep(s, inputs):
-        bp_r, ent_r, exar_r, boar_r, r = inputs
-        t = r + 1
-        packed = bp_r[rows, s]
-        slot = entry_slot_of_state[s]
-        is_junc = ((packed & jnp.uint8(0x80)) != 0) & (slot >= 0)
-        v = entry_word[jnp.clip(slot, 0)]
-        k = ent_r[rows, v].astype(jnp.int32)
-        src_u = jnp.where(k < 0, boar_r, big_pred[v, jnp.clip(k, 0)])
-        s_j = exit_idx[src_u, exar_r[rows, src_u].astype(jnp.int32)]
-        s_band = s - ((packed & jnp.uint8(0x7F)).astype(jnp.int32) - lb)
-        s_new = jnp.where(is_junc, s_j.astype(jnp.int32), s_band)
-        active = t < frame_lengths
-        s_out = jnp.where(active, s_new, s)
-        word_at_t = jnp.where(active & is_junc, v.astype(jnp.int32), -1)
-        return s_out, (s_out, word_at_t)
+    fstep = _make_flat_fstep(
+        band_cols, exit_flat, exit_w, bo, big_pred, big_w, p1,
+        entry_word, entry_w, entry_idx, frame_lengths, lb, ub, "bp_only",
+    )
 
     def chunk_bt(s, inputs):
         ck, echunk, (entr, exar, boar), t0 = inputs
@@ -726,15 +745,10 @@ def lvcsr_backtrace_ckpt_device(
     )
     path_prev = path_prev.reshape(NC * _EMIT_TC, B)
     word_at = word_at.reshape(NC * _EMIT_TC, B)
-    path = jnp.concatenate(
-        [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
+    path, word_at_full = _flat_bt_outputs(
+        path_prev, word_at, s_final, state_word, T
     )
-    w0 = state_word[path[:, 0]].astype(jnp.int32)
-    word0 = jnp.where(w0 >= 0, w0, -1)
-    word_at_full = jnp.concatenate(
-        [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
-    )
-    return path[:, :T], word_at_full[:, :T], score
+    return path, word_at_full, score
 
 
 # ---------------------------------------------------------------------------
@@ -1071,9 +1085,12 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     # the decoder's per-frame records must fit the HBM budget at B=1 for
     # a realistic utterance; a context expansion past that point cannot
     # decode at all, so fall back (via build()'s ValueError handler) to
-    # the word-internal graph rather than OOM at decode time
+    # the word-internal graph rather than OOM at decode time. The 30 s
+    # gate is a heuristic (the builder cannot know the corpus's real
+    # utterance lengths); the transcriber's split additionally warns when
+    # an actual batch exceeds the budget even at one row.
     S_xw = len(garrs["state_pdf"][0])
-    per_row = S_xw + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+    per_row = xw_rec_bytes_per_frame_row(S_xw, Ne, Nc, P, F, RG)
     nominal_T = 3000  # 30 s at a 10 ms shift
     if per_row * nominal_T > _REC_BUDGET:
         raise ValueError(

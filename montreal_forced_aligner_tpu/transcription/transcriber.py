@@ -661,17 +661,24 @@ class Transcriber:
     # beyond it split into sub-batches. Peak HBM runs ~2.5x this figure
     # (the backtrace's lax.scan stages a copy of its record xs), so the
     # default keeps peak near 10 GB of the ~16 GB a v5e chip has.
-    # (Shared with lvcsr._REC_BUDGET, which additionally gates the
-    # cross-word build fallback.)
-    from montreal_forced_aligner_tpu.transcription.lvcsr import (
-        _REC_BUDGET as LVCSR_REC_BYTES,  # noqa: N815
-    )
+    # None = follow lvcsr._REC_BUDGET (env MFA_TPU_LVCSR_REC_BYTES),
+    # which also gates the cross-word build fallback; set a number here
+    # (or on an instance) to override just the batch split.
+    LVCSR_REC_BYTES: Optional[float] = None
+
+    def _rec_budget(self) -> float:
+        if self.LVCSR_REC_BYTES is not None:
+            return float(self.LVCSR_REC_BYTES)
+        from montreal_forced_aligner_tpu.transcription import lvcsr as _lv
+
+        return float(_lv._REC_BUDGET)
 
     def _lvcsr_rec_bytes_per_frame_row(self, nbest: int = 1) -> int:
         """Per-(frame, batch-row) bytes of the decode records (used to cap
         rows per dispatch so the device-resident records fit HBM)."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
+            xw_rec_bytes_per_frame_row,
         )
 
         g = self._lvcsr
@@ -686,7 +693,7 @@ class Transcriber:
                 # cand_sel i16 (S,K) + ent_sel i32 (Ne,K) + bo2/exit i32
                 per = K * (2 * S + 4 * Ne + 4 * Nc + 4 * P * RG)
             else:
-                per = S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+                per = xw_rec_bytes_per_frame_row(S, Ne, Nc, P, F, RG)
         else:
             U = g.exit_idx.shape[0]
             V = g.p1.shape[0]
@@ -697,21 +704,33 @@ class Transcriber:
             else:
                 # checkpointed decode: one f32 alpha checkpoint per
                 # _EMIT_TC frames + the small per-frame junction records
+                # + the retained (and scan-staged, hence 2x) f32 pdf
+                # emissions the backtrace recompute consumes
                 from montreal_forced_aligner_tpu.transcription.lvcsr import (
                     _EMIT_TC,
                 )
 
-                per = (4 * S) // _EMIT_TC + V + U + 4
+                P_pdf = int(np.max(np.asarray(g.state_pdf))) + 1
+                per = (4 * S) // _EMIT_TC + V + U + 4 + 8 * P_pdf
         return per
 
     def _lvcsr_split_rows(self, prepared, nbest: int = 1):
         """Split prepared batches into row chunks whose device-resident
         decode records fit :attr:`LVCSR_REC_BYTES`."""
         out = []
+        budget = self._rec_budget()
         for batch, flens, garrs, bgraph, ff in prepared:
             T = int(ff.shape[1])
             per_row = T * self._lvcsr_rec_bytes_per_frame_row(nbest)
-            max_rows = max(1, int(self.LVCSR_REC_BYTES // max(per_row, 1)))
+            max_rows = max(1, int(budget // max(per_row, 1)))
+            if max_rows == 1 and per_row > budget:
+                logger.warning(
+                    "one LVCSR decode row needs %.1f GB of records "
+                    "(T=%d) — over the %.1f GB budget even unsplit; "
+                    "expect device OOM. Segment long audio first "
+                    "(create_segments) or raise MFA_TPU_LVCSR_REC_BYTES.",
+                    per_row / 1e9, T, budget / 1e9,
+                )
             if len(batch) <= max_rows:
                 out.append((batch, flens, garrs, bgraph, ff))
                 continue
@@ -843,7 +862,7 @@ class Transcriber:
         for :meth:`_lvcsr_backtrace`."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
-            lvcsr_decode_device,
+            lvcsr_decode_ckpt_device,
             lvcsr_xw_decode_device,
         )
 
@@ -874,10 +893,6 @@ class Transcriber:
                 g.num_p,
             )
             return ("xw", (alpha_T, recs))
-        from montreal_forced_aligner_tpu.transcription.lvcsr import (
-            lvcsr_decode_ckpt_device,
-        )
-
         alpha_T, ckpts, recs = lvcsr_decode_ckpt_device(
             emit_pdf,
             d["state_pdf"],

@@ -557,7 +557,7 @@ def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
 
     def spy(self, ff, flens, W, gconsts):
         handle = orig(self, ff, flens, W, gconsts)
-        captured.append((handle, np.array(flens), ff))
+        captured.append((handle, np.array(flens), ff, W, gconsts))
         return handle
 
     monkeypatch.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
@@ -574,8 +574,7 @@ def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
 
     g = tr2._lvcsr
     d = tr2._lvcsr_dev()
-    al = tr2.aligner
-    for handle, flens, ff in captured:
+    for handle, flens, ff, W, gconsts in captured:
         kind, _payload = handle
         # production path is the checkpointed pair
         assert kind == "flat_ckpt"
@@ -584,9 +583,9 @@ def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
             tr2._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
         )
         # reference #1: the record-based device pair on the same inputs
-        emit_pdf = _lvcsr_emissions(
-            ff, al._device_gmm[0], al._device_gmm[1], tr2.acoustic_scale
-        )
+        # (same W/gconsts the production call used — the fMLLR first
+        # pass decodes with the alignment model's)
+        emit_pdf = _lvcsr_emissions(ff, W, gconsts, tr2.acoustic_scale)
         alpha_T, recs = lvcsr_decode_device(
             emit_pdf, d["state_pdf"], jnp.asarray(flens), d["band"],
             d["start"], d["exit_idx"], d["exit_w"], d["entry_idx"],
