@@ -61,6 +61,11 @@ class LvcsrGraph:
     band: np.ndarray  # (S, D) intra-word arcs
     lb: int = 0
     ub: int = 0
+    # True when this word-internal graph was built as a FALLBACK from a
+    # requested cross-word-context expansion that exceeded the budget —
+    # decode accuracy is degraded vs exact cross-word context, and callers
+    # (transcriber results, bench JSON) surface this machine-visibly
+    cross_word_fallback: bool = False
     band_bp_offsets: Optional[np.ndarray] = None
     start: Optional[np.ndarray] = None  # (S,)
     # junction arrays; U = V + 1 sources (words + initial-silence row V)
@@ -131,7 +136,8 @@ class LvcsrGraphCompiler:
 
     def __init__(self, align_compiler, lexicon, lm: ArpaModel,
                  lm_scale: float = 1.0, word_insertion_penalty: float = 0.0,
-                 cross_word: Optional[bool] = None):
+                 cross_word: Optional[bool] = None,
+                 nominal_frames: Optional[int] = None):
         self.comp = align_compiler
         self.lexicon = lexicon
         self.lm = lm
@@ -141,6 +147,10 @@ class LvcsrGraphCompiler:
         self.cross_word = (
             align_compiler.tree.N == 3 if cross_word is None else cross_word
         )
+        # the corpus's real max utterance length, when the caller knows it
+        # (Transcriber passes it); the record-budget gates otherwise assume
+        # a nominal 30 s utterance
+        self.nominal_frames = nominal_frames
 
     def _word_block(self, g: _GraphBuilder, pids, w_idx, p_sil, sil):
         """One pronunciation chain + optional trailing silence; returns
@@ -175,6 +185,9 @@ class LvcsrGraphCompiler:
                     "cross-word LVCSR build fell back to word-internal "
                     "context: %s", e,
                 )
+                g = self.build_word_internal()
+                g.cross_word_fallback = True
+                return g
         return self.build_word_internal()
 
     def build_word_internal(self) -> LvcsrGraph:
@@ -324,6 +337,11 @@ def _emit_chunker(state_pdf: jnp.ndarray, P: int, S: int):
 
         def mat(echunk):
             TC, B, _ = echunk.shape
+            # clamp to a finite floor: a -inf/NaN per-PDF value (e.g. f32
+            # underflow inside gmm_loglikes' logsumexp) would turn the
+            # selection's 0*(-inf) products into NaN and poison every
+            # state of the frame; the gather fallback needs no clamp
+            echunk = jnp.maximum(jnp.nan_to_num(echunk, nan=NEG_INF), NEG_INF)
             e = jax.lax.dot_general(
                 echunk.reshape(TC * B, P),
                 oh,
@@ -922,6 +940,32 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     pclasses = sorted(last_phones | {sil})
     P = len(pclasses)
     p_index = {p: i for i, p in enumerate(pclasses)}
+
+    # EARLY budget gate, before the expensive context expansion: cheap
+    # lower bounds on the decode-record sizes (S >= the word-internal
+    # state count — every variant keeps at least one copy of each phone —
+    # Ne >= one entry slot per pronunciation, Nc >= V cells, RG >= 1).
+    # These can only under-estimate, so a refusal here is always correct;
+    # the exact gate after expansion still runs for graphs that pass.
+    nominal_T = self.nominal_frames or 3000  # default: 30 s at 10 ms shift
+    S_lb, NP = 0, 0
+    for rows in prons:
+        for pids, _lp, _ps in rows:
+            NP += 1
+            n = len(pids)
+            for k, ph in enumerate(pids):
+                l = pids[k - 1] if k > 0 else sil
+                r = pids[k + 1] if k < n - 1 else sil
+                S_lb += comp._phone_plan(comp._window(l, ph, r))["n_emit"]
+    per_row_lb = xw_rec_bytes_per_frame_row(S_lb, NP, V, P, F, 1)
+    if per_row_lb * nominal_T > _REC_BUDGET:
+        raise ValueError(
+            f"cross-word expansion too large to decode (pre-expansion "
+            f"bound): >= {per_row_lb * nominal_T / 1e9:.1f} GB of records "
+            f"per {nominal_T / 100:.0f} s utterance (S >= {S_lb}, entry "
+            f"slots >= {NP}) exceeds the {_REC_BUDGET / 1e9:.1f} GB "
+            f"budget (MFA_TPU_LVCSR_REC_BYTES)"
+        )
     lefts_all = sorted({EPS, sil} | last_phones)
     rights_all = sorted({EPS, sil} | first_phones)
     sil_rights = sorted({EPS} | first_phones)
@@ -1085,18 +1129,19 @@ def _build_cross_word(self) -> LvcsrXwGraph:
     # the decoder's per-frame records must fit the HBM budget at B=1 for
     # a realistic utterance; a context expansion past that point cannot
     # decode at all, so fall back (via build()'s ValueError handler) to
-    # the word-internal graph rather than OOM at decode time. The 30 s
-    # gate is a heuristic (the builder cannot know the corpus's real
-    # utterance lengths); the transcriber's split additionally warns when
-    # an actual batch exceeds the budget even at one row.
+    # the word-internal graph rather than OOM at decode time. Uses the
+    # corpus's real max utterance length when the caller provided it
+    # (Transcriber does), else the nominal 30 s; the transcriber's split
+    # additionally warns when an actual batch exceeds the budget even at
+    # one row.
     S_xw = len(garrs["state_pdf"][0])
     per_row = xw_rec_bytes_per_frame_row(S_xw, Ne, Nc, P, F, RG)
-    nominal_T = 3000  # 30 s at a 10 ms shift
     if per_row * nominal_T > _REC_BUDGET:
         raise ValueError(
             f"cross-word expansion too large to decode: "
-            f"{per_row * nominal_T / 1e9:.1f} GB of records per 30 s "
-            f"utterance (S={S_xw}, entry slots={Ne}) exceeds the "
+            f"{per_row * nominal_T / 1e9:.1f} GB of records per "
+            f"{nominal_T / 100:.0f} s utterance (S={S_xw}, entry "
+            f"slots={Ne}) exceeds the "
             f"{_REC_BUDGET / 1e9:.1f} GB budget (MFA_TPU_LVCSR_REC_BYTES)"
         )
 
@@ -1633,7 +1678,7 @@ def lvcsr_nbest_device(
 ):
     """K-best forward pass. Returns ``(alpha_T (B,S,K), hist_T (B,S,K)
     uint32, recs)`` where recs stacks per-frame selection records
-    ``(cand_sel (B,S,K) i16, ent_sel (B,V,K) i16, bo_sel (B,K) i32,
+    ``(cand_sel (B,S,K) i16, ent_sel (B,V,K) i32, bo_sel (B,K) i32,
     exit_sel (B,U,K) i16)`` for :func:`lvcsr_nbest_backtrace_host`.
     Emissions arrive per-PDF and are gathered to states per frame (see
     :func:`lvcsr_decode_device`)."""

@@ -93,6 +93,10 @@ class TranscriptionResult:
     # N-best alternatives (text, total path score), best first; populated
     # when decoding with nbest > 1 (the lattice/rescoring path)
     alternatives: Optional[List[Tuple[str, float]]] = None
+    # True when the LVCSR graph silently degraded from exact cross-word
+    # triphone context to word-internal context at build time (records
+    # exceeded the HBM budget); None on non-LVCSR decodes
+    cross_word_fallback: Optional[bool] = None
 
 
 class DecodingGraphCompiler:
@@ -329,7 +333,7 @@ class Transcriber:
     # context); below it, exact dense wins
     LVCSR_WORD_THRESHOLD = 150
 
-    def _ensure_graph(self):
+    def _ensure_graph(self, nominal_frames: Optional[int] = None):
         if self._graph is None and self._lvcsr is None:
             vocab_size = sum(
                 1 for w in self.lm.vocab if w in self.aligner.lexicon.words
@@ -359,6 +363,7 @@ class Transcriber:
                     self.aligner.compiler, self.aligner.lexicon, self.lm,
                     lm_scale=self.lm_scale,
                     word_insertion_penalty=self.word_insertion_penalty,
+                    nominal_frames=nominal_frames,
                 ).build()
                 self._vocab = self._lvcsr.words
                 logger.info(
@@ -367,6 +372,14 @@ class Transcriber:
                     len(self._vocab),
                 )
         return self._graph
+
+    @property
+    def cross_word_fallback(self) -> bool:
+        """True when a requested cross-word-context LVCSR build fell back
+        to word-internal context (decode accuracy silently degraded
+        otherwise — surfaced here, on each result, and in the bench
+        JSON)."""
+        return bool(getattr(self._lvcsr, "cross_word_fallback", False))
 
     def _shared_graph_on_device(self, graph, B: int):
         """The decode graph is one shared FST for every utterance; batch
@@ -418,7 +431,13 @@ class Transcriber:
             return {}
         if self.lm is None:
             self.train_lm_from_corpus(corpus)
-        graph = self._ensure_graph()
+        # thread the corpus's real max utterance length into the LVCSR
+        # record-budget gates (they otherwise assume a nominal 30 s)
+        ns = [u.num_samples for u in corpus.utterances if u.num_samples]
+        max_frames = (
+            self.aligner.mfcc_config.num_frames(max(ns)) if ns else None
+        )
+        graph = self._ensure_graph(nominal_frames=max_frames)
         al = self.aligner
         speaker_index = corpus.speaker_index
         num_speakers = len(corpus.speakers)
@@ -673,9 +692,16 @@ class Transcriber:
 
         return float(_lv._REC_BUDGET)
 
+    # record dtype itemsizes, matching the kernels' .astype casts (single
+    # source for the split estimates; see the docstrings of
+    # lvcsr_nbest_device / lvcsr_xw_nbest_device / lvcsr_xw_decode_device)
+    _I8, _I16, _I32, _F32 = 1, 2, 4, 4
+
     def _lvcsr_rec_bytes_per_frame_row(self, nbest: int = 1) -> int:
-        """Per-(frame, batch-row) bytes of the decode records (used to cap
-        rows per dispatch so the device-resident records fit HBM)."""
+        """Per-(frame, batch-row) bytes of the decode records + scan-staged
+        pdf emissions (used to cap rows per dispatch so the device-resident
+        arrays fit HBM). Derived from the concrete record dtypes of each
+        kernel rather than hand-kept constants."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
             xw_rec_bytes_per_frame_row,
@@ -684,34 +710,56 @@ class Transcriber:
         g = self._lvcsr
         S = int(g.num_states)
         K = max(1, nbest)
+        # every decode keeps the (B,T,P) f32 pdf emissions live plus the
+        # chunked scan-xs copy (2x); the flat checkpointed backtrace also
+        # re-consumes them
+        P_pdf = int(np.max(np.asarray(g.state_pdf))) + 1
+        emit = 2 * self._F32 * P_pdf
         if isinstance(g, LvcsrXwGraph):
             Ne = len(g.entry_state)
             Nc = g.cell_exit_idx.shape[0]
             RG, F = g.rg_mask.shape
             P = g.num_p
             if K > 1:
-                # cand_sel i16 (S,K) + ent_sel i32 (Ne,K) + bo2/exit i32
-                per = K * (2 * S + 4 * Ne + 4 * Nc + 4 * P * RG)
+                # lvcsr_xw_nbest_device recs: cand_sel i16 (S,K), ent_sel
+                # i32 (Ne,K), bo2_sel i32 (Nseg=P*RG,K), exit_sel i32 (Nc,K)
+                per = K * (
+                    self._I16 * S
+                    + self._I32 * Ne
+                    + self._I32 * P * RG
+                    + self._I32 * Nc
+                ) + emit
             else:
-                per = xw_rec_bytes_per_frame_row(S, Ne, Nc, P, F, RG)
+                per = xw_rec_bytes_per_frame_row(S, Ne, Nc, P, F, RG) + emit
         else:
             U = g.exit_idx.shape[0]
             V = g.p1.shape[0]
             if K > 1:
-                # cand_sel i16 (S,K) + ent_sel i32 (V,K) + exit_sel i16
-                # (U,K) + bo_sel i32 (K,)
-                per = K * (2 * S + 4 * V + 2 * U + 4)
+                # lvcsr_nbest_device recs: cand_sel i16 (S,K), ent_sel i32
+                # (V,K), bo_sel i32 (K,), exit_sel i16 (U,K)
+                per = K * (
+                    self._I16 * S
+                    + self._I32 * V
+                    + self._I32
+                    + self._I16 * U
+                ) + emit
             else:
                 # checkpointed decode: one f32 alpha checkpoint per
                 # _EMIT_TC frames + the small per-frame junction records
-                # + the retained (and scan-staged, hence 2x) f32 pdf
-                # emissions the backtrace recompute consumes
+                # (ent_src i8 (V), exit_arg u8 (U), bo_arg i32) + the
+                # retained+staged f32 pdf emissions the backtrace
+                # recompute consumes
                 from montreal_forced_aligner_tpu.transcription.lvcsr import (
                     _EMIT_TC,
                 )
 
-                P_pdf = int(np.max(np.asarray(g.state_pdf))) + 1
-                per = (4 * S) // _EMIT_TC + V + U + 4 + 8 * P_pdf
+                per = (
+                    (self._F32 * S) // _EMIT_TC
+                    + self._I8 * V
+                    + self._I8 * U
+                    + self._I32
+                    + emit
+                )
         return per
 
     def _lvcsr_split_rows(self, prepared, nbest: int = 1):
@@ -1011,7 +1059,8 @@ class Transcriber:
     ):
         al = self.aligner
         results: Dict[int, TranscriptionResult] = {}
-        prepared = self._lvcsr_split_rows(prepared, nbest)
+        # prepared arrives already split by transcribe_corpus (splitting
+        # again here is idempotent but double-logs the OOM warnings)
         bts = None
         if nbest <= 1:
             # dispatch every batch's junction DP, then every batch's
@@ -1074,6 +1123,7 @@ class Transcriber:
                     alternatives=[(t, s) for t, s, _w in hyps]
                     if len(hyps) > 1
                     else None,
+                    cross_word_fallback=self.cross_word_fallback,
                 )
         return results
 

@@ -58,6 +58,10 @@ def test_lvcsr_20k_vocabulary(tmp_path):
     assert results[0].text == "ab a"
     assert [w.label for w in results[0].words] == ["ab", "a"]
     assert abs(results[0].words[0].begin - 0.40) < 0.05
+    # machine-visible accuracy flag: no silent context downgrade happened,
+    # and the result records that fact (VERDICT r4 #6)
+    assert tr.cross_word_fallback is False
+    assert results[0].cross_word_fallback is False
 
 
 def test_band_fallback_rate_zero_at_20k(tmp_path):
@@ -144,6 +148,9 @@ def test_forced_band_fallback_still_decodes(tmp_path, monkeypatch):
     # word-internal build cannot fit (2,8) — both must be surfaced, not
     # silent
     assert records or isinstance(fb, LvcsrGraph)
+    # the downgrade is machine-visible on the graph, not just in logs
+    if isinstance(fb, LvcsrGraph):
+        assert fb.cross_word_fallback is True
 
 
 def test_router_threshold_boundary_equivalence(tmp_path, monkeypatch):
