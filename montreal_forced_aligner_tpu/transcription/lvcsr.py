@@ -172,9 +172,9 @@ class LvcsrGraphCompiler:
 
     def build(self):
         """Returns an :class:`LvcsrXwGraph` (cross-word-exact) for triphone
-        trees, else an :class:`LvcsrGraph` (word-internal context). Falls
-        back to word-internal if the cross-word expansion exceeds the band
-        buckets."""
+        trees, else a position-major :class:`~.lvcsr_pm.LvcsrPmGraph`
+        (word-internal context). Falls back to word-internal if the
+        cross-word expansion exceeds the band buckets or record budget."""
         if self.cross_word:
             try:
                 return self._build_cross_word()
@@ -190,7 +190,21 @@ class LvcsrGraphCompiler:
                 return g
         return self.build_word_internal()
 
-    def build_word_internal(self) -> LvcsrGraph:
+    def build_word_internal(self):
+        """Position-major word-internal graph — the production flat layout
+        (:mod:`~.lvcsr_pm`; entry states contiguous, exits a dense masked
+        reduction, no junction scatter)."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+            build_word_internal_pm,
+        )
+
+        return build_word_internal_pm(self)
+
+    def build_word_internal_legacy(self) -> LvcsrGraph:
+        """Chain-major word-internal graph (the pre-position-major layout).
+        Retained as the reference for the pm equivalence pins and as the
+        substrate of the K-best junction kernels until those move to the
+        position-major layout."""
         from montreal_forced_aligner_tpu.graph.compiler import batch_graphs
         from montreal_forced_aligner_tpu.ops.viterbi import band_from_arcs
 

@@ -707,14 +707,30 @@ class Transcriber:
             xw_rec_bytes_per_frame_row,
         )
 
-        g = self._lvcsr
-        S = int(g.num_states)
+        g = self._lvcsr_graph_for(nbest)
         K = max(1, nbest)
         # every decode keeps the (B,T,P) f32 pdf emissions live plus the
         # chunked scan-xs copy (2x); the flat checkpointed backtrace also
         # re-consumes them
         P_pdf = int(np.max(np.asarray(g.state_pdf))) + 1
         emit = 2 * self._F32 * P_pdf
+        from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+            LvcsrPmGraph,
+        )
+
+        if isinstance(g, LvcsrPmGraph):
+            # position-major checkpointed decode: one f32 alpha checkpoint
+            # per _EMIT_TC frames over the (Pmax, C) grid; NO per-frame
+            # records (the backtrace regenerates them chunk-locally — the
+            # transient chunk records are T-independent and covered by the
+            # budget's peak-HBM headroom factor)
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                _EMIT_TC,
+            )
+
+            Sg = g.Pmax * g.C
+            return (self._F32 * Sg) // _EMIT_TC + emit
+        S = int(g.num_states)
         if isinstance(g, LvcsrXwGraph):
             Ne = len(g.entry_state)
             Nc = g.cell_exit_idx.shape[0]
@@ -799,7 +815,38 @@ class Transcriber:
                 )
         return out
 
-    def _lvcsr_dev(self):
+    def _lvcsr_graph_for(self, nbest: int = 1):
+        """The graph object a decode with this ``nbest`` will actually run
+        on: the position-major graph for 1-best; for K-best the junction
+        kernels still use the chain-major layout, built lazily."""
+        from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+            LvcsrPmGraph,
+        )
+
+        g = self._lvcsr
+        if nbest > 1 and isinstance(g, LvcsrPmGraph):
+            return self._legacy_flat_graph()
+        return g
+
+    def _legacy_flat_graph(self):
+        """Chain-major word-internal graph for the K-best junction kernels
+        (the 1-best production path is position-major; K-best has not moved
+        yet). Built once and cached."""
+        cached = getattr(self, "_lvcsr_legacy", None)
+        if cached is None:
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                LvcsrGraphCompiler,
+            )
+
+            cached = self._lvcsr_legacy = LvcsrGraphCompiler(
+                self.aligner.compiler, self.aligner.lexicon, self.lm,
+                lm_scale=self.lm_scale,
+                word_insertion_penalty=self.word_insertion_penalty,
+                cross_word=False,
+            ).build_word_internal_legacy()
+        return cached
+
+    def _lvcsr_dev(self, g=None):
         """Device-resident LVCSR graph tensors, shipped ONCE per graph.
 
         Re-shipping the junction tables per batch (the old
@@ -809,12 +856,27 @@ class Transcriber:
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
         )
+        from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+            LvcsrPmGraph,
+        )
 
-        g = self._lvcsr
+        if g is None:
+            g = self._lvcsr
         cache = getattr(self, "_lvcsr_dev_cache", None)
-        if cache is not None and cache[0] is g:
-            return cache[1]
-        if isinstance(g, LvcsrXwGraph):
+        if cache is None:
+            cache = self._lvcsr_dev_cache = {}
+        # entries hold the graph object itself, validated by identity (an
+        # id() cannot be recycled while its entry lives)
+        hit = cache.get(id(g))
+        if hit is not None and hit[0] is g:
+            return hit[1]
+        if isinstance(g, LvcsrPmGraph):
+            names = (
+                "state_pdf", "band", "start", "exit_w_grid", "bo_c",
+                "pred_c", "pred_w", "p1_c", "entry_w_c", "eos_c",
+                "chain_word", "state_word",
+            )
+        elif isinstance(g, LvcsrXwGraph):
             names = (
                 "state_pdf", "band", "start", "cell_exit_idx", "cell_exit_w",
                 "bo_cell", "cell_seg", "rg_mask", "entry_state", "entry_word",
@@ -830,7 +892,7 @@ class Transcriber:
                 "state0_hash",
             )
         dev = {n: jnp.asarray(getattr(g, n)) for n in names}
-        self._lvcsr_dev_cache = (g, dev)
+        cache[id(g)] = (g, dev)
         return dev
 
     def _lvcsr_decode(self, ff, flens, W, gconsts):
@@ -856,6 +918,20 @@ class Transcriber:
         kind, payload = handle
         g = self._lvcsr
         d = self._lvcsr_dev()
+        if kind == "pm_ckpt":
+            from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+                lvcsr_pm_backtrace_ckpt_device,
+            )
+
+            alpha_T, ckpts, emit_pdf = payload
+            return lvcsr_pm_backtrace_ckpt_device(
+                alpha_T, ckpts, emit_pdf,
+                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["exit_w_grid"], d["eos_c"], d["bo_c"], d["pred_c"],
+                d["pred_w"], d["p1_c"], d["entry_w_c"], d["chain_word"],
+                d["state_word"], g.lbp, g.ubp,
+                T or int(emit_pdf.shape[1]),
+            )
         if kind == "xw":
             alpha_T, recs = payload
             RG, F = g.rg_mask.shape
@@ -913,10 +989,31 @@ class Transcriber:
             lvcsr_decode_ckpt_device,
             lvcsr_xw_decode_device,
         )
+        from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+            LvcsrPmGraph,
+            lvcsr_pm_decode_ckpt_device,
+        )
 
         g = self._lvcsr
         d = self._lvcsr_dev()
         emit_pdf = _lvcsr_emissions(ff, W, gconsts, self.acoustic_scale)
+        if isinstance(g, LvcsrPmGraph):
+            alpha_T, ckpts = lvcsr_pm_decode_ckpt_device(
+                emit_pdf,
+                d["state_pdf"],
+                jnp.asarray(flens),
+                d["band"],
+                d["start"],
+                d["exit_w_grid"],
+                d["bo_c"],
+                d["pred_c"],
+                d["pred_w"],
+                d["p1_c"],
+                d["entry_w_c"],
+                g.lbp,
+                g.ubp,
+            )
+            return ("pm_ckpt", (alpha_T, ckpts, emit_pdf))
         if isinstance(g, LvcsrXwGraph):
             alpha_T, recs = lvcsr_xw_decode_device(
                 emit_pdf,
@@ -974,8 +1071,10 @@ class Transcriber:
             lvcsr_xw_nbest_device,
         )
 
-        g = self._lvcsr
-        d = self._lvcsr_dev()
+        # K-best kernels run the chain-major layout; a position-major
+        # production graph routes through the lazily built legacy graph
+        g = self._lvcsr_graph_for(nbest)
+        d = self._lvcsr_dev(g)
         emit_pdf = _lvcsr_emissions(ff, W, gconsts, self.acoustic_scale)
         if isinstance(g, LvcsrXwGraph):
             ka = g.kbest_arrays()
@@ -1225,6 +1324,8 @@ class Transcriber:
             self.lm, _ = train_lm_from_texts(texts, order=lm_order)
             self._graph = None  # rebuild for this speaker's LM
             self._lvcsr = None
+            self._lvcsr_legacy = None
+            self._lvcsr_dev_cache = {}
             sub = corpus.subset(utt_ids)
             sub_results = self.transcribe_corpus(sub, **kwargs)
             for local_id, res in sub_results.items():

@@ -1,0 +1,149 @@
+"""Position-major flat LVCSR (lvcsr_pm): the production layout must be
+value-equivalent to the chain-major reference layout — same max-plus
+recursion over the same candidate sets, so scores are bit-identical and
+decoded words/labels agree wherever the optimum is unique."""
+
+import numpy as np
+
+from helpers import build_synthetic_corpus, build_synthetic_model
+
+from montreal_forced_aligner_tpu.corpus.corpus import Corpus
+from montreal_forced_aligner_tpu.language_modeling.ngram import (
+    train_lm_from_texts,
+)
+from montreal_forced_aligner_tpu.transcription.lvcsr import (
+    LvcsrGraphCompiler,
+)
+from montreal_forced_aligner_tpu.transcription.lvcsr_pm import LvcsrPmGraph
+from montreal_forced_aligner_tpu.transcription.transcriber import Transcriber
+
+
+def _grow_dictionary(dict_path, num_words, seed=7, min_len=4, max_len=10):
+    rng = np.random.RandomState(seed)
+    words = []
+    with open(dict_path, "a") as f:
+        for j in range(num_words):
+            w = f"junk{j}"
+            pron = " ".join(
+                rng.choice(["aa", "bb"], rng.randint(min_len, max_len))
+            )
+            f.write(f"{w}\t{pron}\n")
+            words.append(w)
+    return words
+
+
+def _setup(tmp_path, num_words=300):
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    extra = _grow_dictionary(dict_path, num_words)
+    texts = ["ab a"] * 20 + [
+        " ".join(extra[i : i + 5]) for i in range(0, num_words, 5)
+    ]
+    lm, _ = train_lm_from_texts(texts, order=2)
+    return corpus_dir, model_path, dict_path, lm
+
+
+def test_pm_routing_and_geometry(tmp_path):
+    """The flat LVCSR path routes to the position-major graph; entry
+    states are the contiguous p=0 row and traced paths never touch dead
+    grid cells."""
+    corpus_dir, model_path, dict_path, lm = _setup(tmp_path)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    corpus = Corpus.load(corpus_dir)
+    results = tr.transcribe_corpus(corpus)
+    g = tr._lvcsr
+    assert isinstance(g, LvcsrPmGraph)
+    assert g.C % 128 == 0 and g.Pmax % 8 == 0
+    assert g.n_real_states <= g.Pmax * g.C
+    assert results[0].text == "ab a"
+    # geometry invariants: live cells are a prefix of each chain column
+    phone_grid = g.state_phone.reshape(g.Pmax, g.C)
+    live = phone_grid >= 0
+    assert (live[1:] <= live[:-1]).all(), "live cells must be a prefix"
+    # every chain (incl. init silence) has a live entry cell
+    assert live[0, : g.n_chains].all()
+
+
+def test_pm_matches_legacy_layout(tmp_path):
+    """Position-major vs chain-major on the same corpus: identical
+    transcripts, word intervals, and (bit-identical recursion) scores."""
+    corpus_dir, model_path, dict_path, lm = _setup(tmp_path)
+    corpus = Corpus.load(corpus_dir)
+
+    tr_pm = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    r_pm = tr_pm.transcribe_corpus(corpus)
+    assert isinstance(tr_pm._lvcsr, LvcsrPmGraph)
+
+    tr_lg = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    tr_lg._lvcsr = LvcsrGraphCompiler(
+        tr_lg.aligner.compiler, tr_lg.aligner.lexicon, lm, cross_word=False
+    ).build_word_internal_legacy()
+    tr_lg._vocab = tr_lg._lvcsr.words
+    r_lg = tr_lg.transcribe_corpus(corpus)
+
+    assert set(r_pm) == set(r_lg)
+    for i in r_pm:
+        assert r_pm[i].text == r_lg[i].text
+        assert abs(r_pm[i].log_likelihood - r_lg[i].log_likelihood) < 1e-4
+        assert len(r_pm[i].words) == len(r_lg[i].words)
+        for a, b in zip(r_pm[i].words, r_lg[i].words):
+            assert a.label == b.label
+            assert abs(a.begin - b.begin) < 1e-9
+            assert abs(a.end - b.end) < 1e-9
+
+
+def test_pm_path_stays_on_live_cells(tmp_path):
+    """The traced state path visits only live grid cells (dead padding can
+    never win a max)."""
+    from montreal_forced_aligner_tpu.transcription import (
+        transcriber as tmod,
+    )
+
+    corpus_dir, model_path, dict_path, lm = _setup(tmp_path)
+    corpus = Corpus.load(corpus_dir)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    captured = []
+    orig = tmod.Transcriber._lvcsr_decode_device
+
+    def spy(self, ff, flens, W, gconsts):
+        handle = orig(self, ff, flens, W, gconsts)
+        captured.append((handle, np.array(flens), int(ff.shape[1])))
+        return handle
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
+    try:
+        tr.transcribe_corpus(corpus)
+    finally:
+        mp.undo()
+    g = tr._lvcsr
+    assert captured
+    for handle, flens, T in captured:
+        assert handle[0] == "pm_ckpt"
+        path, word_at, score = tr._lvcsr_backtrace_device_dispatch(
+            handle, flens, T=T
+        )
+        path = np.asarray(path)
+        for b in range(path.shape[0]):
+            L = int(flens[b])
+            assert (g.state_phone[path[b, :L]] >= 0).all()
+
+
+def test_pm_nbest_routes_to_legacy(tmp_path):
+    """K-best decoding on a position-major production graph runs the
+    chain-major K-best kernels via the lazily built legacy graph, and its
+    1-best hypothesis matches the production 1-best decode."""
+    corpus_dir, model_path, dict_path, lm = _setup(tmp_path)
+    corpus = Corpus.load(corpus_dir)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    r1 = tr.transcribe_corpus(corpus)
+    rn = tr.transcribe_corpus(corpus, nbest=4)
+    assert getattr(tr, "_lvcsr_legacy", None) is not None
+    for i in r1:
+        assert rn[i].text == r1[i].text
+        assert abs(rn[i].log_likelihood - r1[i].log_likelihood) < 1e-4
+        if rn[i].alternatives:
+            scores = [s for _t, s in rn[i].alternatives]
+            assert scores == sorted(scores, reverse=True)

@@ -122,8 +122,10 @@ def test_forced_band_fallback_still_decodes(tmp_path, monkeypatch):
         PretrainedAligner,
     )
     from montreal_forced_aligner_tpu.transcription.lvcsr import (
-        LvcsrGraph,
         LvcsrGraphCompiler,
+    )
+    from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+        LvcsrPmGraph,
     )
 
     model_path, dict_path = build_sat_scale_model(tmp_path, gauss_per_pdf=2)
@@ -147,9 +149,9 @@ def test_forced_band_fallback_still_decodes(tmp_path, monkeypatch):
     # either the cross-word build fell back (warning logged) or even the
     # word-internal build cannot fit (2,8) — both must be surfaced, not
     # silent
-    assert records or isinstance(fb, LvcsrGraph)
+    assert records or isinstance(fb, LvcsrPmGraph)
     # the downgrade is machine-visible on the graph, not just in logs
-    if isinstance(fb, LvcsrGraph):
+    if isinstance(fb, LvcsrPmGraph):
         assert fb.cross_word_fallback is True
 
 

@@ -532,9 +532,11 @@ def test_reference_lm_archive_loads():
 
 
 def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
-    """The device reverse-scan backtrace (production path: O(T*S) records
-    never leave the device) must reproduce the host reference backtrace
-    decision for decision — paths, scores, and word events."""
+    """The production decode (position-major checkpointed pair) must agree
+    with BOTH chain-major references — the record-based device pair and the
+    python host backtrace — on scores, word events, and per-frame labels;
+    the two chain-major references must additionally agree decision for
+    decision (identical state paths)."""
     from montreal_forced_aligner_tpu.transcription import transcriber as tmod
     from montreal_forced_aligner_tpu.transcription.lvcsr import (
         lvcsr_backtrace_host,
@@ -566,47 +568,60 @@ def test_lvcsr_device_backtrace_matches_host(transcriber_setup, monkeypatch):
     import jax.numpy as jnp
 
     from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        lvcsr_backtrace_device,
         lvcsr_decode_device,
     )
     from montreal_forced_aligner_tpu.transcription.transcriber import (
         _lvcsr_emissions,
     )
 
-    g = tr2._lvcsr
-    d = tr2._lvcsr_dev()
+    g = tr2._lvcsr  # position-major production graph
+    lg = tr2._legacy_flat_graph()  # chain-major reference graph
+    d = tr2._lvcsr_dev(lg)
     for handle, flens, ff, W, gconsts in captured:
         kind, _payload = handle
-        # production path is the checkpointed pair
-        assert kind == "flat_ckpt"
+        # production path is the position-major checkpointed pair
+        assert kind == "pm_ckpt"
         T = int(ff.shape[1])
-        ckpt_rows = tr2._lvcsr_rows(
-            tr2._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
-        )
-        # reference #1: the record-based device pair on the same inputs
-        # (same W/gconsts the production call used — the fMLLR first
-        # pass decodes with the alignment model's)
+        pm_bt = tr2._lvcsr_backtrace_device_dispatch(handle, flens, T=T)
+        pm_rows = tr2._lvcsr_rows(pm_bt, flens)
+        pm_paths = np.asarray(pm_bt[0])
+        # reference #1: the chain-major record-based device pair on the
+        # same inputs (same W/gconsts the production call used — the fMLLR
+        # first pass decodes with the alignment model's)
         emit_pdf = _lvcsr_emissions(ff, W, gconsts, tr2.acoustic_scale)
         alpha_T, recs = lvcsr_decode_device(
             emit_pdf, d["state_pdf"], jnp.asarray(flens), d["band"],
             d["start"], d["exit_idx"], d["exit_w"], d["entry_idx"],
             d["entry_word"], d["entry_w"], d["p1"], d["bo"],
-            d["big_pred"], d["big_w"], g.lb, g.ub,
+            d["big_pred"], d["big_w"], lg.lb, lg.ub,
         )
-        rec_rows = tr2._lvcsr_rows(
-            tr2._lvcsr_backtrace_device_dispatch(
-                ("flat", (alpha_T, recs)), flens, T=T
-            ),
-            flens,
+        dev_bt = lvcsr_backtrace_device(
+            alpha_T, recs, jnp.asarray(flens),
+            d["exit_idx"], d["exit_w"], d["eos"], d["entry_word"],
+            d["entry_slot_of_state"], d["big_pred"], d["state_word"],
+            lg.lb, T,
         )
+        rec_rows = tr2._lvcsr_rows(dev_bt, flens)
         # reference #2: the python host backtrace over the records
         host_rows = lvcsr_backtrace_host(
-            g, np.asarray(alpha_T), recs, flens, T=T
+            lg, np.asarray(alpha_T), recs, flens, T=T
         )
-        assert len(host_rows) == len(ckpt_rows) == len(rec_rows)
-        for (hp, hs, he), (dp, ds, de), (cp, cs, ce) in zip(
-            host_rows, rec_rows, ckpt_rows
+        assert len(host_rows) == len(pm_rows) == len(rec_rows)
+        for b, ((hp, hs, he), (dp, ds, de), (cp, cs, ce)) in enumerate(
+            zip(host_rows, rec_rows, pm_rows)
         ):
+            # chain-major device vs host: decision-for-decision identical
             np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
-            np.testing.assert_array_equal(np.asarray(cp), np.asarray(hp))
-            assert abs(ds - hs) < 1e-4 and abs(cs - hs) < 1e-4
-            assert de == he and ce == he
+            assert abs(ds - hs) < 1e-4
+            assert de == he
+            # position-major production vs host: same scores/events, and
+            # the per-frame word labels agree (paths live in different
+            # numberings)
+            L = int(flens[b])
+            assert abs(cs - hs) < 1e-4
+            assert ce == he
+            np.testing.assert_array_equal(
+                g.state_word[pm_paths[b, :L]],
+                lg.state_word[np.asarray(hp)[:L]],
+            )
