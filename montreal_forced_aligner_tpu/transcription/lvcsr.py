@@ -325,16 +325,37 @@ _OH_TABLE_MAX = float(os.environ.get("MFA_TPU_LVCSR_OH_BYTES", 2e9))
 # batches split to fit it, and a cross-word expansion that cannot fit even
 # one row falls back to the word-internal graph at build time)
 _REC_BUDGET = float(os.environ.get("MFA_TPU_LVCSR_REC_BYTES", 4e9))
+# checkpoint spacing of the checkpointed cross-word pair (longer than the
+# record-based kernels' emission chunk: halves checkpoint HBM, which is
+# what admits B=32 at 30 s utterances under the budget)
+_XW_TC = 64
 
 
 def xw_rec_bytes_per_frame_row(
     S: int, Ne: int, Nc: int, P: int, F: int, RG: int
 ) -> int:
-    """Per-(frame, batch-row) bytes of the cross-word decode records —
-    the single source for both the build-time fallback gate and the
-    transcriber's batch split (bp u8 (S) + ent_src i32/ent_l u8 (Ne) +
-    cell_arg u8 (Nc) + BOFarg i16 (P*F) + BO2arg i32 (P*RG))."""
-    return S + Ne * 5 + Nc + P * F * 2 + P * RG * 4
+    """Per-(frame, batch-row) bytes of the RECORD-BASED cross-word decode
+    (bp u8 (S) + jwin bool/ent_src i32/ent_l u8 (Ne) + cell_arg u8 (Nc) +
+    BOFarg i16 (P*F) + BO2arg i32 (P*RG)). The production path is
+    checkpointed (see :func:`xw_ckpt_bytes_per_row`); this sizes the
+    reference pair and one chunk's transient records."""
+    return S + Ne * 6 + Nc + P * F * 2 + P * RG * 4
+
+
+def xw_ckpt_bytes_per_row(
+    S: int, Ne: int, Nc: int, P_pdf: int, P: int, F: int, RG: int, T: int
+) -> int:
+    """Device bytes per batch row of the CHECKPOINTED cross-word decode at
+    utterance length T: f32 alpha checkpoints + the single pre-chunked f32
+    pdf-emission copy (both T-scaled; ``split_emissions`` drops the
+    original) plus ONE chunk's transient records (T-independent — the
+    backtrace regenerates them chunk-locally). The single source for the
+    build-time fallback gate and the transcriber's batch split."""
+    return (
+        (4 * S * T) // _XW_TC
+        + 4 * P_pdf * T
+        + _XW_TC * xw_rec_bytes_per_frame_row(S, Ne, Nc, P, F, RG)
+    )
 
 
 def _emit_chunker(state_pdf: jnp.ndarray, P: int, S: int):
@@ -389,6 +410,19 @@ def _chunk_pdf_frames(emit_pdf: jnp.ndarray, TC: int):
     ep = jnp.moveaxis(ep.reshape(B, NC, TC, P), 0, 2)  # (NC, TC, B, P)
     t0s = 1 + jnp.arange(NC) * TC
     return ep, t0s, NC
+
+
+@partial(jax.jit, static_argnames=("TC",))
+def split_emissions(emit_pdf: jnp.ndarray, TC: int):
+    """Pre-chunk (B, T, P) pdf emissions for the checkpointed kernels:
+    returns ``(e0 (B, P) — frame 0, ep (NC, TC, B, P) — frames 1..T-1)``.
+    Chunking ONCE in the caller (which then drops emit_pdf) halves
+    emission HBM residency vs chunking inside both the decode and the
+    backtrace — at 5k pdfs, T=3000, B=32 that second copy alone was
+    ~1.9 GB."""
+    e0 = emit_pdf[:, 0]
+    ep, _t0s, _NC = _chunk_pdf_frames(emit_pdf, TC)
+    return e0, ep
 
 
 def _scan_chunked(step, init_carry, emit_pdf: jnp.ndarray,
@@ -971,11 +1005,11 @@ def _build_cross_word(self) -> LvcsrXwGraph:
                 l = pids[k - 1] if k > 0 else sil
                 r = pids[k + 1] if k < n - 1 else sil
                 S_lb += comp._phone_plan(comp._window(l, ph, r))["n_emit"]
-    per_row_lb = xw_rec_bytes_per_frame_row(S_lb, NP, V, P, F, 1)
-    if per_row_lb * nominal_T > _REC_BUDGET:
+    per_row_lb = xw_ckpt_bytes_per_row(S_lb, NP, V, 0, P, F, 1, nominal_T)
+    if per_row_lb > _REC_BUDGET:
         raise ValueError(
             f"cross-word expansion too large to decode (pre-expansion "
-            f"bound): >= {per_row_lb * nominal_T / 1e9:.1f} GB of records "
+            f"bound): >= {per_row_lb / 1e9:.1f} GB of checkpoints+records "
             f"per {nominal_T / 100:.0f} s utterance (S >= {S_lb}, entry "
             f"slots >= {NP}) exceeds the {_REC_BUDGET / 1e9:.1f} GB "
             f"budget (MFA_TPU_LVCSR_REC_BYTES)"
@@ -1140,20 +1174,22 @@ def _build_cross_word(self) -> LvcsrXwGraph:
         [w + eos_row[u] for _s, w, u in finals], np.float32
     )
 
-    # the decoder's per-frame records must fit the HBM budget at B=1 for
-    # a realistic utterance; a context expansion past that point cannot
-    # decode at all, so fall back (via build()'s ValueError handler) to
-    # the word-internal graph rather than OOM at decode time. Uses the
-    # corpus's real max utterance length when the caller provided it
-    # (Transcriber does), else the nominal 30 s; the transcriber's split
-    # additionally warns when an actual batch exceeds the budget even at
-    # one row.
+    # the checkpointed decoder's per-row memory (alpha checkpoints +
+    # emissions + one chunk's transient records) must fit the HBM budget
+    # at B=1 for a realistic utterance; a context expansion past that
+    # point cannot decode at all, so fall back (via build()'s ValueError
+    # handler) to the word-internal graph rather than OOM at decode time.
+    # Uses the corpus's real max utterance length when the caller provided
+    # it (Transcriber does), else the nominal 30 s; the transcriber's
+    # split additionally warns when an actual batch exceeds the budget
+    # even at one row.
     S_xw = len(garrs["state_pdf"][0])
-    per_row = xw_rec_bytes_per_frame_row(S_xw, Ne, Nc, P, F, RG)
-    if per_row * nominal_T > _REC_BUDGET:
+    P_pdf = int(garrs["state_pdf"][0].max()) + 1
+    per_row = xw_ckpt_bytes_per_row(S_xw, Ne, Nc, P_pdf, P, F, RG, nominal_T)
+    if per_row > _REC_BUDGET:
         raise ValueError(
             f"cross-word expansion too large to decode: "
-            f"{per_row * nominal_T / 1e9:.1f} GB of records per "
+            f"{per_row / 1e9:.1f} GB of checkpoints+records per "
             f"{nominal_T / 100:.0f} s utterance (S={S_xw}, entry "
             f"slots={Ne}) exceeds the "
             f"{_REC_BUDGET / 1e9:.1f} GB budget (MFA_TPU_LVCSR_REC_BYTES)"
@@ -1190,6 +1226,88 @@ def _build_cross_word(self) -> LvcsrXwGraph:
 LvcsrGraphCompiler._build_cross_word = _build_cross_word
 
 
+def _make_xw_fstep(
+    band_cols, exit_flat, cell_exit_w, bo_cell, cell_seg, rg_mask,
+    entry_state, entry_w, ebo_idx, ebo_pad, p1e, se_cell, se_w,
+    frame_lengths, lb, ub, P, mode: str,
+):
+    """One cross-word forward step; single implementation for
+    ``mode="records"`` (full per-frame records — the record-based decode
+    AND the checkpointed backtrace's chunk recompute) and ``"ckpt"`` (no
+    per-frame outputs — the checkpointed decode). The bit-exactness
+    contract between the pairs rests on this being the only copy of the
+    recursion."""
+    D = lb + ub + 1
+    Em = cell_exit_w.shape[1]
+    Nc = cell_exit_w.shape[0]
+    RG, F = rg_mask.shape
+    Ne = entry_state.shape[0]
+    iota_c = jnp.arange(Nc, dtype=jnp.int32)
+    with_args = mode == "records"
+
+    def junction(alpha_prev):
+        B = alpha_prev.shape[0]
+        exv = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, Nc, Em)
+        exv = exv + cell_exit_w
+        EX = jnp.max(exv, axis=2)  # (B, Nc)
+        # backoff: segment max over (p, rg) cells, then mask-reduce to (P,F)
+        BOc = EX + bo_cell
+        BO2 = jnp.full((B, P * RG), NEG_INF).at[:, cell_seg].max(BOc)
+        BO2r = BO2.reshape(B, P, RG)
+        brf = jnp.where(
+            rg_mask[None, None], BO2r[:, :, :, None], NEG_INF
+        )  # (B, P, RG, F)
+        BOF = jnp.max(brf, axis=2)  # (B, P, F)
+        ent_bo_c = BOF.reshape(B, P * F)[:, ebo_idx.reshape(-1)].reshape(
+            B, Ne, -1
+        ) + ebo_pad
+        ent_bo = jnp.max(ent_bo_c, axis=2) + p1e
+        se = EX[:, se_cell.reshape(-1)].reshape(B, Ne, -1) + se_w
+        ent_seen = jnp.max(se, axis=2)
+        ent = jnp.maximum(ent_seen, ent_bo) + entry_w
+        if not with_args:
+            return ent, None, None, None, None, None
+        cell_arg = jnp.argmax(exv, axis=2).astype(jnp.uint8)
+        winner = jnp.where(BOc >= BO2[:, cell_seg], iota_c, -1)
+        BO2arg = (
+            jnp.full((B, P * RG), -1, jnp.int32).at[:, cell_seg].max(winner)
+        )
+        BOFarg = jnp.argmax(brf, axis=2).astype(jnp.int16)
+        ent_l = jnp.argmax(ent_bo_c, axis=2).astype(jnp.uint8)
+        ent_q = jnp.argmax(se, axis=2).astype(jnp.int32)
+        ent_src = jnp.where(ent_seen >= ent_bo, ent_q, -1)
+        return ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg
+
+    def step(alpha_prev, inputs):
+        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
+        S = alpha_prev.shape[1]
+        ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
+        m = jnp.full_like(alpha_prev, NEG_INF)
+        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
+        for j in range(D):
+            d = j - lb
+            c = ap[:, ub - d : ub - d + S] + band_cols[j]
+            take = c > m
+            m = jnp.where(take, c, m)
+            bp = jnp.where(take, jnp.uint8(j), bp)
+        ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg = junction(alpha_prev)
+        m2 = m.at[:, entry_state].max(ent)
+        alpha_new = m2 + emit_t
+        active = (t < frame_lengths)[:, None]
+        alpha_out = jnp.where(active, alpha_new, alpha_prev)
+        if not with_args:
+            return alpha_out, None
+        # junction-won flag per ENTRY SLOT (B, Ne) — not packed into bit 7
+        # of the backpointer byte: wide cross-word bands (bucket (16,128),
+        # D=145) need the full u8 range, and the flag-bit scheme capped
+        # decodable graphs at D<=127
+        jwin = ent > jnp.take(m, entry_state, axis=1)
+        return alpha_out, (bp, jwin, ent_src, ent_l, cell_arg, BOFarg,
+                           BO2arg)
+
+    return step
+
+
 @partial(jax.jit, static_argnames=("lb", "ub", "P"))
 def lvcsr_xw_decode_device(
     emit_pdf: jnp.ndarray,  # (B, T, Np) pre-scaled per-PDF log-likes
@@ -1213,76 +1331,80 @@ def lvcsr_xw_decode_device(
     ub: int,
     P: int,
 ):
-    """Forward pass of the cross-word junction decoder. Returns final alpha
-    plus per-frame records (bit 7 of the packed uint8 backpointer marks a
-    junction win) for :func:`lvcsr_xw_backtrace_device` (production) /
-    :func:`lvcsr_xw_backtrace_host` (reference). Emissions arrive per-PDF
-    and are gathered to states per frame (see :func:`lvcsr_decode_device`).
-    """
-    B, T, _Np = emit_pdf.shape
-    S = state_pdf.shape[0]
+    """Record-based forward pass of the cross-word junction decoder.
+    Returns final alpha plus per-frame records (raw u8 band backpointers,
+    a (B, Ne) junction-won bitmap, and the junction argmaxes) for
+    :func:`lvcsr_xw_backtrace_device` / :func:`lvcsr_xw_backtrace_host`
+    (reference pair). Production at scale is the checkpointed pair
+    :func:`lvcsr_xw_decode_ckpt_device` /
+    :func:`lvcsr_xw_backtrace_ckpt_device`, whose memory carries no O(T*S)
+    term. Emissions arrive per-PDF and are gathered to states per frame
+    (see :func:`lvcsr_decode_device`)."""
     D = lb + ub + 1
-    assert D <= 127, "band width must fit 7 bits of the packed backpointer"
-    Nc, Em = cell_exit_idx.shape
-    RG, F = rg_mask.shape
-    Ne = entry_state.shape[0]
+    assert D <= 255, "band width must fit the u8 backpointer"
     band_cols = [band[:, j] for j in range(D)]
-    exit_flat = cell_exit_idx.reshape(-1)
-    iota_c = jnp.arange(Nc, dtype=jnp.int32)
-
-    def junction(alpha_prev):
-        exv = jnp.take(alpha_prev, exit_flat, axis=1).reshape(B, Nc, Em)
-        exv = exv + cell_exit_w
-        cell_arg = jnp.argmax(exv, axis=2).astype(jnp.uint8)
-        EX = jnp.max(exv, axis=2)  # (B, Nc)
-        # backoff: segment max over (p, rg) cells, then mask-reduce to (P,F)
-        BOc = EX + bo_cell
-        BO2 = jnp.full((B, P * RG), NEG_INF).at[:, cell_seg].max(BOc)
-        winner = jnp.where(BOc >= BO2[:, cell_seg], iota_c, -1)
-        BO2arg = (
-            jnp.full((B, P * RG), -1, jnp.int32).at[:, cell_seg].max(winner)
-        )
-        BO2r = BO2.reshape(B, P, RG)
-        brf = jnp.where(
-            rg_mask[None, None], BO2r[:, :, :, None], NEG_INF
-        )  # (B, P, RG, F)
-        BOF = jnp.max(brf, axis=2)  # (B, P, F)
-        BOFarg = jnp.argmax(brf, axis=2).astype(jnp.int16)
-        ent_bo_c = BOF.reshape(B, P * F)[:, ebo_idx.reshape(-1)].reshape(
-            B, Ne, -1
-        ) + ebo_pad
-        ent_bo = jnp.max(ent_bo_c, axis=2) + p1e
-        ent_l = jnp.argmax(ent_bo_c, axis=2).astype(jnp.uint8)
-        se = EX[:, se_cell.reshape(-1)].reshape(B, Ne, -1) + se_w
-        ent_seen = jnp.max(se, axis=2)
-        ent_q = jnp.argmax(se, axis=2).astype(jnp.int32)
-        use_seen = ent_seen >= ent_bo
-        ent = jnp.maximum(ent_seen, ent_bo) + entry_w
-        ent_src = jnp.where(use_seen, ent_q, -1)
-        return ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg
-
-    def step(alpha_prev, inputs):
-        emit_t, t = inputs  # emit_t: (B, S), pre-expanded per chunk
-        ap = jnp.pad(alpha_prev, ((0, 0), (ub, lb)), constant_values=NEG_INF)
-        m = jnp.full_like(alpha_prev, NEG_INF)
-        bp = jnp.zeros(alpha_prev.shape, jnp.uint8)
-        for j in range(D):
-            d = j - lb
-            c = ap[:, ub - d : ub - d + S] + band_cols[j]
-            take = c > m
-            m = jnp.where(take, c, m)
-            bp = jnp.where(take, jnp.uint8(j), bp)
-        ent, ent_src, ent_l, cell_arg, BOFarg, BO2arg = junction(alpha_prev)
-        m2 = m.at[:, entry_state].max(ent)
-        bp_packed = jnp.where(m2 > m, bp | jnp.uint8(0x80), bp)
-        alpha_new = m2 + emit_t
-        active = (t < frame_lengths)[:, None]
-        alpha_out = jnp.where(active, alpha_new, alpha_prev)
-        return alpha_out, (bp_packed, ent_src, ent_l, cell_arg, BOFarg,
-                           BO2arg)
-
+    step = _make_xw_fstep(
+        band_cols, cell_exit_idx.reshape(-1), cell_exit_w, bo_cell,
+        cell_seg, rg_mask, entry_state, entry_w, ebo_idx, ebo_pad, p1e,
+        se_cell, se_w, frame_lengths, lb, ub, P, "records",
+    )
     return _scan_chunked(step, lambda e0: start[None] + e0, emit_pdf,
                          state_pdf)
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "P"))
+def lvcsr_xw_decode_ckpt_device(
+    e0: jnp.ndarray,  # (B, Np) frame-0 pdf emissions (split_emissions)
+    ep: jnp.ndarray,  # (NC, TC, B, Np) chunked frames 1..T-1
+    state_pdf: jnp.ndarray,  # (S,)
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    start: jnp.ndarray,  # (S,)
+    cell_exit_idx: jnp.ndarray,  # (Nc, Em)
+    cell_exit_w: jnp.ndarray,
+    bo_cell: jnp.ndarray,
+    cell_seg: jnp.ndarray,
+    rg_mask: jnp.ndarray,
+    entry_state: jnp.ndarray,
+    entry_w: jnp.ndarray,
+    ebo_idx: jnp.ndarray,
+    ebo_pad: jnp.ndarray,
+    p1e: jnp.ndarray,
+    se_cell: jnp.ndarray,
+    se_w: jnp.ndarray,
+    lb: int,
+    ub: int,
+    P: int,
+):
+    """Checkpointed cross-word forward pass (the at-scale production path,
+    same scheme as the position-major flat decode): stores ONLY the alpha
+    checkpoint entering each _XW_TC-frame chunk — no per-frame records —
+    so per-row device memory drops from O(T*(S + Ne + Nc + P*(F+RG))) to
+    O(T*S/TC). :func:`lvcsr_xw_backtrace_ckpt_device` regenerates every
+    record chunk-locally. Returns ``(alpha_T (B,S), ckpts (NC,B,S))``."""
+    D = lb + ub + 1
+    assert D <= 255, "band width must fit the u8 backpointer"
+    S = state_pdf.shape[0]
+    band_cols = [band[:, j] for j in range(D)]
+    NC = ep.shape[0]
+    mat = _emit_chunker(state_pdf, ep.shape[3], S)
+    t0s = 1 + jnp.arange(NC) * _XW_TC
+    step = _make_xw_fstep(
+        band_cols, cell_exit_idx.reshape(-1), cell_exit_w, bo_cell,
+        cell_seg, rg_mask, entry_state, entry_w, ebo_idx, ebo_pad, p1e,
+        se_cell, se_w, frame_lengths, lb, ub, P, "ckpt",
+    )
+
+    def chunk_step(alpha, inputs):
+        echunk, t0 = inputs
+        alpha_new, _ = jax.lax.scan(
+            step, alpha, (mat(echunk), t0 + jnp.arange(_XW_TC))
+        )
+        return alpha_new, alpha  # checkpoint = alpha ENTERING chunk
+
+    alpha0 = start[None] + mat(e0[None])[0]
+    alpha_T, ckpts = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
+    return alpha_T, ckpts
 
 
 @partial(jax.jit, static_argnames=("lb", "F", "RG", "T"))
@@ -1307,23 +1429,53 @@ def lvcsr_xw_backtrace_device(
     :func:`lvcsr_backtrace_device` — same scheme: the O(T * S/Nc/Ne)
     records stay on device; only (path, entered-word, score) transfer).
     Mirrors :func:`lvcsr_xw_backtrace_host` decision for decision."""
-    bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg = recs
+    bp_raw = recs[0]
     B, S = alpha_T.shape
-    Tp = bp_packed.shape[0] + 1
+    Tp = bp_raw.shape[0] + 1
     T = T or Tp
+    s_final, score = _xw_bt_init(alpha_T, fin_state, fin_w)
+    bstep = _make_xw_bstep(
+        frame_lengths, entry_word_arr, entry_slot_of_state, se_cell,
+        ebo_idx, cell_exit_idx, lb, F, RG, B,
+    )
+    r_iota = jnp.arange(Tp - 1)
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        bstep, s_final, recs + (r_iota,), reverse=True
+    )
+    path, word_at_full = _xw_bt_outputs(
+        path_prev, word_at, s_final, state_word, T
+    )
+    return path, word_at_full, score
+
+
+def _xw_bt_init(alpha_T, fin_state, fin_w):
+    """Final state + score (best final exit + </s> weight); shared by the
+    record-based and checkpointed cross-word backtraces."""
+    B = alpha_T.shape[0]
     fin = jnp.take(alpha_T, fin_state, axis=1) + fin_w  # (B, Kf)
     k0 = jnp.argmax(fin, axis=1)
     score = jnp.take_along_axis(fin, k0[:, None], axis=1)[:, 0]
-    s_final = fin_state[k0].astype(jnp.int32)
+    return fin_state[k0].astype(jnp.int32), score
+
+
+def _make_xw_bstep(
+    frame_lengths, entry_word_arr, entry_slot_of_state, se_cell, ebo_idx,
+    cell_exit_idx, lb, F, RG, B,
+):
+    """One reverse-scan cross-word backtrace step (shared by the
+    record-based and checkpointed backtraces): carry = current state (B,),
+    inputs = (bp_r, jwin_r, entsrc_r, entl_r, cellarg_r, bofarg_r,
+    bo2arg_r, r)."""
     rows = jnp.arange(B)
 
-    def step(s, inputs):
-        (bp_r, entsrc_r, entl_r, cellarg_r, bofarg_r, bo2arg_r, r) = inputs
+    def bstep(s, inputs):
+        (bp_r, jwin_r, entsrc_r, entl_r, cellarg_r, bofarg_r, bo2arg_r,
+         r) = inputs
         t = r + 1
-        packed = bp_r[rows, s]
+        bpv = bp_r[rows, s]
         slot = entry_slot_of_state[s]
-        is_junc = ((packed & jnp.uint8(0x80)) != 0) & (slot >= 0)
         e = jnp.clip(slot, 0)
+        is_junc = (slot >= 0) & jwin_r[rows, e]
         q = entsrc_r[rows, e].astype(jnp.int32)
         cell_seen = se_cell[e, jnp.clip(q, 0)]
         pf = ebo_idx[e, entl_r[rows, e].astype(jnp.int32)]
@@ -1332,7 +1484,7 @@ def lvcsr_xw_backtrace_device(
         cell_bo = bo2arg_r[rows, p * RG + rg]
         cell = jnp.where(q >= 0, cell_seen, cell_bo).astype(jnp.int32)
         s_j = cell_exit_idx[cell, cellarg_r[rows, cell].astype(jnp.int32)]
-        s_band = s - ((packed & jnp.uint8(0x7F)).astype(jnp.int32) - lb)
+        s_band = s - (bpv.astype(jnp.int32) - lb)
         s_new = jnp.where(is_junc, s_j.astype(jnp.int32), s_band)
         active = t < frame_lengths
         s_out = jnp.where(active, s_new, s)
@@ -1341,13 +1493,12 @@ def lvcsr_xw_backtrace_device(
         )
         return s_out, (s_out, word_at_t)
 
-    r_iota = jnp.arange(Tp - 1)
-    _s0, (path_prev, word_at) = jax.lax.scan(
-        step,
-        s_final,
-        (bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg, r_iota),
-        reverse=True,
-    )
+    return bstep
+
+
+def _xw_bt_outputs(path_prev, word_at, s_final, state_word, T):
+    """Assemble (path, word_at) from the reverse scan's stacked ys; shared
+    by the record-based and checkpointed cross-word backtraces."""
     path = jnp.concatenate(
         [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
     )
@@ -1356,7 +1507,83 @@ def lvcsr_xw_backtrace_device(
     word_at_full = jnp.concatenate(
         [word0[:, None], jnp.moveaxis(word_at, 0, 1)], axis=1
     )
-    return path[:, :T], word_at_full[:, :T], score
+    return path[:, :T], word_at_full[:, :T]
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "P", "F", "RG", "T"))
+def lvcsr_xw_backtrace_ckpt_device(
+    alpha_T: jnp.ndarray,  # (B, S)
+    ckpts: jnp.ndarray,  # (NC, B, S)
+    ep: jnp.ndarray,  # (NC, TC, B, Np) chunked emissions (split_emissions)
+    state_pdf: jnp.ndarray,  # (S,)
+    frame_lengths: jnp.ndarray,  # (B,)
+    band: jnp.ndarray,  # (S, D)
+    cell_exit_idx: jnp.ndarray,  # (Nc, Em)
+    cell_exit_w: jnp.ndarray,
+    bo_cell: jnp.ndarray,
+    cell_seg: jnp.ndarray,
+    rg_mask: jnp.ndarray,
+    entry_state: jnp.ndarray,
+    entry_w: jnp.ndarray,
+    ebo_idx: jnp.ndarray,
+    ebo_pad: jnp.ndarray,
+    p1e: jnp.ndarray,
+    se_cell: jnp.ndarray,
+    se_w: jnp.ndarray,
+    fin_state: jnp.ndarray,
+    fin_w: jnp.ndarray,
+    entry_word_arr: jnp.ndarray,
+    entry_slot_of_state: jnp.ndarray,
+    state_word: jnp.ndarray,
+    lb: int,
+    ub: int,
+    P: int,
+    F: int,
+    RG: int,
+    T: int,
+):
+    """Checkpointed cross-word backtrace: chunks visited last-to-first,
+    each re-running its forward from the stored checkpoint in ``records``
+    mode (regenerating the packed backpointers and junction argmax records
+    for its TC frames only — transient, never stored across T), then
+    reverse-scanning with the shared bstep. Outputs identical to
+    :func:`lvcsr_xw_backtrace_device` (pinned by tests)."""
+    B, S = alpha_T.shape
+    D = lb + ub + 1
+    band_cols = [band[:, j] for j in range(D)]
+    NC = ep.shape[0]
+    mat = _emit_chunker(state_pdf, ep.shape[3], S)
+    t0s = 1 + jnp.arange(NC) * _XW_TC
+
+    s_final, score = _xw_bt_init(alpha_T, fin_state, fin_w)
+    bstep = _make_xw_bstep(
+        frame_lengths, entry_word_arr, entry_slot_of_state, se_cell,
+        ebo_idx, cell_exit_idx, lb, F, RG, B,
+    )
+    fstep = _make_xw_fstep(
+        band_cols, cell_exit_idx.reshape(-1), cell_exit_w, bo_cell,
+        cell_seg, rg_mask, entry_state, entry_w, ebo_idx, ebo_pad, p1e,
+        se_cell, se_w, frame_lengths, lb, ub, P, "records",
+    )
+
+    def chunk_bt(s, inputs):
+        ck, echunk, t0 = inputs
+        _a, recs = jax.lax.scan(
+            fstep, ck, (mat(echunk), t0 + jnp.arange(_XW_TC))
+        )
+        return jax.lax.scan(
+            bstep, s, recs + (t0 - 1 + jnp.arange(_XW_TC),), reverse=True
+        )
+
+    _s0, (path_prev, word_at) = jax.lax.scan(
+        chunk_bt, s_final, (ckpts, ep, t0s), reverse=True
+    )
+    path_prev = path_prev.reshape(NC * _XW_TC, B)
+    word_at = word_at.reshape(NC * _XW_TC, B)
+    path, word_at_full = _xw_bt_outputs(
+        path_prev, word_at, s_final, state_word, T
+    )
+    return path, word_at_full, score
 
 
 def lvcsr_xw_backtrace_host(
@@ -1368,13 +1595,13 @@ def lvcsr_xw_backtrace_host(
 ) -> List[Tuple[np.ndarray, float, List[Tuple[int, int]]]]:
     """Per-utterance (state_path (T,), score, word events) — cross-word
     analogue of :func:`lvcsr_backtrace_host`; reference implementation of
-    :func:`lvcsr_xw_backtrace_device` (packed record format: bit 7 of the
-    uint8 backpointer = junction won)."""
-    bp_packed, ent_src, ent_l, cell_arg, BOFarg, BO2arg = [
+    :func:`lvcsr_xw_backtrace_device` (record format: raw u8 band
+    backpointers + (B, Ne) junction-won bitmap + junction argmaxes)."""
+    bp_raw, jwin, ent_src, ent_l, cell_arg, BOFarg, BO2arg = [
         np.asarray(r) for r in recs
     ]
     B, S = alpha_T.shape
-    T = T or bp_packed.shape[0] + 1
+    T = T or bp_raw.shape[0] + 1
     RG, F = graph.rg_mask.shape
     entry_slot = {int(s): i for i, s in enumerate(graph.entry_state)}
     out = []
@@ -1389,9 +1616,8 @@ def lvcsr_xw_backtrace_host(
         events: List[Tuple[int, int]] = []
         for t in range(L - 1, 0, -1):
             r = t - 1
-            packed = int(bp_packed[r, b, s])
-            if (packed & 0x80) and s in entry_slot:
-                e = entry_slot[s]
+            e = entry_slot.get(s)
+            if e is not None and jwin[r, b, e]:
                 events.append((t, int(graph.entry_word[e])))
                 q = int(ent_src[r, b, e])
                 if q >= 0:
@@ -1405,7 +1631,7 @@ def lvcsr_xw_backtrace_host(
                     graph.cell_exit_idx[cell, int(cell_arg[r, b, cell])]
                 )
             else:
-                s = s - ((packed & 0x7F) - graph.lb)
+                s = s - (int(bp_raw[r, b, s]) - graph.lb)
             path[t - 1] = s
         w0 = int(graph.state_word[path[0]])
         if w0 >= 0:

@@ -54,12 +54,20 @@ import numpy as np
 from montreal_forced_aligner_tpu.graph.compiler import _safe_log
 from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
 from montreal_forced_aligner_tpu.transcription.lvcsr import (
-    _EMIT_TC,
     _chunk_pdf_frames,
     _emit_chunker,
     _lm_rows,
     LN10,
 )
+
+# Frames per emission chunk AND checkpoint spacing for the position-major
+# pair. Longer than the chain-major kernels' 32: the decode stores one f32
+# (B, Pmax, C) alpha checkpoint per chunk, so doubling the chunk halves
+# checkpoint HBM (the dominant per-row term — it is what admits B=32 at
+# 30 s utterances under the 4 GB budget) while amortizing the emission
+# selection table further; the backtrace's transient per-chunk records
+# grow correspondingly but stay T-independent.
+_PM_TC = 64
 
 # cap on the position-band width (backpointers are u8 offset indices; real
 # topologies — 3-state Bakis chains + the 5-state ergodic-ish silence —
@@ -413,7 +421,8 @@ def _make_pm_fstep(band_cols, exit_w_grid, bo_c, pred_c, pred_w, p1_c,
 
 @partial(jax.jit, static_argnames=("lbp", "ubp"))
 def lvcsr_pm_decode_ckpt_device(
-    emit_pdf: jnp.ndarray,  # (B, T, P) pre-scaled per-PDF log-likes
+    e0: jnp.ndarray,  # (B, P) frame-0 pdf emissions (split_emissions)
+    ep: jnp.ndarray,  # (NC, TC, B, P) chunked frames 1..T-1
     state_pdf: jnp.ndarray,  # (S'=Pmax*C,)
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (Dp, Pmax, C)
@@ -429,15 +438,16 @@ def lvcsr_pm_decode_ckpt_device(
 ):
     """Checkpointed position-major forward pass (production flat path).
 
-    Stores ONLY the alpha checkpoint entering each _EMIT_TC-frame chunk —
+    Stores ONLY the alpha checkpoint entering each _PM_TC-frame chunk —
     no per-frame records at all; :func:`lvcsr_pm_backtrace_ckpt_device`
     regenerates every decision chunk-locally. Returns
     ``(alpha_T (B,Pmax,C), ckpts (NC,B,Pmax,C))``.
     """
     Dp, Pmax, C = band.shape
     band_cols = [band[j] for j in range(Dp)]
-    mat = _emit_chunker(state_pdf, emit_pdf.shape[2], Pmax * C)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+    NC = ep.shape[0]
+    mat = _emit_chunker(state_pdf, ep.shape[3], Pmax * C)
+    t0s = 1 + jnp.arange(NC) * _PM_TC
     step = _make_pm_fstep(
         band_cols, exit_w_grid, bo_c, pred_c, pred_w, p1_c, entry_w_c,
         frame_lengths, lbp, ubp, Pmax, C, "ckpt",
@@ -446,13 +456,13 @@ def lvcsr_pm_decode_ckpt_device(
     def chunk_step(alpha, inputs):
         echunk, t0 = inputs
         alpha_new, _ = jax.lax.scan(
-            step, alpha, (mat(echunk), t0 + jnp.arange(_EMIT_TC))
+            step, alpha, (mat(echunk), t0 + jnp.arange(_PM_TC))
         )
         return alpha_new, alpha  # checkpoint = alpha ENTERING chunk
 
-    B = emit_pdf.shape[0]
-    e0 = mat(jnp.moveaxis(emit_pdf[:, :1], 0, 1))[0]
-    alpha0 = start[None] + e0.reshape(B, Pmax, C)
+    B = e0.shape[0]
+    e0s = mat(e0[None])[0]
+    alpha0 = start[None] + e0s.reshape(B, Pmax, C)
     alpha_T, ckpts = jax.lax.scan(chunk_step, alpha0, (ep, t0s))
     return alpha_T, ckpts
 
@@ -503,7 +513,7 @@ def _make_pm_bstep(frame_lengths, chain_word, pred_c, lbp, C, B):
 def lvcsr_pm_backtrace_ckpt_device(
     alpha_T: jnp.ndarray,  # (B, Pmax, C)
     ckpts: jnp.ndarray,  # (NC, B, Pmax, C)
-    emit_pdf: jnp.ndarray,  # (B, T, P) — re-expanded per chunk
+    ep: jnp.ndarray,  # (NC, TC, B, P) chunked emissions (split_emissions)
     state_pdf: jnp.ndarray,  # (S',)
     frame_lengths: jnp.ndarray,  # (B,)
     band: jnp.ndarray,  # (Dp, Pmax, C)
@@ -530,8 +540,9 @@ def lvcsr_pm_backtrace_ckpt_device(
     B, Pmax, C = alpha_T.shape
     Dp = lbp + ubp + 1
     band_cols = [band[j] for j in range(Dp)]
-    mat = _emit_chunker(state_pdf, emit_pdf.shape[2], Pmax * C)
-    ep, t0s, NC = _chunk_pdf_frames(emit_pdf, _EMIT_TC)
+    NC = ep.shape[0]
+    mat = _emit_chunker(state_pdf, ep.shape[3], Pmax * C)
+    t0s = 1 + jnp.arange(NC) * _PM_TC
 
     s_final, score = _pm_bt_init(alpha_T, exit_w_grid, eos_c)
     bstep = _make_pm_bstep(frame_lengths, chain_word, pred_c, lbp, C, B)
@@ -543,20 +554,20 @@ def lvcsr_pm_backtrace_ckpt_device(
     def chunk_bt(s, inputs):
         ck, echunk, t0 = inputs
         _a, (bp, jwin, entr, exar, boar) = jax.lax.scan(
-            fstep, ck, (mat(echunk), t0 + jnp.arange(_EMIT_TC))
+            fstep, ck, (mat(echunk), t0 + jnp.arange(_PM_TC))
         )
         return jax.lax.scan(
             bstep,
             s,
-            (bp, jwin, entr, exar, boar, t0 - 1 + jnp.arange(_EMIT_TC)),
+            (bp, jwin, entr, exar, boar, t0 - 1 + jnp.arange(_PM_TC)),
             reverse=True,
         )
 
     _s0, (path_prev, word_at) = jax.lax.scan(
         chunk_bt, s_final, (ckpts, ep, t0s), reverse=True
     )
-    path_prev = path_prev.reshape(NC * _EMIT_TC, B)
-    word_at = word_at.reshape(NC * _EMIT_TC, B)
+    path_prev = path_prev.reshape(NC * _PM_TC, B)
+    word_at = word_at.reshape(NC * _PM_TC, B)
     path = jnp.concatenate(
         [jnp.moveaxis(path_prev, 0, 1), s_final[:, None]], axis=1
     )  # (B, Tp)

@@ -704,32 +704,33 @@ class Transcriber:
         kernel rather than hand-kept constants."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
-            xw_rec_bytes_per_frame_row,
         )
 
         g = self._lvcsr_graph_for(nbest)
         K = max(1, nbest)
-        # every decode keeps the (B,T,P) f32 pdf emissions live plus the
-        # chunked scan-xs copy (2x); the flat checkpointed backtrace also
-        # re-consumes them
+        # the checkpointed production paths pre-chunk emissions once
+        # (split_emissions) and drop the original, so ONE f32 copy is
+        # resident; the K-best paths still chunk inside the kernel while
+        # the original stays live (2x)
         P_pdf = int(np.max(np.asarray(g.state_pdf))) + 1
-        emit = 2 * self._F32 * P_pdf
+        emit = self._F32 * P_pdf
+        emit2 = 2 * self._F32 * P_pdf
         from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
             LvcsrPmGraph,
         )
 
         if isinstance(g, LvcsrPmGraph):
             # position-major checkpointed decode: one f32 alpha checkpoint
-            # per _EMIT_TC frames over the (Pmax, C) grid; NO per-frame
+            # per _PM_TC frames over the (Pmax, C) grid; NO per-frame
             # records (the backtrace regenerates them chunk-locally — the
             # transient chunk records are T-independent and covered by the
             # budget's peak-HBM headroom factor)
-            from montreal_forced_aligner_tpu.transcription.lvcsr import (
-                _EMIT_TC,
+            from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+                _PM_TC,
             )
 
             Sg = g.Pmax * g.C
-            return (self._F32 * Sg) // _EMIT_TC + emit
+            return (self._F32 * Sg) // _PM_TC + emit
         S = int(g.num_states)
         if isinstance(g, LvcsrXwGraph):
             Ne = len(g.entry_state)
@@ -744,9 +745,18 @@ class Transcriber:
                     + self._I32 * Ne
                     + self._I32 * P * RG
                     + self._I32 * Nc
-                ) + emit
+                ) + emit2
             else:
-                per = xw_rec_bytes_per_frame_row(S, Ne, Nc, P, F, RG) + emit
+                # checkpointed cross-word decode: one f32 alpha checkpoint
+                # per _EMIT_TC frames, no per-frame records (regenerated
+                # chunk-locally by the backtrace; the build-time fallback
+                # gate still uses the record-based xw_rec_bytes_per_frame_row
+                # as a conservative bound)
+                from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                    _XW_TC,
+                )
+
+                per = (self._F32 * S) // _XW_TC + emit
         else:
             U = g.exit_idx.shape[0]
             V = g.p1.shape[0]
@@ -758,7 +768,7 @@ class Transcriber:
                     + self._I32 * V
                     + self._I32
                     + self._I16 * U
-                ) + emit
+                ) + emit2
             else:
                 # checkpointed decode: one f32 alpha checkpoint per
                 # _EMIT_TC frames + the small per-frame junction records
@@ -923,14 +933,32 @@ class Transcriber:
                 lvcsr_pm_backtrace_ckpt_device,
             )
 
-            alpha_T, ckpts, emit_pdf = payload
+            alpha_T, ckpts, ep = payload
             return lvcsr_pm_backtrace_ckpt_device(
-                alpha_T, ckpts, emit_pdf,
+                alpha_T, ckpts, ep,
                 d["state_pdf"], jnp.asarray(flens), d["band"],
                 d["exit_w_grid"], d["eos_c"], d["bo_c"], d["pred_c"],
                 d["pred_w"], d["p1_c"], d["entry_w_c"], d["chain_word"],
                 d["state_word"], g.lbp, g.ubp,
-                T or int(emit_pdf.shape[1]),
+                T or int(ep.shape[0] * ep.shape[1] + 1),
+            )
+        if kind == "xw_ckpt":
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                lvcsr_xw_backtrace_ckpt_device,
+            )
+
+            alpha_T, ckpts, ep = payload
+            RG, F = g.rg_mask.shape
+            return lvcsr_xw_backtrace_ckpt_device(
+                alpha_T, ckpts, ep,
+                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["cell_exit_idx"], d["cell_exit_w"], d["bo_cell"],
+                d["cell_seg"], d["rg_mask"], d["entry_state"],
+                d["entry_w"], d["ebo_idx"], d["ebo_pad"], d["p1e"],
+                d["se_cell"], d["se_w"], d["fin_state"], d["fin_w"],
+                d["entry_word"], d["entry_slot_of_state"], d["state_word"],
+                g.lb, g.ub, g.num_p, F, RG,
+                T or int(ep.shape[0] * ep.shape[1] + 1),
             )
         if kind == "xw":
             alpha_T, recs = payload
@@ -987,7 +1015,6 @@ class Transcriber:
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
             lvcsr_decode_ckpt_device,
-            lvcsr_xw_decode_device,
         )
         from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
             LvcsrPmGraph,
@@ -998,8 +1025,19 @@ class Transcriber:
         d = self._lvcsr_dev()
         emit_pdf = _lvcsr_emissions(ff, W, gconsts, self.acoustic_scale)
         if isinstance(g, LvcsrPmGraph):
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                split_emissions,
+            )
+            from montreal_forced_aligner_tpu.transcription.lvcsr_pm import (
+                _PM_TC,
+            )
+
+            # chunk once and drop emit_pdf: halves emission HBM residency
+            e0, ep = split_emissions(emit_pdf, _PM_TC)
+            del emit_pdf
             alpha_T, ckpts = lvcsr_pm_decode_ckpt_device(
-                emit_pdf,
+                e0,
+                ep,
                 d["state_pdf"],
                 jnp.asarray(flens),
                 d["band"],
@@ -1013,10 +1051,19 @@ class Transcriber:
                 g.lbp,
                 g.ubp,
             )
-            return ("pm_ckpt", (alpha_T, ckpts, emit_pdf))
+            return ("pm_ckpt", (alpha_T, ckpts, ep))
         if isinstance(g, LvcsrXwGraph):
-            alpha_T, recs = lvcsr_xw_decode_device(
-                emit_pdf,
+            from montreal_forced_aligner_tpu.transcription.lvcsr import (
+                _XW_TC,
+                lvcsr_xw_decode_ckpt_device,
+                split_emissions,
+            )
+
+            e0, ep = split_emissions(emit_pdf, _XW_TC)
+            del emit_pdf
+            alpha_T, ckpts = lvcsr_xw_decode_ckpt_device(
+                e0,
+                ep,
                 d["state_pdf"],
                 jnp.asarray(flens),
                 d["band"],
@@ -1037,7 +1084,7 @@ class Transcriber:
                 g.ub,
                 g.num_p,
             )
-            return ("xw", (alpha_T, recs))
+            return ("xw_ckpt", (alpha_T, ckpts, ep))
         alpha_T, ckpts, recs = lvcsr_decode_ckpt_device(
             emit_pdf,
             d["state_pdf"],

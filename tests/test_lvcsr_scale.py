@@ -182,6 +182,59 @@ def test_router_threshold_boundary_equivalence(tmp_path, monkeypatch):
         ]
 
 
+def test_ckpt_batch_ceiling_admits_32_rows(tmp_path):
+    """The checkpointed decodes (position-major flat AND cross-word) carry
+    no O(T*S) per-frame records, so a 32-row batch of 30 s utterances fits
+    the default HBM budget without splitting — the record-based batch
+    ceiling (~6 rows at V=20k) is gone (VERDICT r4 #1)."""
+    from montreal_forced_aligner_tpu.transcription import lvcsr as lv
+
+    # flat position-major at V=20k
+    corpus_dir, wave = build_synthetic_corpus(tmp_path, text="ab a")
+    model_path, dict_path = build_synthetic_model(tmp_path, wave=wave)
+    extra = _grow_dictionary(dict_path, 20_000)
+    texts = [" ".join(extra[i : i + 6]) for i in range(0, 20_000, 6)]
+    lm, _ = train_lm_from_texts(texts, order=2)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=32)
+    tr.lm = lm
+    tr._ensure_graph(nominal_frames=3000)
+    assert tr._lvcsr is not None
+    T = 3000  # 30 s utterances
+    per_row = T * tr._lvcsr_rec_bytes_per_frame_row(1)
+    budget = tr._rec_budget()
+    assert 32 * per_row <= budget, (
+        f"flat ckpt: 32 rows need {32 * per_row / 1e9:.1f} GB "
+        f"> {budget / 1e9:.1f} GB budget"
+    )
+
+    # cross-word (triphone) graph via the SAT-scale model
+    from helpers import build_sat_scale_model
+
+    from montreal_forced_aligner_tpu.align.aligner import (
+        AlignerConfig,
+        PretrainedAligner,
+    )
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        LvcsrGraphCompiler,
+        LvcsrXwGraph,
+    )
+
+    xw_model, xw_dict = build_sat_scale_model(tmp_path, gauss_per_pdf=2)
+    al = PretrainedAligner(xw_model, xw_dict, AlignerConfig(batch_size=2))
+    words = sorted(al.lexicon.words)[:200]
+    lm2, _ = train_lm_from_texts(
+        [" ".join(words[i : i + 5]) for i in range(0, 200, 5)], order=2
+    )
+    xw = LvcsrGraphCompiler(al.compiler, al.lexicon, lm2).build()
+    assert isinstance(xw, LvcsrXwGraph)
+    tr2 = Transcriber(xw_model, xw_dict, lm=lm2, batch_size=32)
+    tr2._lvcsr = xw
+    per_row_xw = T * tr2._lvcsr_rec_bytes_per_frame_row(1)
+    assert 32 * per_row_xw <= tr2._rec_budget(), (
+        f"xw ckpt: 32 rows need {32 * per_row_xw / 1e9:.1f} GB"
+    )
+
+
 def test_lvcsr_record_budget_splitting(tmp_path, monkeypatch):
     """When the device-resident decode records exceed the HBM budget, the
     batch splits into row chunks and the results are unchanged (the 20k

@@ -366,25 +366,56 @@ def test_xw_device_backtrace_matches_host(tri_setup, monkeypatch):
 
     def spy(self, ff, flens, W, gconsts):
         handle = orig(self, ff, flens, W, gconsts)
-        captured.append((handle, np.array(flens)))
+        captured.append((handle, np.array(flens), ff, W, gconsts))
         return handle
 
     monkeypatch.setattr(tmod.Transcriber, "_lvcsr_decode_device", spy)
     tr.transcribe_corpus(corpus)
     assert isinstance(tr._lvcsr, LvcsrXwGraph) and captured
-    for handle, flens in captured:
-        kind, (alpha_T, recs) = handle
-        assert kind == "xw"
+    import jax.numpy as jnp
+
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        lvcsr_xw_decode_device,
+    )
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        _lvcsr_emissions,
+    )
+
+    g = tr._lvcsr
+    d = tr._lvcsr_dev()
+    for handle, flens, ff, W, gconsts in captured:
+        kind, payload = handle
+        # production path is the checkpointed pair
+        assert kind == "xw_ckpt"
+        T = int(ff.shape[1])
+        ckpt_rows = tr._lvcsr_rows(
+            tr._lvcsr_backtrace_device_dispatch(handle, flens, T=T), flens
+        )
+        # reference: the record-based pair on the same emissions
+        emit_pdf = _lvcsr_emissions(ff, W, gconsts, tr.acoustic_scale)
+        alpha_T, recs = lvcsr_xw_decode_device(
+            emit_pdf, d["state_pdf"], jnp.asarray(flens), d["band"],
+            d["start"], d["cell_exit_idx"], d["cell_exit_w"], d["bo_cell"],
+            d["cell_seg"], d["rg_mask"], d["entry_state"], d["entry_w"],
+            d["ebo_idx"], d["ebo_pad"], d["p1e"], d["se_cell"], d["se_w"],
+            g.lb, g.ub, g.num_p,
+        )
         host_rows = lvcsr_xw_backtrace_host(
-            tr._lvcsr, np.asarray(alpha_T), recs, flens
+            g, np.asarray(alpha_T), recs, flens, T=T
         )
         dev_rows = tr._lvcsr_rows(
-            tr._lvcsr_backtrace_device_dispatch(handle, flens), flens
+            tr._lvcsr_backtrace_device_dispatch(
+                ("xw", (alpha_T, recs)), flens, T=T
+            ),
+            flens,
         )
-        for (hp, hs, he), (dp, ds, de) in zip(host_rows, dev_rows):
+        for (hp, hs, he), (dp, ds, de), (cp, cs, ce) in zip(
+            host_rows, dev_rows, ckpt_rows
+        ):
             np.testing.assert_array_equal(np.asarray(dp), np.asarray(hp))
-            assert abs(ds - hs) < 1e-4
-            assert de == he
+            np.testing.assert_array_equal(np.asarray(cp), np.asarray(hp))
+            assert abs(ds - hs) < 1e-4 and abs(cs - hs) < 1e-4
+            assert de == he and ce == he
 
 
 def test_xw_build_falls_back_when_records_exceed_budget(tri_setup, monkeypatch):
