@@ -320,6 +320,9 @@ def main():
         mono_corpus = Corpus.load(corpus_dir)
         mono_tp = measure(mono, mono_corpus, mono_audio, repeats, "mono")
         PARTIAL["value"] = round(mono_tp, 2)
+        # adaptive transfer mode the run actually used (waves vs f16
+        # features when the link probe read degraded)
+        PARTIAL["transfer_mode"] = getattr(mono, "last_transfer_mode", None)
 
         # ---- SAT-scale workload (the real shape: ~5k pdfs, LDA, fMLLR)
         sat_tp = None
@@ -530,6 +533,9 @@ def main():
         "tunnel_end": PARTIAL.get("tunnel_end"),
         # executables newly compiled this run (0 = fully warm disk cache)
         "new_xla_compiles": _cache_entries() - cache_before,
+        # "waves" or "features" (f16 host-MFCC shipping under a degraded
+        # link; see aligner.resolve_transfer_mode)
+        "transfer_mode": PARTIAL.get("transfer_mode"),
         "warmup_s": PARTIAL.get("warmup_s"),
         "repeat_s": PARTIAL.get("repeat_s"),
         "reporting": "best-of-N (all repeats listed in repeat_s)",

@@ -12,6 +12,7 @@ device program has static shapes.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -92,6 +93,110 @@ def _mfcc_and_spk_stats(
     onehot = jax.nn.one_hot(spk_idx, num_speakers, dtype=feats.dtype)
     spk_sum = jnp.einsum("bs,bd->sd", onehot, sums)
     return feats, spk_sum
+
+
+@partial(jax.jit, static_argnames=("num_speakers",))
+def _feats_and_spk_stats(feats16, frame_lengths, spk_idx, num_speakers):
+    """Phase A for pre-computed (host-MFCC) features shipped f16: cast to
+    f32 on device + the same per-speaker CMVN reduction as
+    :func:`_mfcc_and_spk_stats` (degraded-tunnel transfer mode)."""
+    feats = feats16.astype(jnp.float32)
+    mask = frame_mask(frame_lengths, feats.shape[1])[..., None]
+    sums = jnp.where(mask, feats, 0.0).sum(axis=1)
+    onehot = jax.nn.one_hot(spk_idx, num_speakers, dtype=feats.dtype)
+    spk_sum = jnp.einsum("bs,bd->sd", onehot, sums)
+    return feats, spk_sum
+
+
+@jax.jit
+def _feats_and_sums(feats16, frame_lengths):
+    """Per-utterance-sums variant of :func:`_feats_and_spk_stats` (the
+    training pipeline's phase A shape)."""
+    feats = feats16.astype(jnp.float32)
+    mask = frame_mask(frame_lengths, feats.shape[1])[..., None]
+    sums = jnp.where(mask, feats, 0.0).sum(axis=1)
+    return feats, sums
+
+
+# -- adaptive host->device transfer mode -------------------------------------
+# The tunnel to a remote-attached TPU swings 1.6 GB/s -> 60 MB/s minute to
+# minute (BENCH telemetry, rounds 3-4). int16 waves are ~32 KB per audio
+# second; (T, 13) f16 MFCC features are ~2.6 KB — 12x fewer bytes. When a
+# quick probe reads a degraded link, phase A computes MFCCs host-side (the
+# identical XLA program on the CPU backend) and ships features instead.
+# Explicit double-buffering is NOT needed on top: device_put and every
+# kernel dispatch are asynchronous and all batches are dispatched before
+# any fetch, so batch N+1's transfer already overlaps batch N's compute —
+# the degraded regime is transfer-BOUND, which only fewer bytes fixes.
+
+# Default threshold from the measured breakeven on the real chip: the
+# features path costs ~3.5 s extra per ~1000 audio-s corpus (host torch
+# MFCC + f16 conversion + separate phase-A program) while saving ~28 MB
+# over the link, so it only wins below ~10-25 MB/s — i.e. when the tunnel
+# has genuinely collapsed, not merely dipped.
+_TRANSFER_THRESHOLD_MBPS = float(
+    os.environ.get("MFA_TPU_TRANSFER_THRESHOLD_MBPS", 25.0)
+)
+_transfer_probe_cache = {"t": 0.0, "mode": None}
+
+
+def _probe_h2d_MBps() -> float:
+    """One 4 MB host->device transfer, timed (blocking)."""
+    import time as _time
+
+    import jax as _jax
+
+    dev = _jax.devices()[0]
+    x = np.zeros(2 * 1024 * 1024, np.int16)  # 4 MB
+    w = _jax.device_put(x[:16], dev)
+    _jax.block_until_ready(w)  # dispatch path warm
+    t0 = _time.perf_counter()
+    y = _jax.device_put(x, dev)
+    _jax.block_until_ready(y)
+    return x.nbytes / 1e6 / max(_time.perf_counter() - t0, 1e-9)
+
+
+def resolve_transfer_mode(requested: str = "auto", ttl_s: float = 120.0) -> str:
+    """Pick "waves" or "features" for phase A.
+
+    ``requested``/env ``MFA_TPU_TRANSFER_MODE`` force a mode; "auto" probes
+    the link (cached ``ttl_s``) and switches to feature shipping below
+    ``MFA_TPU_TRANSFER_THRESHOLD_MBPS`` (default 25 — the measured
+    breakeven; see the constant's note). On the CPU backend
+    there is no link to degrade — always waves. The choice is logged and
+    recorded by callers (bench telemetry) because f16 features quantize
+    (~1e-3 relative): alignments can differ from wave mode at exact ties.
+    """
+    import time as _time
+
+    import jax as _jax
+
+    env = os.environ.get("MFA_TPU_TRANSFER_MODE")
+    if env in ("waves", "features"):
+        return env
+    if requested in ("waves", "features"):
+        return requested
+    if _jax.default_backend() == "cpu":
+        return "waves"
+    now = _time.monotonic()
+    if (
+        _transfer_probe_cache["mode"] is not None
+        and now - _transfer_probe_cache["t"] < ttl_s
+    ):
+        return _transfer_probe_cache["mode"]
+    rate = _probe_h2d_MBps()
+    mode = "features" if rate < _TRANSFER_THRESHOLD_MBPS else "waves"
+    _transfer_probe_cache.update(t=now, mode=mode)
+    if mode == "features":
+        _logger.warning(
+            "host->device link degraded (%.0f MB/s < %.0f): shipping f16 "
+            "MFCC features instead of waves (12x fewer bytes; host CPU "
+            "computes the identical MFCC program)",
+            rate, _TRANSFER_THRESHOLD_MBPS,
+        )
+    else:
+        _logger.debug("h2d probe %.0f MB/s: shipping waves", rate)
+    return mode
 
 
 @jax.jit
@@ -216,6 +321,11 @@ class AlignerConfig:
     # language-specific pre-tokenization (reference --language; english is
     # rule-based, ja/zh/ko/th gate on their segmentation packages)
     language: Optional[str] = None
+    # phase-A host->device payload: "waves" (int16 audio, device MFCC),
+    # "features" (host MFCC, f16 over the link — 12x fewer bytes), or
+    # "auto" (probe the link; features below
+    # MFA_TPU_TRANSFER_THRESHOLD_MBPS). See resolve_transfer_mode.
+    transfer_mode: str = "auto"
     num_loader_threads: int = 8  # threaded audio decode (native FLAC)
     # host graph compilation fans out over a process pool (0 = in-process);
     # engaged only for corpora with >= 4 utterances per worker, and not with
@@ -858,6 +968,14 @@ class PretrainedAligner:
         spk_count = np.zeros(num_speakers, dtype=np.float64)
         import jax as _jax
 
+        # adaptive transfer mode: ship f16 features instead of waves when
+        # the link probe reads degraded (12x fewer bytes over the tunnel)
+        transfer_mode = resolve_transfer_mode(
+            getattr(cfg, "transfer_mode", "auto")
+        )
+        self.last_transfer_mode = transfer_mode
+        from montreal_forced_aligner_tpu.ops.mfcc import mfcc_host_batch
+
         row_mult = self._row_multiple()
         for bi, batch in enumerate(batches):
             dev = self.devices[bi % len(self.devices)]
@@ -878,14 +996,25 @@ class PretrainedAligner:
             spk_idx[:n_real] = [
                 speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
-            feats_dev, bsum = _mfcc_and_spk_stats(
-                self._put_b(padded, dev),
-                self._put_b(flens, dev),
-                self._put_b(spk_idx, dev),
-                self.mfcc_config,
-                max_frames,
-                num_speakers,
-            )
+            if transfer_mode == "features":
+                feats16 = mfcc_host_batch(
+                    padded, self.mfcc_config, max_frames
+                ).astype(np.float16)
+                feats_dev, bsum = _feats_and_spk_stats(
+                    self._put_b(feats16, dev),
+                    self._put_b(flens, dev),
+                    self._put_b(spk_idx, dev),
+                    num_speakers,
+                )
+            else:
+                feats_dev, bsum = _mfcc_and_spk_stats(
+                    self._put_b(padded, dev),
+                    self._put_b(flens, dev),
+                    self._put_b(spk_idx, dev),
+                    self.mfcc_config,
+                    max_frames,
+                    num_speakers,
+                )
             dev_totals[dev] = (
                 dev_totals[dev] + bsum if dev in dev_totals else bsum
             )

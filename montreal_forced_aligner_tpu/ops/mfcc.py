@@ -222,6 +222,98 @@ def _mfcc_device(
     return ceps
 
 
+def mfcc_host_batch(
+    padded_waves: np.ndarray, cfg: MfccConfig, max_frames: int
+) -> np.ndarray:
+    """Numpy mirror of :func:`_mfcc_device` (same constants, same steps,
+    f32 throughout).
+
+    Used by the degraded-tunnel transfer mode: when host->device bandwidth
+    collapses (remote-attached TPUs swing 1.6 GB/s -> 60 MB/s), shipping
+    (T, 13) f16 features instead of int16 waves cuts bytes ~12x. Pure
+    numpy rather than an XLA CPU executable because TPU plugin
+    environments may register no CPU backend at all; the f32-vs-XLA ulp
+    differences are subsumed by the f16 shipping quantization (pinned by
+    ``tests/test_transfer_mode.py``)."""
+    consts = cfg.constants()
+    window = np.asarray(consts["window"], np.float32)
+    mel = np.asarray(consts["mel"], np.float32)  # (fft/2, n_mel)
+    dct = np.asarray(consts["dct"], np.float32)  # (n_mel, n_ceps)
+    lifter = np.asarray(consts["lifter"], np.float32)
+    waves = np.asarray(padded_waves, np.float32)
+    shift, length = cfg.frame_shift, cfg.frame_length
+    off = PAD_LEFT + (shift // 2 - length // 2 if not cfg.snip_edges else 0)
+    starts = off + np.arange(max_frames) * shift
+    idx = starts[:, None] + np.arange(length)[None, :]
+    frames = waves[:, idx]  # (B, T, length)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=-1, keepdims=True, dtype=np.float32)
+    tiny = np.finfo(np.float32).tiny
+    if cfg.use_energy and cfg.raw_energy:
+        log_energy = np.log(np.maximum((frames * frames).sum(-1), tiny))
+    if cfg.preemphasis != 0.0:
+        prev = np.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - np.float32(cfg.preemphasis) * prev
+    if cfg.use_energy and not cfg.raw_energy:
+        log_energy = np.log(np.maximum((frames * frames).sum(-1), tiny))
+    frames = frames * window
+    spec = np.fft.rfft(frames, n=cfg.fft_size, axis=-1)
+    power = (
+        spec.real.astype(np.float32) ** 2 + spec.imag.astype(np.float32) ** 2
+    )[..., : cfg.fft_size // 2]
+    log_mel = np.log(np.maximum(power @ mel, EPS_F32))
+    ceps = (log_mel @ dct) * lifter
+    if cfg.use_energy:
+        if cfg.energy_floor > 0.0:
+            log_energy = np.maximum(log_energy, math.log(cfg.energy_floor))
+        ceps[..., 0] = log_energy
+    return ceps.astype(np.float32)
+
+
+def _mfcc_host_torch(
+    padded_waves: np.ndarray, cfg: MfccConfig, max_frames: int
+) -> np.ndarray:
+    """torch-CPU body of :func:`mfcc_host_batch` (same constants/steps)."""
+    import torch
+
+    consts = cfg.constants()
+    window = torch.from_numpy(np.asarray(consts["window"], np.float32))
+    mel = torch.from_numpy(np.asarray(consts["mel"], np.float32))
+    dct = torch.from_numpy(np.asarray(consts["dct"], np.float32))
+    lifter = torch.from_numpy(np.asarray(consts["lifter"], np.float32))
+    waves_t = torch.from_numpy(np.ascontiguousarray(padded_waves, np.float32))
+    shift, length = cfg.frame_shift, cfg.frame_length
+    off = PAD_LEFT + (shift // 2 - length // 2 if not cfg.snip_edges else 0)
+    end = off + (max_frames - 1) * shift + length
+    frames = waves_t[:, off:end].unfold(1, length, shift).clone()
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(-1, keepdim=True)
+    tiny = float(np.finfo(np.float32).tiny)
+    if cfg.use_energy and cfg.raw_energy:
+        log_energy = torch.log(
+            torch.clamp((frames * frames).sum(-1), min=tiny)
+        )
+    if cfg.preemphasis != 0.0:
+        prev = torch.cat([frames[..., :1], frames[..., :-1]], -1)
+        frames = frames - cfg.preemphasis * prev
+    if cfg.use_energy and not cfg.raw_energy:
+        log_energy = torch.log(
+            torch.clamp((frames * frames).sum(-1), min=tiny)
+        )
+    frames = frames * window
+    spec = torch.fft.rfft(frames, n=cfg.fft_size, dim=-1)
+    power = (spec.real**2 + spec.imag**2)[..., : cfg.fft_size // 2]
+    log_mel = torch.log(torch.clamp(power @ mel, min=float(EPS_F32)))
+    ceps = (log_mel @ dct) * lifter
+    if cfg.use_energy:
+        if cfg.energy_floor > 0.0:
+            log_energy = torch.clamp(
+                log_energy, min=math.log(cfg.energy_floor)
+            )
+        ceps[..., 0] = log_energy
+    return ceps.numpy()
+
+
 def pad_waves_for_mfcc(
     waves: "list[np.ndarray]", cfg: MfccConfig, padded_len: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:

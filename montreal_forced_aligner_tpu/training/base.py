@@ -379,6 +379,14 @@ class TrainingPipeline:
                 np.int64,
             )
             L_per_batch = np.max(host_allgather(local_L), axis=0)
+        from montreal_forced_aligner_tpu.align.aligner import (
+            resolve_transfer_mode,
+        )
+
+        # adaptive transfer mode (see aligner.resolve_transfer_mode): ship
+        # f16 host-computed features when the link probe reads degraded
+        transfer_mode = resolve_transfer_mode()
+        self.last_transfer_mode = transfer_mode
         for bi, batch in enumerate(batch_lists):
             wave_list = [waves[i] for i in batch]
             n_real = len(wave_list)
@@ -398,12 +406,28 @@ class TrainingPipeline:
                 [self.mfcc_config.num_frames(int(n)) for n in lens], np.int32
             )
             flens[n_real:] = 0
-            feats_dev, sums = _mfcc_and_sums(
-                self.put_b(padded),
-                self.put_b(flens),
-                self.mfcc_config,
-                self.mfcc_config.num_frames(L),
-            )
+            if transfer_mode == "features":
+                from montreal_forced_aligner_tpu.align.aligner import (
+                    _feats_and_sums,
+                )
+                from montreal_forced_aligner_tpu.ops.mfcc import (
+                    mfcc_host_batch,
+                )
+
+                feats16 = mfcc_host_batch(
+                    padded, self.mfcc_config,
+                    self.mfcc_config.num_frames(L),
+                ).astype(np.float16)
+                feats_dev, sums = _feats_and_sums(
+                    self.put_b(feats16), self.put_b(flens)
+                )
+            else:
+                feats_dev, sums = _mfcc_and_sums(
+                    self.put_b(padded),
+                    self.put_b(flens),
+                    self.mfcc_config,
+                    self.mfcc_config.num_frames(L),
+                )
             if self.features_on_host:
                 # eager fetch bounds the HBM peak to one batch
                 feats_dev = np.asarray(feats_dev)

@@ -460,9 +460,16 @@ class Transcriber:
         # _speaker_means pre-pass ran the whole MFCC pipeline a second
         # time; all batches are dispatched before any result is fetched
         from montreal_forced_aligner_tpu.align.aligner import (
+            _feats_and_spk_stats,
             _mfcc_and_spk_stats,
+            resolve_transfer_mode,
         )
+        from montreal_forced_aligner_tpu.ops.mfcc import mfcc_host_batch
 
+        transfer_mode = resolve_transfer_mode(
+            getattr(al.config, "transfer_mode", "auto")
+        )
+        self.last_transfer_mode = transfer_mode
         D = al.mfcc_config.num_coefficients
         stashes = []
         spk_sum_dev = None
@@ -478,14 +485,25 @@ class Transcriber:
                 [speaker_index[corpus.utterances[i].speaker] for i in batch],
                 np.int32,
             )
-            feats, bsum = _mfcc_and_spk_stats(
-                jnp.asarray(padded),
-                jnp.asarray(flens),
-                jnp.asarray(spk_idx),
-                al.mfcc_config,
-                al.mfcc_config.num_frames(L),
-                num_speakers,
-            )
+            if transfer_mode == "features":
+                feats16 = mfcc_host_batch(
+                    padded, al.mfcc_config, al.mfcc_config.num_frames(L)
+                ).astype(np.float16)
+                feats, bsum = _feats_and_spk_stats(
+                    jnp.asarray(feats16),
+                    jnp.asarray(flens),
+                    jnp.asarray(spk_idx),
+                    num_speakers,
+                )
+            else:
+                feats, bsum = _mfcc_and_spk_stats(
+                    jnp.asarray(padded),
+                    jnp.asarray(flens),
+                    jnp.asarray(spk_idx),
+                    al.mfcc_config,
+                    al.mfcc_config.num_frames(L),
+                    num_speakers,
+                )
             spk_sum_dev = bsum if spk_sum_dev is None else spk_sum_dev + bsum
             np.add.at(spk_count, spk_idx, flens.astype(np.float64))
             stashes.append((batch, flens, feats, spk_idx))
