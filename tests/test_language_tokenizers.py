@@ -311,3 +311,116 @@ def test_thai_golden_segmentation():
     assert tok.tokenize("วันนี้อากาศดีมาก") == [
         "วันนี้", "อากาศ", "ดี", "มาก",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-length goldens (VERDICT r4 #3): pin the max-match fallback's
+# QUALITY over real-length text, not just the mechanism. Reference engine
+# specs: tokenization/japanese.py:15, chinese.py, korean.py, thai.py.
+# ---------------------------------------------------------------------------
+
+
+def _lang_tok(lang, words):
+    simple = SimpleTokenizer(word_set=words)
+    return compose_tokenizer(
+        simple, get_language_tokenizer(lang, word_set=words)
+    )
+
+
+def test_japanese_golden_paragraph_reference_fixture():
+    """The reference's OWN common-voice Japanese fixture
+    (tests/data/lab/common_voice_ja_24511055.lab) over its correct word
+    inventory: the fallback recovers the full segmentation."""
+    from pathlib import Path
+
+    text = Path(
+        "/root/reference/tests/data/lab/common_voice_ja_24511055.lab"
+    ).read_text().strip()
+    assert text == "真っ昼間なのにキャンプの外れの電柱に電球がともっていた"
+    words = {
+        "真っ昼間", "な", "の", "に", "キャンプ", "外れ", "電柱",
+        "電球", "が", "ともっ", "て", "い", "た",
+    }
+    toks = _lang_tok("japanese", words).tokenize(text)
+    assert toks == [
+        "真っ昼間", "な", "の", "に", "キャンプ", "の", "外れ", "の",
+        "電柱", "に", "電球", "が", "ともっ", "て", "い", "た",
+    ]
+    # longest-match preference: 真っ昼間 stays whole even though な/の/に
+    # are all single-character lexicon words
+    assert "真っ昼間" in toks and len(toks) == 16
+
+
+def test_japanese_golden_multi_sentence():
+    """Multi-sentence ja text with CJK punctuation and a bracketed span."""
+    words = {
+        "今日", "は", "いい", "天気", "です", "ね", "明日", "雨", "が",
+        "降る", "かも", "しれ", "ませ", "ん", "はい", "何", "でしょう",
+    }
+    tok = _lang_tok("japanese", words)
+    assert tok.tokenize("今日はいい天気ですね。明日は雨が降るかもしれません。") == [
+        "今日", "は", "いい", "天気", "です", "ね",
+        "明日", "は", "雨", "が", "降る", "かも", "しれ", "ませ", "ん",
+    ]
+    assert tok.tokenize("「はい」、。！ 『何 でしょう』") == [
+        "はい", "何", "でしょう",
+    ]
+    # bracketed spans survive segmentation whole
+    assert tok.tokenize("はい[laughter]何でしょう")[1] == "[laughter]"
+
+
+def test_chinese_golden_paragraph():
+    """Paragraph-length zh golden: three sentences, punctuation variety,
+    ambiguous overlaps resolved by cheapest-cover/longest-match."""
+    words = {
+        "我们", "今天", "去", "公园", "玩", "天气", "很", "好", "他",
+        "喜欢", "北京", "大学", "北京大学", "的", "学生", "都", "在",
+        "图书馆", "看", "书", "朋友",
+    }
+    tok = _lang_tok("chinese", words)
+    assert tok.tokenize("我们今天去公园玩，天气很好。") == [
+        "我们", "今天", "去", "公园", "玩", "天气", "很", "好",
+    ]
+    # longest-match: 北京大学 (in lexicon) beats 北京 + 大学
+    assert tok.tokenize("北京大学的学生都在图书馆看书！") == [
+        "北京大学", "的", "学生", "都", "在", "图书馆", "看", "书",
+    ]
+    assert tok.tokenize("他喜欢北京的朋友") == [
+        "他", "喜欢", "北京", "的", "朋友",
+    ]
+    # pre-spaced text passes through unharmed
+    assert tok.tokenize("我们 今天 去 公园") == ["我们", "今天", "去", "公园"]
+
+
+def test_korean_golden_sentences():
+    """Korean fallback goldens: spaced eojeol stay whole when in-lexicon;
+    unspaced runs max-match; unknown eojeol do not shatter."""
+    words = {"안녕", "하세요", "저", "는", "학생", "입니다", "한국", "사람"}
+    tok = _lang_tok("korean", words)
+    assert tok.tokenize("안녕하세요 저는 학생입니다") == [
+        "안녕", "하세요", "저", "는", "학생", "입니다",
+    ]
+    assert tok.tokenize("한국사람입니다") == ["한국", "사람", "입니다"]
+    # an eojeol with no lexicon cover stays whole (mapped to OOV later)
+    assert tok.tokenize("감사합니다 한국")[-1] == "한국"
+
+
+def test_thai_golden_paragraph():
+    """Paragraph-length th golden over an unspaced run (Thai writes
+    without word spaces — the hard case the engines exist for)."""
+    words = {
+        "วันนี้", "อากาศ", "ดี", "มาก", "ฉัน", "ไป", "โรงเรียน",
+        "กับ", "เพื่อน", "เรา", "กิน", "ข้าว", "ที่", "ร้าน",
+    }
+    tok = _lang_tok("thai", words)
+    assert tok.tokenize("วันนี้อากาศดีมาก") == [
+        "วันนี้", "อากาศ", "ดี", "มาก",
+    ]
+    assert tok.tokenize("ฉันไปโรงเรียนกับเพื่อน") == [
+        "ฉัน", "ไป", "โรงเรียน", "กับ", "เพื่อน",
+    ]
+    assert tok.tokenize("เรากินข้าวที่ร้าน") == [
+        "เรา", "กิน", "ข้าว", "ที่", "ร้าน",
+    ]
+    # mixed spaced + unspaced
+    assert tok.tokenize("วันนี้ อากาศดี") == ["วันนี้", "อากาศ", "ดี"]
