@@ -62,7 +62,7 @@ def fine_tune_alignments(
     aligner,
     corpus: Corpus,
     results: Dict[int, UtteranceAlignment],
-    batch_size: int = 256,
+    batch_size: int = 2048,
     padding_frames: float = 1.5,
     feature_padding_factor: int = 3,
 ) -> Dict[int, UtteranceAlignment]:
