@@ -2149,3 +2149,131 @@ def lvcsr_backtrace_host(
         events.reverse()
         out.append((path, score, events))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device K-best backtrace (flat junction)
+# ---------------------------------------------------------------------------
+# The host backtrace above fetches the full per-frame selection records to
+# numpy — at V=20k that is (T, B, S, K) int16 cand_sel alone, ~3 GB per
+# 9 s row, minutes over a remote link's d2h. This pair keeps the records
+# ON DEVICE: final hypotheses are selected with the exact device
+# dedup_topk (same top-H-distinct-hashes semantics as the host's
+# argsort + set walk), and the backtrace runs as a reverse scan carrying
+# (state, rank) per hypothesis — only (B, H) starts and (B, H, T) paths
+# cross the link. Mirrors lvcsr_nbest_backtrace_host decision for
+# decision (pinned rank-exact by tests).
+
+
+@partial(jax.jit, static_argnames=("H",))
+def lvcsr_nbest_final_select_device(
+    alpha_T: jnp.ndarray,  # (B, S, K)
+    hist_T: jnp.ndarray,  # (B, S, K) uint32
+    exit_idx: jnp.ndarray,  # (U, E)
+    exit_w: jnp.ndarray,
+    eos: jnp.ndarray,  # (U,)
+    H: int,
+):
+    """Top-H distinct-word-sequence final hypotheses on device.
+
+    Returns (scores (B, H) — NEG_INF pads rank short rows —, s0 (B, H)
+    final state, rk0 (B, H) rank within that state's K list)."""
+    B = alpha_T.shape[0]
+    K = alpha_T.shape[2]
+    U, E = exit_idx.shape
+    ex = jnp.take(alpha_T, exit_idx.reshape(-1), axis=1).reshape(
+        B, U, E, K
+    ) + exit_w[None, :, :, None] + eos[None, :, None, None]
+    exh = jnp.take(hist_T, exit_idx.reshape(-1), axis=1).reshape(B, U, E, K)
+    flat = ex.reshape(B, U * E * K)
+    flath = exh.reshape(B, U * E * K)
+    vals, _hsel, idx = _dedup_topk(flat, flath, H)  # exact top-H distinct
+    u = idx // (E * K)
+    e = (idx // K) % E
+    rk0 = idx % K
+    s0 = exit_idx[u, e].astype(jnp.int32)
+    return vals, s0, rk0
+
+
+@partial(jax.jit, static_argnames=("lb", "ub", "K", "T"))
+def lvcsr_nbest_backtrace_device(
+    s0: jnp.ndarray,  # (B, H) start states (from final selection)
+    rk0: jnp.ndarray,  # (B, H) start ranks
+    recs,  # stacked step records from lvcsr_nbest_device (device-resident)
+    frame_lengths: jnp.ndarray,  # (B,)
+    entry_word: jnp.ndarray,  # (Ne,) word of each entry slot
+    entry_slot_of_state: jnp.ndarray,  # (S,) slot index or -1
+    big_pred: jnp.ndarray,  # (V, Kb)
+    exit_idx: jnp.ndarray,  # (U, E)
+    state_word: jnp.ndarray,  # (S,)
+    lb: int,
+    ub: int,
+    K: int,
+    T: int = 0,
+):
+    """K-best backtrace as a device reverse scan over (B, H) hypothesis
+    carries; outputs (paths (B, H, T) i32, word_at (B, H, T) i32 — word
+    entered at each frame, -1 none). Per-frame decisions mirror
+    ``lvcsr_nbest_backtrace_host``: cand_sel < D*K is a band move, else a
+    junction crossing resolved through ent_sel (seen bigram vs backoff)
+    and exit_sel."""
+    cand_sel, ent_sel, bo_sel, exit_sel = recs
+    B, H = s0.shape
+    Tp = cand_sel.shape[0] + 1
+    T = T or Tp
+    D = lb + ub + 1
+    Kb = big_pred.shape[1]
+    rows = jnp.arange(B)[:, None]  # (B, 1) -> broadcasts over H
+
+    def bstep(carry, inputs):
+        s, rk = carry
+        cand_r, ent_r, bo_r, exit_r, r = inputs
+        t = r + 1
+        val = cand_r[rows, s, rk].astype(jnp.int32)  # (B, H)
+        is_band = val < D * K
+        # band move
+        j = jnp.clip(val, 0) // K
+        s_band = s - (j - lb)
+        rk_band = jnp.clip(val, 0) % K
+        # junction crossing
+        er = jnp.clip(val - D * K, 0)
+        slot = entry_slot_of_state[s]  # (B, H)
+        v = entry_word[jnp.clip(slot, 0)]
+        val2 = ent_r[rows, v, er].astype(jnp.int32)
+        seen = val2 < Kb * K
+        u_seen = big_pred[v, jnp.clip(val2, 0) // K]
+        r2_seen = jnp.clip(val2, 0) % K
+        flat_bo = bo_r[rows, jnp.clip(val2 - Kb * K, 0, K - 1)].astype(
+            jnp.int32
+        )
+        u_bo = flat_bo // K
+        r2_bo = flat_bo % K
+        u = jnp.where(seen, u_seen, u_bo)
+        r2 = jnp.where(seen, r2_seen, r2_bo)
+        val3 = exit_r[rows, u, r2].astype(jnp.int32)
+        s_j = exit_idx[u, jnp.clip(val3, 0) // K].astype(jnp.int32)
+        rk_j = jnp.clip(val3, 0) % K
+        s_new = jnp.where(is_band, s_band, s_j)
+        rk_new = jnp.where(is_band, rk_band, rk_j)
+        active = (t < frame_lengths[:, None])
+        s_out = jnp.where(active, s_new, s)
+        rk_out = jnp.where(active, rk_new, rk)
+        word_at_t = jnp.where(
+            active & ~is_band, v.astype(jnp.int32), -1
+        )
+        return (s_out, rk_out), (s_out, word_at_t)
+
+    r_iota = jnp.arange(Tp - 1)
+    (_s, _rk), (path_prev, word_at) = jax.lax.scan(
+        bstep, (s0, rk0), recs + (r_iota,), reverse=True
+    )
+    # (Tp-1, B, H) -> (B, H, Tp)
+    path = jnp.concatenate(
+        [jnp.moveaxis(path_prev, 0, 2), s0[:, :, None]], axis=2
+    )
+    w0 = state_word[path[:, :, 0]].astype(jnp.int32)
+    word0 = jnp.where(w0 >= 0, w0, -1)
+    word_at_full = jnp.concatenate(
+        [word0[:, :, None], jnp.moveaxis(word_at, 0, 2)], axis=2
+    )
+    return path[:, :, :T], word_at_full[:, :, :T]

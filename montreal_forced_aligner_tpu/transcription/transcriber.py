@@ -1130,7 +1130,6 @@ class Transcriber:
         semiring with word-sequence-hash determinization."""
         from montreal_forced_aligner_tpu.transcription.lvcsr import (
             LvcsrXwGraph,
-            lvcsr_nbest_backtrace_host,
             lvcsr_nbest_device,
             lvcsr_xw_nbest_backtrace_host,
             lvcsr_xw_nbest_device,
@@ -1192,10 +1191,46 @@ class Transcriber:
             g.ub,
             nbest,
         )
-        rows = lvcsr_nbest_backtrace_host(
-            g, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, nbest,
+        # DEVICE backtrace: the per-frame selection records — (T, B, S, K)
+        # int16 cand_sel alone is ~3 GB per 9 s row at V=20k — never cross
+        # the link; only the (B, H) final selections and (B, H, T) paths do
+        # (the host backtrace remains as the pinned reference)
+        from montreal_forced_aligner_tpu.transcription.lvcsr import (
+            lvcsr_nbest_backtrace_device,
+            lvcsr_nbest_final_select_device,
+        )
+
+        scores_d, s0_d, rk0_d = lvcsr_nbest_final_select_device(
+            alpha_T, hist_T, d["exit_idx"], d["exit_w"], d["eos"], nbest
+        )
+        path_d, word_d = lvcsr_nbest_backtrace_device(
+            s0_d, rk0_d, recs, jnp.asarray(flens),
+            d["entry_word"], d["entry_slot_of_state"], d["big_pred"],
+            d["exit_idx"], d["state_word"], g.lb, g.ub, nbest,
             T=int(ff.shape[1]),
         )
+        from montreal_forced_aligner_tpu.training.base import (
+            start_host_copies,
+        )
+
+        start_host_copies((scores_d, path_d, word_d))
+        scores = np.asarray(scores_d)
+        paths = np.asarray(path_d)
+        words = np.asarray(word_d)
+        rows = []
+        for b in range(paths.shape[0]):
+            L = int(flens[b])
+            hyps = []
+            for h in range(paths.shape[1]):
+                sc = float(scores[b, h])
+                if sc <= NEG_INF / 2:
+                    continue
+                wrow = words[b, h, :L]
+                events = [
+                    (int(t), int(w)) for t, w in enumerate(wrow) if w >= 0
+                ]
+                hyps.append((paths[b, h], sc, events))
+            rows.append(hyps)
         return rows, g
 
     def _lvcsr_words(

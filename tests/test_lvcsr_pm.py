@@ -147,3 +147,109 @@ def test_pm_nbest_routes_to_legacy(tmp_path):
         if rn[i].alternatives:
             scores = [s for _t, s in rn[i].alternatives]
             assert scores == sorted(scores, reverse=True)
+
+
+def test_nbest_device_backtrace_matches_host(tmp_path):
+    """The device K-best backtrace (records never leave the device) must
+    reproduce the host reference backtrace rank for rank: same texts,
+    same scores, same word events."""
+    import jax.numpy as jnp
+
+    from montreal_forced_aligner_tpu.transcription.lvcsr import (
+        lvcsr_nbest_backtrace_device,
+        lvcsr_nbest_backtrace_host,
+        lvcsr_nbest_device,
+        lvcsr_nbest_final_select_device,
+    )
+    from montreal_forced_aligner_tpu.transcription.transcriber import (
+        _lvcsr_emissions,
+    )
+
+    corpus_dir, model_path, dict_path, lm = _setup(tmp_path)
+    corpus = Corpus.load(corpus_dir)
+    tr = Transcriber(model_path, dict_path, lm=lm, batch_size=4)
+    r1 = tr.transcribe_corpus(corpus)  # builds graphs, trains nothing new
+    lg = tr._legacy_flat_graph()
+    d = tr._lvcsr_dev(lg)
+    al = tr.aligner
+
+    waves = corpus.load_audio_parallel(al.mfcc_config.sample_rate)
+    # build one feature batch through the production path pieces
+    from montreal_forced_aligner_tpu.align.aligner import (
+        _final_feats,
+        _mfcc_and_sums,
+        _round_up,
+    )
+    from montreal_forced_aligner_tpu.ops.mfcc import pad_waves_for_mfcc
+
+    L = _round_up(max(len(w) for w in waves), 16000)
+    padded, lens = pad_waves_for_mfcc(waves, al.mfcc_config, L)
+    flens = np.array(
+        [al.mfcc_config.num_frames(int(n)) for n in lens], np.int32
+    )
+    feats, sums = _mfcc_and_sums(
+        jnp.asarray(padded), jnp.asarray(flens), al.mfcc_config,
+        al.mfcc_config.num_frames(L),
+    )
+    mean = jnp.asarray(sums) / jnp.maximum(
+        jnp.asarray(flens.astype(np.float32)), 1.0
+    )[:, None]
+    ff = _final_feats(feats, jnp.asarray(flens), mean, None)
+    emit_pdf = _lvcsr_emissions(
+        ff, al._device_gmm[0], al._device_gmm[1], tr.acoustic_scale
+    )
+    K = 4
+    alpha_T, hist_T, recs = lvcsr_nbest_device(
+        emit_pdf, d["state_pdf"], jnp.asarray(flens), d["band"], d["start"],
+        d["state0_hash"], d["exit_idx"], d["exit_w"], d["entry_idx"],
+        d["entry_word"], d["entry_w"], d["p1"], d["bo"], d["big_pred"],
+        d["big_w"], lg.lb, lg.ub, K,
+    )
+    T = int(ff.shape[1])
+    host_rows = lvcsr_nbest_backtrace_host(
+        lg, np.asarray(alpha_T), np.asarray(hist_T), recs, flens, K, T=T
+    )
+    scores_d, s0_d, rk0_d = lvcsr_nbest_final_select_device(
+        alpha_T, hist_T, d["exit_idx"], d["exit_w"], d["eos"], K
+    )
+    path_d, word_d = lvcsr_nbest_backtrace_device(
+        s0_d, rk0_d, recs, jnp.asarray(flens), d["entry_word"],
+        d["entry_slot_of_state"], d["big_pred"], d["exit_idx"],
+        d["state_word"], lg.lb, lg.ub, K, T=T,
+    )
+    scores = np.asarray(scores_d)
+    paths = np.asarray(path_d)
+    words = np.asarray(word_d)
+    from montreal_forced_aligner_tpu.ops.viterbi import NEG_INF
+
+    for b, hyps in enumerate(host_rows):
+        L_b = int(flens[b])
+        dev_hyps = [
+            h for h in range(paths.shape[1]) if scores[b, h] > NEG_INF / 2
+        ]
+        assert len(dev_hyps) == len(hyps)
+        # rank order can differ between EXACTLY tied scores (host argsort
+        # vs device dedup tournament) — compare as score-ordered multisets
+        # of (score, word events), and require identical state paths
+        # wherever the (score, events) pair is unique
+        host_set = sorted(
+            (round(hs, 4), tuple(he)) for _hp, hs, he in hyps
+        )
+        dev_items = []
+        for h in dev_hyps:
+            ev = tuple(
+                (int(t), int(w))
+                for t, w in enumerate(words[b, h, :L_b])
+                if w >= 0
+            )
+            dev_items.append((round(float(scores[b, h]), 4), ev, h))
+        assert sorted((sc, ev) for sc, ev, _h in dev_items) == host_set
+        host_by_key = {}
+        for hp, hs, he in hyps:
+            host_by_key.setdefault((round(hs, 4), tuple(he)), []).append(hp)
+        for sc, ev, h in dev_items:
+            cands = host_by_key[(sc, ev)]
+            if len(cands) == 1:
+                np.testing.assert_array_equal(
+                    paths[b, h, :L_b], cands[0][:L_b]
+                )
