@@ -295,6 +295,12 @@ def _num_jobs_option(f):
                    "--use_phone_model)")
 @click.option("--fine_tune/--no_fine_tune", default=False,
               help="Refine boundaries at 1 ms resolution")
+@click.option("--transfer_mode", default="auto", show_default=True,
+              type=click.Choice(["auto", "waves", "features"]),
+              help="Host->device payload for feature extraction: int16 "
+                   "waves (device MFCC), f16 host-computed MFCC features "
+                   "(12x fewer bytes over a degraded link), or auto "
+                   "(probe; threshold MFA_TPU_TRANSFER_THRESHOLD_MBPS)")
 @click.option("--single_speaker", is_flag=True, default=False,
               help="Disable speaker adaptation (SAT models align "
                    "single-pass with the speaker-independent model; "
@@ -346,6 +352,7 @@ def align_cli(
     textgrid_cleanup,
     use_phone_model,
     fine_tune,
+    transfer_mode,
     single_speaker,
     g2p_model_path,
     rules_path,
@@ -404,6 +411,7 @@ def align_cli(
         distributed=distributed,
         language=language,
         uses_speaker_adaptation=not single_speaker,
+        transfer_mode=transfer_mode,
     )
     aligner = PretrainedAligner(
         acoustic_model_path,
