@@ -783,9 +783,9 @@ class PretrainedAligner:
         # only the final (num_speakers, ...) K/G/beta blocks are fetched.
         stats_per_dev = {}
         spk_indices = []
-        for batch, flens, garrs, graph, ff in prepared:
+        for batch, flens, garrs, graph, ff, flens_dev in prepared:
             state_path, _sc = self._run_emit_and_align(
-                ff, self._put_b(flens), graph, W1, gc1, w_rows1,
+                ff, flens_dev, graph, W1, gc1, w_rows1,
                 garrs.get("_band_limits"),
             )
             frame_pdf = _frame_pdf_device(graph.state_pdf, state_path)
@@ -794,12 +794,13 @@ class PretrainedAligner:
             spk_idx[: len(batch)] = [
                 speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
-            spk_indices.append(spk_idx)
+            spk_dev = self._put_b(spk_idx)
+            spk_indices.append(spk_dev)
             out = accumulate_fmllr_stats(
                 ff,
-                self._put_b(flens),
+                flens_dev,
                 frame_pdf,
-                self._put_b(spk_idx),
+                spk_dev,
                 weight,
                 means,
                 iv,
@@ -831,18 +832,18 @@ class PretrainedAligner:
         transforms = estimate_speaker_fmllr(
             K, G, beta, min_count=self.config.fmllr_min_count
         )
-        trans_j = jnp.asarray(transforms)
         _logger.debug(
             "fmllr host solve took %.3fs", _time.time() - _t0
         )
+        trans_dev = self._put_rep(np.asarray(transforms, np.float32))
         out_prepared = []
-        for (batch, flens, garrs, graph, ff), spk_idx in zip(
+        for (batch, flens, garrs, graph, ff, flens_dev), spk_dev in zip(
             prepared, spk_indices
         ):
-            adapted = apply_per_speaker_transform(
-                ff, self._put_b(spk_idx), self._put_rep(np.asarray(trans_j))
+            adapted = apply_per_speaker_transform(ff, spk_dev, trans_dev)
+            out_prepared.append(
+                (batch, flens, garrs, graph, adapted, flens_dev)
             )
-            out_prepared.append((batch, flens, garrs, graph, adapted))
         return out_prepared
 
     def _add_g2p_pronunciations(self, tokens) -> None:
@@ -996,21 +997,27 @@ class PretrainedAligner:
             spk_idx[:n_real] = [
                 speaker_index[corpus.utterances[i].speaker] for i in batch
             ]
+            # flens/spk ship ONCE; the device handles are reused by every
+            # later phase (each extra device_put is a full round trip
+            # under tunnel congestion — measured 0.1-0.5 s apiece while
+            # the h2d probe reads collapsed)
+            flens_dev = self._put_b(flens, dev)
+            spk_dev = self._put_b(spk_idx, dev)
             if transfer_mode == "features":
                 feats16 = mfcc_host_batch(
                     padded, self.mfcc_config, max_frames
                 ).astype(np.float16)
                 feats_dev, bsum = _feats_and_spk_stats(
                     self._put_b(feats16, dev),
-                    self._put_b(flens, dev),
-                    self._put_b(spk_idx, dev),
+                    flens_dev,
+                    spk_dev,
                     num_speakers,
                 )
             else:
                 feats_dev, bsum = _mfcc_and_spk_stats(
                     self._put_b(padded, dev),
-                    self._put_b(flens, dev),
-                    self._put_b(spk_idx, dev),
+                    flens_dev,
+                    spk_dev,
                     self.mfcc_config,
                     max_frames,
                     num_speakers,
@@ -1038,7 +1045,9 @@ class PretrainedAligner:
                     flens,
                     max_frames,
                 )
-            stashes.append((batch, feats_dev, flens, pitch))
+            stashes.append(
+                (batch, feats_dev, flens, pitch, flens_dev, spk_dev)
+            )
             for row, i in enumerate(batch):
                 corpus.utterances[i].num_frames = int(flens[row])
 
@@ -1122,7 +1131,7 @@ class PretrainedAligner:
         prepared = []
         from montreal_forced_aligner_tpu.ops.viterbi import band_limits_from_arcs
 
-        for batch, feats_dev, flens, pitch in stashes:
+        for batch, feats_dev, flens, pitch, flens_dev, spk_dev in stashes:
             dev = (
                 None if self.mesh is not None
                 else list(feats_dev.devices())[0]
@@ -1132,24 +1141,26 @@ class PretrainedAligner:
             garrs = batch_graphs(glist)
             graph = ship_graph_to_device(garrs, device=dev, mesh=self.mesh)
             garrs["_band_limits"] = band_limits_from_arcs(garrs)
-            spk_rows = np.zeros(len(flens), np.int64)
-            spk_rows[: len(batch)] = [
-                speaker_index[corpus.utterances[i].speaker] for i in batch
-            ]
             if spk_mean_dev is not None:
-                mean_rows = spk_mean_dev[jnp.asarray(spk_rows)]
+                # spk_dev already holds the per-row speaker ids (phase A)
+                mean_rows = spk_mean_dev[spk_dev]
             else:
+                spk_rows = np.zeros(len(flens), np.int64)
+                spk_rows[: len(batch)] = [
+                    speaker_index[corpus.utterances[i].speaker]
+                    for i in batch
+                ]
                 mean_rows = self._put_b(
                     spk_mean[spk_rows].astype(np.float32), dev
                 )
             ff = _final_feats(
                 feats_dev,
-                self._put_b(flens, dev),
+                flens_dev,
                 mean_rows,
                 None if lda is None else self._put_rep(lda, dev),
                 None if pitch is None else self._put_b(pitch, dev),
             )
-            prepared.append((batch, flens, garrs, graph, ff))
+            prepared.append((batch, flens, garrs, graph, ff, flens_dev))
 
         _logger.debug(
             "phase B prep (graphs shipped + final feats) took %.3fs",
@@ -1184,7 +1195,7 @@ class PretrainedAligner:
         # model's fMLLR estimation tensors, which it never uses)
         si_params = self._ali_params_on() if si_mode else None
         pending = []
-        for batch, flens, garrs, graph, ff in prepared:
+        for batch, flens, garrs, graph, ff, flens_dev in prepared:
             dev = (
                 None if self.mesh is not None else list(ff.devices())[0]
             )
@@ -1194,7 +1205,7 @@ class PretrainedAligner:
                 W_d, gc_d, w_rows_d = self._gmm_on(dev)
             band_limits = garrs.pop("_band_limits", None)
             state_path, scores = self._run_emit_and_align(
-                ff, self._put_b(flens, dev), graph, W_d, gc_d, w_rows_d,
+                ff, flens_dev, graph, W_d, gc_d, w_rows_d,
                 band_limits,
             )
             conf = None
