@@ -491,14 +491,14 @@ class Transcriber:
                 ).astype(np.float16)
                 feats, bsum = _feats_and_spk_stats(
                     jnp.asarray(feats16),
-                    jnp.asarray(flens),
+                    self._flens_dev(flens),
                     jnp.asarray(spk_idx),
                     num_speakers,
                 )
             else:
                 feats, bsum = _mfcc_and_spk_stats(
                     jnp.asarray(padded),
-                    jnp.asarray(flens),
+                    self._flens_dev(flens),
                     jnp.asarray(spk_idx),
                     al.mfcc_config,
                     al.mfcc_config.num_frames(L),
@@ -531,7 +531,7 @@ class Transcriber:
         for batch, flens, feats, spk_idx in stashes:
             mean_rows = spk_mean_dev[jnp.asarray(spk_idx)]
             ff = _final_feats(
-                feats, jnp.asarray(flens), mean_rows, lda
+                feats, self._flens_dev(flens), mean_rows, lda
             )
             B = len(batch)
             garrs, bgraph = self._shared_graph_on_device(graph, B)
@@ -567,7 +567,7 @@ class Transcriber:
             for batch, flens, garrs, bgraph, ff in prepared:
                 state_path, scores = _emit_and_align(
                     ff,
-                    jnp.asarray(flens),
+                    self._flens_dev(flens),
                     bgraph,
                     al._device_gmm[0],
                     al._device_gmm[1],
@@ -628,7 +628,7 @@ class Transcriber:
                 word_event, state0_hash = nbest_word_events(garrs)
                 fscores, bps = _emit_and_nbest(
                     ff,
-                    jnp.asarray(flens),
+                    self._flens_dev(flens),
                     bgraph,
                     al._device_gmm[0],
                     al._device_gmm[1],
@@ -843,6 +843,23 @@ class Transcriber:
                 )
         return out
 
+    def _flens_dev(self, flens):
+        """Device handle for a batch's frame-length array, shipped ONCE per
+        array object (each extra device_put is a full round trip under
+        tunnel congestion; flens was previously re-shipped 2-4x per batch
+        across the decode phases)."""
+        cache = getattr(self, "_flens_cache", None)
+        if cache is None:
+            cache = self._flens_cache = {}
+        hit = cache.get(id(flens))
+        if hit is not None and hit[0] is flens:
+            return hit[1]
+        if len(cache) > 512:
+            cache.clear()
+        dev = jnp.asarray(flens)
+        cache[id(flens)] = (flens, dev)
+        return dev
+
     def _lvcsr_graph_for(self, nbest: int = 1):
         """The graph object a decode with this ``nbest`` will actually run
         on: the position-major graph for 1-best; for K-best the junction
@@ -954,7 +971,7 @@ class Transcriber:
             alpha_T, ckpts, ep = payload
             return lvcsr_pm_backtrace_ckpt_device(
                 alpha_T, ckpts, ep,
-                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["state_pdf"], self._flens_dev(flens), d["band"],
                 d["exit_w_grid"], d["eos_c"], d["bo_c"], d["pred_c"],
                 d["pred_w"], d["p1_c"], d["entry_w_c"], d["chain_word"],
                 d["state_word"], g.lbp, g.ubp,
@@ -969,7 +986,7 @@ class Transcriber:
             RG, F = g.rg_mask.shape
             return lvcsr_xw_backtrace_ckpt_device(
                 alpha_T, ckpts, ep,
-                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["state_pdf"], self._flens_dev(flens), d["band"],
                 d["cell_exit_idx"], d["cell_exit_w"], d["bo_cell"],
                 d["cell_seg"], d["rg_mask"], d["entry_state"],
                 d["entry_w"], d["ebo_idx"], d["ebo_pad"], d["p1e"],
@@ -982,7 +999,7 @@ class Transcriber:
             alpha_T, recs = payload
             RG, F = g.rg_mask.shape
             return lvcsr_xw_backtrace_device(
-                alpha_T, recs, jnp.asarray(flens),
+                alpha_T, recs, self._flens_dev(flens),
                 d["fin_state"], d["fin_w"], d["entry_word"],
                 d["entry_slot_of_state"], d["se_cell"], d["ebo_idx"],
                 d["cell_exit_idx"], d["state_word"],
@@ -996,7 +1013,7 @@ class Transcriber:
             alpha_T, ckpts, recs, emit_pdf = payload
             return lvcsr_backtrace_ckpt_device(
                 alpha_T, ckpts, recs, emit_pdf,
-                d["state_pdf"], jnp.asarray(flens), d["band"],
+                d["state_pdf"], self._flens_dev(flens), d["band"],
                 d["exit_idx"], d["exit_w"], d["eos"], d["entry_idx"],
                 d["entry_word"], d["entry_w"], d["p1"], d["bo"],
                 d["big_pred"], d["big_w"], d["entry_slot_of_state"],
@@ -1004,7 +1021,7 @@ class Transcriber:
             )
         alpha_T, recs = payload
         return lvcsr_backtrace_device(
-            alpha_T, recs, jnp.asarray(flens),
+            alpha_T, recs, self._flens_dev(flens),
             d["exit_idx"], d["exit_w"], d["eos"], d["entry_word"],
             d["entry_slot_of_state"], d["big_pred"], d["state_word"],
             g.lb, T,
@@ -1057,7 +1074,7 @@ class Transcriber:
                 e0,
                 ep,
                 d["state_pdf"],
-                jnp.asarray(flens),
+                self._flens_dev(flens),
                 d["band"],
                 d["start"],
                 d["exit_w_grid"],
@@ -1083,7 +1100,7 @@ class Transcriber:
                 e0,
                 ep,
                 d["state_pdf"],
-                jnp.asarray(flens),
+                self._flens_dev(flens),
                 d["band"],
                 d["start"],
                 d["cell_exit_idx"],
@@ -1106,7 +1123,7 @@ class Transcriber:
         alpha_T, ckpts, recs = lvcsr_decode_ckpt_device(
             emit_pdf,
             d["state_pdf"],
-            jnp.asarray(flens),
+            self._flens_dev(flens),
             d["band"],
             d["start"],
             d["exit_idx"],
@@ -1145,7 +1162,7 @@ class Transcriber:
             alpha_T, hist_T, recs = lvcsr_xw_nbest_device(
                 emit_pdf,
                 d["state_pdf"],
-                jnp.asarray(flens),
+                self._flens_dev(flens),
                 d["band"],
                 d["start"],
                 d["state0_hash"],
@@ -1174,7 +1191,7 @@ class Transcriber:
         alpha_T, hist_T, recs = lvcsr_nbest_device(
             emit_pdf,
             d["state_pdf"],
-            jnp.asarray(flens),
+            self._flens_dev(flens),
             d["band"],
             d["start"],
             d["state0_hash"],
@@ -1204,7 +1221,7 @@ class Transcriber:
             alpha_T, hist_T, d["exit_idx"], d["exit_w"], d["eos"], nbest
         )
         path_d, word_d = lvcsr_nbest_backtrace_device(
-            s0_d, rk0_d, recs, jnp.asarray(flens),
+            s0_d, rk0_d, recs, self._flens_dev(flens),
             d["entry_word"], d["entry_slot_of_state"], d["big_pred"],
             d["exit_idx"], d["state_word"], g.lb, g.ub, nbest,
             T=int(ff.shape[1]),
@@ -1361,7 +1378,7 @@ class Transcriber:
                 frame_pdf = self._lvcsr.state_pdf[sp]
             else:
                 state_path, _sc = _emit_and_align(
-                    ff, jnp.asarray(flens), bgraph, W1, gc1, self.acoustic_scale
+                    ff, self._flens_dev(flens), bgraph, W1, gc1, self.acoustic_scale
                 )
                 sp = np.asarray(state_path)
                 b = np.arange(sp.shape[0])[:, None]
@@ -1373,7 +1390,7 @@ class Transcriber:
             )
             out = accumulate_fmllr_stats(
                 ff,
-                jnp.asarray(flens),
+                self._flens_dev(flens),
                 jnp.asarray(frame_pdf),
                 jnp.asarray(spk_idx),
                 jnp.asarray(weight),
