@@ -141,19 +141,29 @@ _transfer_probe_cache = {"t": 0.0, "mode": None}
 
 
 def _probe_h2d_MBps() -> float:
-    """One 4 MB host->device transfer, timed (blocking)."""
+    """MARGINAL host->device bandwidth: a 4 MB transfer timed against a
+    4 KB one, so per-call round-trip latency cancels out. The tunnel has
+    two distinct failure modes — bandwidth collapse (big transfers crawl)
+    and latency collapse (EVERY call costs 0.15-3 s regardless of size);
+    feature shipping only helps the former, so the switch must not
+    trigger on the latter (fewer bytes cannot fix per-call latency, and
+    the host MFCC adds work)."""
     import time as _time
 
     import jax as _jax
 
     dev = _jax.devices()[0]
-    x = np.zeros(2 * 1024 * 1024, np.int16)  # 4 MB
-    w = _jax.device_put(x[:16], dev)
+    small = np.zeros(2 * 1024, np.int16)  # 4 KB
+    big = np.zeros(2 * 1024 * 1024, np.int16)  # 4 MB
+    w = _jax.device_put(small[:16], dev)
     _jax.block_until_ready(w)  # dispatch path warm
     t0 = _time.perf_counter()
-    y = _jax.device_put(x, dev)
-    _jax.block_until_ready(y)
-    return x.nbytes / 1e6 / max(_time.perf_counter() - t0, 1e-9)
+    _jax.block_until_ready(_jax.device_put(small, dev))
+    t_small = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    _jax.block_until_ready(_jax.device_put(big, dev))
+    t_big = _time.perf_counter() - t0
+    return (big.nbytes - small.nbytes) / 1e6 / max(t_big - t_small, 1e-9)
 
 
 def resolve_transfer_mode(requested: str = "auto", ttl_s: float = 120.0) -> str:
